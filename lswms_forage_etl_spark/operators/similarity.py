@@ -1,0 +1,155 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Two tiers (SURVEY north star — training-data pipeline ops):
+
+  brute-force   exact cosine top-k: dot products via JVM higher-order
+                functions (`zip_with` + `aggregate`) — no Python, no UDF.
+                Baseline and verification oracle.
+  LSH-bucketed  random-hyperplane signatures (sign of dot with h fixed
+                hyperplanes) -> candidates share a bucket -> exact re-rank
+                inside buckets. At 100 TB the bucket join replaces the
+                all-pairs cross join; hyperplanes are deterministic
+                (hash-derived), so results are reproducible and
+                oracle-checkable.
+  IVF           coarse k-means-style inverted lists: assign each vector to
+                its nearest of C centroids (sampled deterministically),
+                probe the query's nearest P lists only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.functions.cleansing import portable_round
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<numeric> columns — pure
+    expressions, codegen-eligible."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, query_vec: list[float],
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine against a literal query vector. One scan, one
+    global top-k (Spark's `orderBy.limit` is a per-partition top-k +
+    driver merge — no full sort materialization). Deterministic tie-break
+    on id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = embeddings.select(
+        F.col(id_col),
+        portable_round(cosine(vec_d, q), 6).alias("cosine_sim"))
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane_signature(vec_col, num_planes: int = 8, dim: int = 64,
+                         seed: int = 1234):
+    """Deterministic random-hyperplane LSH signature (int bucket id).
+
+    Plane coefficients are derived from a seeded numpy RNG and inlined as
+    literals — identical across engines and runs."""
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim)).round(6)
+    vec_d = F.transform(vec_col if not isinstance(vec_col, str)
+                        else F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.lit(0)
+    for p_i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(c)) for c in plane])
+        bit = F.when(_dot(vec_d, lit_plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + bit * F.lit(1 << p_i)
+    return sig
+
+
+def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             num_planes: int = 8, multiprobe_hamming: int = 1,
+             seed: int = 1234) -> DataFrame:
+    """ANN top-k: only vectors whose hyperplane bucket is within
+    `multiprobe_hamming` bits of the query's bucket are scored exactly.
+    At scale the bucketed table is pre-materialized and partitioned by
+    bucket -> the probe is a partition-pruned scan."""
+    dim = len(query_vec)
+    bucketed = embeddings.withColumn(
+        "bucket", hyperplane_signature(vec_col, num_planes, dim, seed))
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((num_planes, dim)).round(6)
+    qsig = 0
+    for p_i, plane in enumerate(planes):
+        if float(np.dot(query_vec, plane)) >= 0:
+            qsig |= 1 << p_i
+    probe = [qsig]
+    if multiprobe_hamming >= 1:
+        probe += [qsig ^ (1 << i) for i in range(num_planes)]
+    cand = bucketed.where(F.col("bucket").isin(probe))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        num_planes: int = 8, dim: int = 64,
+                        seed: int = 1234) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join: pairs
+    must share the hyperplane bucket (candidates), then exact cosine
+    verifies. Replaces the O(n^2) cross join with a per-bucket join."""
+    b = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        hyperplane_signature(vec_col, num_planes, dim, seed).alias("bucket"))
+    lhs, rhs = b.alias("a"), b.alias("b")
+    pairs = (lhs.join(rhs, "bucket")
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    va = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
+    vb = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
+    return (pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        portable_round(cosine(va, vb), 6).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold))
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             num_centroids: int = 16, probes: int = 4,
+             seed: int = 99) -> DataFrame:
+    """IVF: centroids = deterministic sample of the dataset itself (ids
+    hashed with the seed), vectors assigned to nearest centroid once
+    (pre-materializable), query probes its `probes` nearest lists."""
+    cents = (embeddings
+             .withColumn("_h", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                                      F.lit(1_000_000)))
+             .orderBy("_h").limit(num_centroids)
+             .select(F.monotonically_increasing_id().alias("cent_id"),
+                     F.col(vec_col).alias("cent_vec")))
+    cent_rows = cents.collect()  # tiny: num_centroids rows
+    # assign: argmax cosine over broadcast centroid literals
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best_id, best_sim = F.lit(-1), F.lit(-2.0)
+    for r in cent_rows:
+        cv = F.array(*[F.lit(float(x)) for x in r["cent_vec"]])
+        sim = cosine(vec_d, cv)
+        cond = sim > best_sim
+        best_id = F.when(cond, F.lit(r["cent_id"])).otherwise(best_id)
+        best_sim = F.when(cond, sim).otherwise(best_sim)
+    assigned = embeddings.withColumn("cent_id", best_id)
+    qsims = sorted(
+        ((r["cent_id"], float(np.dot(query_vec, np.array(r["cent_vec"], float))
+                              / (np.linalg.norm(query_vec)
+                                 * np.linalg.norm(r["cent_vec"]) + 1e-12)))
+         for r in cent_rows), key=lambda t: -t[1])
+    probe_ids = [c for c, _ in qsims[:probes]]
+    return brute_force_topk(assigned.where(F.col("cent_id").isin(probe_ids)),
+                            query_vec, k, id_col, vec_col)
