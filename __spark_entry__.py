@@ -40,6 +40,7 @@ from lswms_forage_etl_spark.operators.dedup import (
     minhash_signatures,
     lsh_candidate_pairs,
     ngram_jaccard,
+    shingle_table,
     simhash,
     simhash_near_dups,
 )
@@ -296,20 +297,34 @@ def q_join_zonal_broadcast(spark, sf):
 
 def q_join_asof_nearest(spark, sf):
     """As-of join (J2's general temporal form): each event matched to the
-    latest order at-or-before its timestamp within the same key bucket —
-    range-bounded join + windowed keep-latest."""
+    latest order at-or-before its timestamp within the same key bucket.
+
+    Implemented as the scalable UNION-MERGE as-of: tag both sides, sort by
+    (bucket, date, side) once, and carry the latest order forward with
+    last_value(ignoreNulls) — one shuffle, linear in rows. (The naive
+    range-join + row_number form materializes |events| x |dates| rows —
+    ~240M at sf0.1 — and collapses at scale.)"""
     o = _t(spark, sf, "orders")
     ev = _events(spark, sf)
     ob = (o.select(F.pmod(F.col("o_custkey"), F.lit(20)).alias("bucket"),
                    F.col("o_orderdate").cast("date").alias("odate"))
-          .groupBy("bucket", "odate").agg(F.count(F.lit(1)).alias("n_orders")))
-    eb = ev.select("event_id",
-                   F.pmod(F.col("user_id"), F.lit(20)).alias("bucket"),
-                   F.col("ts").cast("date").alias("edate"))
-    j = eb.join(ob, "bucket").where(F.col("odate") <= F.col("edate"))
-    w = Window.partitionBy("event_id").orderBy(F.col("odate").desc())
-    return (j.withColumn("_rn", F.row_number().over(w)).where("_rn = 1")
-            .select("event_id", "edate", "odate", "n_orders"))
+          .groupBy("bucket", "odate").agg(F.count(F.lit(1)).alias("n_orders"))
+          .select("bucket", F.col("odate").alias("d"), F.lit(0).alias("side"),
+                  F.lit(None).cast("long").alias("event_id"), "odate", "n_orders"))
+    eb = ev.select(F.pmod(F.col("user_id"), F.lit(20)).alias("bucket"),
+                   F.col("ts").cast("date").alias("d"), F.lit(1).alias("side"),
+                   "event_id", F.lit(None).cast("date").alias("odate"),
+                   F.lit(None).cast("long").alias("n_orders"))
+    merged = ob.unionByName(eb)
+    w = (Window.partitionBy("bucket").orderBy("d", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (merged.select(
+        "event_id", F.col("d").alias("edate"),
+        F.last("odate", ignorenulls=True).over(w).alias("odate"),
+        F.last("n_orders", ignorenulls=True).over(w).alias("n_orders"),
+        "side")
+        .where((F.col("side") == 1) & F.col("odate").isNotNull())
+        .select("event_id", "edate", "odate", "n_orders"))
 
 
 # --- aggregations (A1-A8) ----------------------------------------------------
@@ -548,11 +563,14 @@ def q_dedup_minhash_sig(spark, sf):
 
 def q_dedup_lsh_pairs(spark, sf):
     """MinHash-LSH candidate pairs (4 bands x 4 rows) verified with exact
-    n-gram jaccard >= 0.5."""
+    n-gram jaccard >= 0.5. Shingles and signatures are persisted
+    materialization points — without them Catalyst inlines the shingle
+    expression into every hash branch and join side (60x slowdown)."""
     docs = _t(spark, sf, "documents")
-    sigs = minhash_signatures(docs, num_hashes=16)
+    sh = shingle_table(docs).persist()
+    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh).persist()
     pairs = lsh_candidate_pairs(sigs, bands=4)
-    return ngram_jaccard(docs, pairs).where(F.col("jaccard") >= 0.5)
+    return ngram_jaccard(docs, pairs, shingles=sh).where(F.col("jaccard") >= 0.5)
 
 
 def q_dedup_ngram_jaccard(spark, sf):
@@ -567,7 +585,8 @@ def q_dedup_ngram_jaccard(spark, sf):
                                      (F.col("doc_id") + 100).alias("id_b")))
              .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
              .select("id_a", "id_b"))
-    return ngram_jaccard(docs, pairs)
+    sh = shingle_table(docs).persist()
+    return ngram_jaccard(docs, pairs, shingles=sh)
 
 
 def q_dedup_simhash(spark, sf):

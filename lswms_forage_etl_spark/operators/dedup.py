@@ -50,26 +50,44 @@ def word_shingles(col, k: int = 3):
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
 
 
+def shingle_table(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, sh: array<string>) — materialization point for the dedup
+    pipeline. Compute shingles ONCE and persist (or at real scale: write to
+    a parquet stage table). Without an explicit materialization Catalyst's
+    CollapseProject duplicates the tokenize+shingle expression into every
+    one of the k hash branches and both sides of the candidate join —
+    turning an O(k·shingles) pipeline into an O(k·shingles·copies) one
+    (observed 123 s -> ~2 s at sf0.1)."""
+    return docs.select(F.col(id_col), word_shingles(text_col, k).alias("sh"))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
-                       num_hashes: int = 16) -> DataFrame:
+                       num_hashes: int = 16,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """(id, minhash array<string>) — hash_i(s) = md5(i || s); min per i.
 
     Portable across engines (md5 of strings), vectorized JVM-side via
     higher-order array functions — no Python, no explode shuffle: the
     signature is computed inside the scan projection.
     """
+    if shingles is not None:
+        sig = F.array(*[F.array_min(F.transform(F.col("sh"), _hasher(i)))
+                        for i in range(num_hashes)])
+        return shingles.select(F.col(id_col), sig.alias("minhash"))
     sh = word_shingles(text_col, k)
 
-    def hasher(i: int):
-        # NB: must be a 1-arg lambda — F.transform treats a 2-arg callable
-        # as (element, index), which would silently shadow the hash index.
-        prefix = f"{i}|"
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    sig = F.array(*[F.array_min(F.transform(sh, hasher(i)))
+    sig = F.array(*[F.array_min(F.transform(sh, _hasher(i)))
                     for i in range(num_hashes)])
     return docs.select(F.col(id_col), sig.alias("minhash"))
+
+
+def _hasher(i: int):
+    # NB: must be a 1-arg lambda — F.transform treats a 2-arg callable
+    # as (element, index), which would silently shadow the hash index.
+    prefix = f"{i}|"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -93,11 +111,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
-                  k: int = 3) -> DataFrame:
+                  k: int = 3, shingles: DataFrame | None = None) -> DataFrame:
     """Exact jaccard over word k-shingles for candidate pairs (the LSH
     verification stage). Shingle sets travel with two broadcast-eligible
     joins keyed on doc id — no re-tokenization per pair."""
-    sh = docs.select(F.col(id_col), word_shingles(text_col, k).alias("sh"))
+    sh = shingles if shingles is not None else shingle_table(
+        docs, text_col, id_col, k)
     out = (pairs
            .join(sh.withColumnRenamed(id_col, "id_a")
                    .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -114,11 +133,15 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
 def minhash_dedup(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3, num_hashes: int = 16,
                   bands: int = 4, threshold: float = 0.7) -> DataFrame:
-    """Full MinHash-LSH pipeline: signatures -> banded candidates -> exact
-    jaccard verify -> near-dup pairs above threshold."""
-    sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes)
+    """Full MinHash-LSH pipeline: shingles (materialized once) ->
+    signatures -> banded candidates -> exact jaccard verify -> near-dup
+    pairs above threshold. At production scale the shingle/signature
+    tables are written to parquet stage tables instead of persist()."""
+    sh = shingle_table(docs, text_col, id_col, k).persist()
+    sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes,
+                              shingles=sh)
     pairs = lsh_candidate_pairs(sigs, id_col, bands)
-    return ngram_jaccard(docs, pairs, text_col, id_col, k).where(
+    return ngram_jaccard(docs, pairs, text_col, id_col, k, shingles=sh).where(
         F.col("jaccard") >= threshold)
 
 
