@@ -32,7 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StructField
+from pyspark.sql.types import DoubleType, StructField, StructType
 
 
 def _weights(d: np.ndarray, bw_k: int) -> np.ndarray:
@@ -119,7 +119,9 @@ def gwr_fit_score(df: DataFrame,
 
     spark = df.sparkSession
     b_cal = spark.sparkContext.broadcast((coords, x_cal, y_cal, bw))
-    out_schema = clean.schema.add(StructField("pred", DoubleType(), True))
+    # copy — StructType.add mutates in place, corrupting clean's cached schema
+    out_schema = StructType(
+        list(clean.schema.fields) + [StructField("pred", DoubleType(), True)])
     cols = clean.columns
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

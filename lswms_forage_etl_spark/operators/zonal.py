@@ -53,7 +53,9 @@ def zonal_stats(cells: DataFrame, coverage: DataFrame,
     touched = _zonal_agg(cells, coverage.select("zone_id", "row", "col")
                          .distinct(), value_col, "touched")
 
-    out = touched.join(strict, ["zone_id", "date"], "left")
+    # full outer: a zone may appear only in one variant (e.g. centroid-only
+    # zones with no rasterized coverage at all — BiomassAggregate.py:251).
+    out = touched.join(strict, ["zone_id", "date"], "full")
 
     if centroids is not None:
         # 3x3 neighborhood around each centroid, built once on the tiny side
@@ -81,7 +83,7 @@ def zonal_stats(cells: DataFrame, coverage: DataFrame,
                 F.when(F.col("count_c3") > 0, F.col("mean_c3")),
             ).alias("mean_centroid"),
         )
-        out = out.join(cent, ["zone_id", "date"], "left")
+        out = out.join(cent, ["zone_id", "date"], "full")
     else:
         out = out.withColumn("mean_centroid", F.lit(None).cast("double"))
 

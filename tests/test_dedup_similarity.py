@@ -1,0 +1,97 @@
+"""Dedup family + similarity search behavioral tests."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    simhash,
+    simhash_near_dups,
+)
+from lswms_forage_etl_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dups,
+    ivf_topk,
+    lsh_topk,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river delta"),  # near dup
+    (3, "completely different text about spark query engines and shuffles here"),
+    (4, "Thé   quick brown fox jumps over the lazy dog near the river bank"),  # ws/case variant
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs(spark))
+    groups = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert groups[0] == 2          # 0 and 1 share a fingerprint
+    assert 3 in groups and groups[3] == 1
+
+
+def test_minhash_dedup_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_dedup(_docs(spark), threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_identical_and_distance(spark):
+    sigs = simhash(_docs(spark))
+    vals = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert vals[0] == vals[1]
+    nd = {(r["id_a"], r["id_b"]): r["hamming"]
+          for r in simhash_near_dups(sigs, max_hamming=16).collect()}
+    assert nd[(0, 1)] == 0
+    if (0, 2) in nd:
+        assert nd[(0, 2)] > 0
+
+
+def _embeddings(spark, n=100, dim=16, seed=5):
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n, dim))
+    base[7] = base[0] * 1.001 + 0.0001           # near-dup of vector 0
+    rows = [(i, [float(x) for x in base[i]], int(i % 3)) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"), base
+
+
+def test_brute_force_topk(spark):
+    emb, base = _embeddings(spark)
+    q = [float(x) for x in base[0]]
+    got = brute_force_topk(emb, q, k=5).collect()
+    ids = [r["vec_id"] for r in got]
+    assert ids[0] == 0 and 7 in ids[:2]           # self + planted near-dup
+    sims = [r["cosine_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_contains_planted_neighbor(spark):
+    emb, base = _embeddings(spark)
+    q = [float(x) for x in base[0]]
+    ids = [r["vec_id"] for r in lsh_topk(emb, q, k=5, num_planes=6).collect()]
+    assert 0 in ids and 7 in ids
+
+
+def test_ivf_topk_contains_planted_neighbor(spark):
+    emb, base = _embeddings(spark)
+    q = [float(x) for x in base[0]]
+    ids = [r["vec_id"] for r in
+           ivf_topk(emb, q, k=5, num_centroids=8, probes=4).collect()]
+    assert 0 in ids and 7 in ids
+
+
+def test_embedding_near_dups(spark):
+    emb, _ = _embeddings(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(emb, threshold=0.999, dim=16).collect()}
+    assert (0, 7) in pairs

@@ -1,0 +1,93 @@
+"""M1 GWR and M2 GP structural checks (SURVEY §5: rows-only oracles —
+shape, determinism, finiteness, statistical sanity; not value parity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.models.gp import gp_forecast, gp_posterior_mean
+from lswms_forage_etl_spark.models.gwr import gwr_fit_score
+from lswms_forage_etl_spark.operators.hindcast import (
+    hindcast_tall,
+    lag_matrix,
+    tail_k_per_group,
+)
+
+
+def _series(spark, zones=3, n=24, with_nulls=True):
+    rows = []
+    for z in range(zones):
+        for i in range(n):
+            d = dt.date(2023, 1, 1) + dt.timedelta(days=16 * i)
+            v = None if (with_nulls and i % 11 == 5) else \
+                float(1.0 + 0.5 * np.sin(i / 3) + 0.05 * z)
+            rows.append((f"Z{z}", d, v))
+    return spark.createDataFrame(rows, "zone_id string, date date, biomass double")
+
+
+def test_gp_forecast_shape_and_determinism(spark):
+    out1 = gp_forecast(_series(spark)).orderBy("zone_id", "horizon_days")
+    rows1 = out1.collect()
+    # exactly 4 rows per zone: last in-sample + 3 horizons
+    assert len(rows1) == 3 * 4
+    per_zone = {}
+    for r in rows1:
+        per_zone.setdefault(r["zone_id"], []).append(r["horizon_days"])
+        assert r["mean"] is not None and np.isfinite(r["mean"])
+    assert all(sorted(h) == [0, 16, 32, 48] for h in per_zone.values())
+    rows2 = gp_forecast(_series(spark)).orderBy("zone_id", "horizon_days").collect()
+    assert [r["mean"] for r in rows1] == [r["mean"] for r in rows2]
+
+
+def test_gp_posterior_interpolates():
+    # at observed points with tiny noise the posterior ~ the data
+    x = np.arange(0, 160, 16.0)
+    y = np.sin(x / 60.0)
+    m = gp_posterior_mean(x, y, x)
+    assert np.max(np.abs(m - y)) < 0.05
+
+
+def test_hindcast_tall_and_lag_matrix(spark):
+    tall = hindcast_tall(_series(spark, zones=2, n=12, with_nulls=False))
+    rows = tall.collect()
+    # per zone: n=12 -> start=6, refits=min(100, 12-6)=6 -> 6*4 rows
+    assert len(rows) == 2 * 6 * 4
+    wide = lag_matrix(tall)
+    assert set(wide.columns) == {
+        "zone_id", "date", "lag_0_day", "lag_16_day", "lag_32_day", "lag_48_day"}
+    # a mid-series date reached by all four horizons has all lags populated
+    full = wide.where(
+        F.col("lag_0_day").isNotNull() & F.col("lag_16_day").isNotNull()
+        & F.col("lag_32_day").isNotNull() & F.col("lag_48_day").isNotNull())
+    assert full.count() > 0
+
+
+def test_tail_k(spark):
+    df = _series(spark, zones=2, n=10, with_nulls=False)
+    out = tail_k_per_group(df, k=4)
+    assert out.count() == 8
+    last = out.groupBy("zone_id").agg(F.max("date").alias("m")).collect()
+    exp = dt.date(2023, 1, 1) + dt.timedelta(days=16 * 9)
+    assert all(r["m"] == exp for r in last)
+
+
+def test_gwr_recovers_linear_signal(spark):
+    # ndvi = 0.3*sm + 0.1*preci + small spatial term -> distributed scoring
+    # should track the signal closely everywhere
+    rng = np.random.RandomState(0)
+    n = 800
+    lon = rng.uniform(36, 49, n)
+    lat = rng.uniform(0, 15, n)
+    sm = rng.uniform(0, 1, n)
+    preci = rng.uniform(0, 1, n)
+    ndvi = 0.3 * sm + 0.1 * preci + 0.01 * np.sin(lon) + rng.normal(0, 0.005, n)
+    df = spark.createDataFrame(
+        [tuple(map(float, t)) for t in zip(lon, lat, sm, preci, ndvi)],
+        "lon double, lat double, sm double, preci double, ndvi double")
+    out = gwr_fit_score(df, bandwidth=60).withColumn(
+        "err", F.abs(F.col("pred") - F.col("ndvi")))
+    rmse = out.agg(F.sqrt(F.avg(F.col("err") ** 2))).collect()[0][0]
+    assert rmse < 0.05
