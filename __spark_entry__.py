@@ -44,11 +44,20 @@ from lswms_forage_etl_spark.operators.dedup import (
     simhash,
     simhash_near_dups,
 )
+from lswms_forage_etl_spark.operators.multimodal import (
+    byte_histogram,
+    frame_index,
+    media_stats,
+    synth_media,
+)
 from lswms_forage_etl_spark.operators.periods import composite_periods
 from lswms_forage_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine,
     embedding_near_dups,
+    hyperplanes,
+    ivf_topk,
+    lsh_topk,
 )
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -600,6 +609,32 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_dups(sigs, max_hamming=10)
 
 
+# --- multimodal --------------------------------------------------------------
+
+def q_mm_metadata(spark, sf):
+    """Multimodal scan-side stats: opaque binary payload + typed metadata
+    struct, projected without touching the payload bytes (column pruning
+    keeps the 100 TB payload column out of this scan entirely)."""
+    return media_stats(synth_media(_t(spark, sf, "documents")))
+
+
+def q_mm_frame_sample(spark, sf):
+    """Video frame-sampling plan: every 10th frame index per video, via
+    explode(sequence()) — pure JVM expressions."""
+    return frame_index(synth_media(_t(spark, sf, "documents")), every_n=10)
+
+
+def q_mm_byte_histogram(spark, sf):
+    """Arrow-batched featurizer over binary payloads (mapInPandas) —
+    projected to 3 stable histogram bins. Rows-only oracle: byte-level
+    histogramming is not SQL-expressible in DuckDB."""
+    h = byte_histogram(synth_media(_t(spark, sf, "documents")), bins=16)
+    return h.select("media_id",
+                    F.col("features")[0].alias("bin_0"),
+                    F.col("features")[7].alias("bin_7"),
+                    F.col("features")[15].alias("bin_15"))
+
+
 # --- embeddings / similarity -------------------------------------------------
 
 def _query_vec(spark, sf) -> list[float]:
@@ -629,6 +664,30 @@ def q_ann_pairwise_label_sim(spark, sf):
             .select("id_a", "id_b",
                     F.round(cosine(va, vb), 6).alias("cosine_sim"))
             .where(F.col("cosine_sim") > 0.2))
+
+
+def q_ann_lsh_topk(spark, sf):
+    """LSH-bucketed ANN top-10: random-hyperplane signatures; only vectors
+    whose bucket is within hamming distance 1 of the query's bucket are
+    scored — the scale path where the bucket is a partition column and the
+    probe becomes a partition-pruned scan."""
+    emb = _t(spark, sf, "embeddings")
+    return lsh_topk(emb, _query_vec(spark, sf), k=10)
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN top-10: 16 deterministic coarse centroids, vectors assigned
+    to nearest list once (pre-materializable), query probes 4 lists."""
+    emb = _t(spark, sf, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf), k=10,
+                    num_centroids=16, probes=4)
+
+
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs: hyperplane-bucketed self-join (no
+    O(n^2) cross join) + exact cosine verify >= 0.3."""
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dups(emb, threshold=0.3)
 
 
 def q_ann_embedding_norms(spark, sf):
@@ -696,6 +755,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_pairwise_label_sim": q_ann_pairwise_label_sim,
         "ann_embedding_norms": q_ann_embedding_norms,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "dedup_embedding": q_dedup_embedding,
+        # multimodal
+        "mm_metadata": q_mm_metadata,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_byte_histogram": q_mm_byte_histogram,
     }
 
 
@@ -1178,6 +1244,102 @@ def oracle_sql() -> dict[str, str]:
                  {_pr(pair_cos, 6)} AS cosine_sim
           FROM e a JOIN e b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim > 0.2
+    """
+
+    # --- hyperplane-LSH / IVF oracles: plane/centroid logic replayed in SQL
+    def _cos(a: str, b: str) -> str:
+        return (f"list_dot_product({a}, {b}) / "
+                f"(sqrt(list_aggregate(list_transform({a}, x -> x * x), 'sum'))"
+                f" * sqrt(list_aggregate(list_transform({b}, x -> x * x), 'sum')))")
+
+    def _sig(v: str) -> str:
+        terms = []
+        for i, plane in enumerate(hyperplanes(8, 64, 1234)):
+            lits = ", ".join(repr(float(c)) for c in plane)
+            terms.append(f"CASE WHEN list_dot_product({v}, [{lits}]) >= 0 "
+                         f"THEN {1 << i} ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    sql["ann_lsh_topk"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        b AS (SELECT vec_id, v, {_sig('v')} AS bucket FROM e),
+        qb AS (SELECT {_sig('qv')} AS qbucket FROM q),
+        cand AS (SELECT vec_id, v FROM b, qb
+                 WHERE bit_count(xor(CAST(bucket AS BIGINT),
+                                     CAST(qbucket AS BIGINT))) <= 1),
+        scored AS (SELECT vec_id, {_pr(_cos('v', 'qv'), 6)} AS cosine_sim
+                   FROM cand, q)
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    sql["ann_ivf_topk"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cents AS (
+          SELECT (row_number() OVER (
+                    ORDER BY (vec_id * 2654435761) % 1000003, vec_id)) - 1
+                   AS cent_id, v AS cv
+          FROM e ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 16),
+        sims AS (SELECT e.vec_id, e.v, c.cent_id,
+                        {_pr(_cos('e.v', 'c.cv'), 9)} AS sim
+                 FROM e CROSS JOIN cents c),
+        asg AS (SELECT vec_id, v, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rn FROM sims)
+                WHERE rn = 1),
+        probe AS (SELECT cent_id FROM (
+                    SELECT c.cent_id, {_pr(_cos('q.qv', 'c.cv'), 9)} AS sim
+                    FROM cents c, q)
+                  ORDER BY sim DESC, cent_id LIMIT 4),
+        scored AS (SELECT a.vec_id, {_pr(_cos('a.v', 'q.qv'), 6)} AS cosine_sim
+                   FROM asg a, q
+                   WHERE a.cent_id IN (SELECT cent_id FROM probe))
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    kind_expr = "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]"
+    sql["mm_metadata"] = f"""
+        WITH m AS (
+          SELECT doc_id AS media_id, {kind_expr} AS kind,
+                 octet_length(encode(text)) AS n_bytes,
+                 length(text) AS n
+          FROM documents)
+        SELECT media_id, kind, n_bytes,
+               (n * 7) % 1920 + 16 AS width,
+               (n * 13) % 1080 + 16 AS height,
+               CASE WHEN kind = 'video' THEN n % 240 + 1 ELSE 0 END AS frames,
+               CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS sample_rate
+        FROM m
+    """
+
+    sql["mm_frame_sample"] = f"""
+        WITH v AS (
+          SELECT doc_id AS media_id,
+                 length(text) % 240 + 1 AS frames
+          FROM documents WHERE {kind_expr} = 'video'),
+        x AS (
+          SELECT media_id, frames, unnest(range(0, frames)) AS frame_idx
+          FROM v)
+        SELECT media_id, frames, frame_idx FROM x WHERE frame_idx % 10 = 0
+    """
+
+    sql["dedup_embedding"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, {_sig('v')} AS bucket FROM e),
+        p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                     {_pr(_cos('a.v', 'b2.v'), 6)} AS cosine_sim
+              FROM b a JOIN b b2
+                ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.3
     """
 
     return sql

@@ -1,0 +1,173 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+The engine treats media as opaque ``binary`` payload columns plus a typed
+metadata struct — the schema/partitioning/UDF-batch shape a 100 TB
+training-data pipeline needs. Real codec work (JPEG decode, audio resample,
+video frame extraction) requires libraries not present in this container,
+so the *decode kernels* are stubbed behind ``NotImplementedError`` (or a
+deterministic fake for tests), while everything Spark-side — schemas,
+Arrow-batched `mapInPandas` signatures, per-kind partitioning, frame
+explosion — is real and tested.
+
+Scale notes:
+  * payloads stay in ``binary`` columns end-to-end; no base64 round-trips,
+    no driver collection. Arrow moves them to Python workers zero-copy.
+  * `frame_index` is pure expressions (explode over `sequence`), so frame
+    sampling never leaves the JVM.
+  * feature extraction (`byte_histogram`) is one vectorized numpy pass per
+    Arrow batch — the pattern a real decoder plugs into.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("kind", StringType(), False),        # image | audio | video
+    StructField("payload", BinaryType(), True),
+    StructField("meta", StructType([
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("frames", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+    ]), True),
+])
+
+KINDS = ["image", "audio", "video"]
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from `documents`: payload is the
+    UTF-8 text bytes (an opaque stand-in for encoded media), kind cycles
+    by id, metadata is arithmetic on the byte length. Pure expressions."""
+    n = F.length(F.col("text"))
+    kind = F.element_at(F.array(*[F.lit(k) for k in KINDS]),
+                        (F.col("doc_id") % 3 + 1).cast("int"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.pmod(n * 7, F.lit(1920)) + 16).cast("int").alias("width"),
+            (F.pmod(n * 13, F.lit(1080)) + 16).cast("int").alias("height"),
+            F.when(kind == "video", (F.pmod(n, F.lit(240)) + 1).cast("int"))
+             .alias("frames"),
+            F.when(kind == "audio", F.lit(16000)).cast("int")
+             .alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Scan-side media stats — payload size + metadata projection; all
+    JVM expressions (the 'does the plumbing prune/push down' check)."""
+    return media.select(
+        "media_id", "kind",
+        F.length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.coalesce(F.col("meta.frames"), F.lit(0)).alias("frames"),
+        F.coalesce(F.col("meta.sample_rate"), F.lit(0)).alias("sample_rate"),
+    )
+
+
+def frame_index(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling *plan*: one output row per kept frame index
+    (every `every_n`-th of `meta.frames`). The actual pixel extraction
+    would join this against `decode_frames`; the index arithmetic itself
+    never leaves the JVM."""
+    v = media.where(F.col("kind") == "video")
+    idx = F.explode(F.sequence(F.lit(0), F.col("meta.frames") - 1))
+    return (v.select("media_id", F.col("meta.frames").alias("frames"),
+                     idx.alias("frame_idx"))
+            .where(F.col("frame_idx") % every_n == 0))
+
+
+def byte_histogram(media: DataFrame, bins: int = 16,
+                   payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched feature extraction: normalized byte histogram per
+    payload — the exact `mapInPandas` shape a real decoder/featurizer
+    (CLIP embed, mel spectrogram) drops into. One vectorized numpy pass
+    per batch; output is a fixed-width array<double> feature column."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("features", ArrayType(DoubleType()), True),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edges = np.linspace(0, 256, bins + 1)
+        for pdf in batches:
+            feats = []
+            for buf in pdf[payload_col]:
+                if buf is None or len(buf) == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                h, _ = np.histogram(arr, bins=edges)
+                feats.append((h / len(arr)).round(9).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "features": feats})
+
+    return media.select("media_id", payload_col).mapInPandas(
+        extract, schema=out_schema)
+
+
+def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode payloads to (decoded_width, decoded_height, mean_intensity).
+
+    Real decoding needs PIL/ffmpeg (absent in this container) — attempting
+    it raises ``NotImplementedError``. With ``fake=True`` a deterministic
+    stand-in (first/last byte arithmetic) exercises the identical Arrow
+    path so schema, batching, and partitioning are all testable."""
+    try:  # pragma: no cover - decoder libs not installed here
+        import PIL.Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not fake and not have_pil:
+        raise NotImplementedError(
+            "media decode requires PIL/ffmpeg which are not installed; "
+            "pass fake=True for the deterministic test stand-in")
+
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("decoded_width", IntegerType(), True),
+        StructField("decoded_height", IntegerType(), True),
+        StructField("mean_intensity", DoubleType(), True),
+    ])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, m = [], [], []
+            for buf, meta in zip(pdf["payload"], pdf["meta"]):
+                if buf is None:
+                    w.append(None); h.append(None); m.append(None)
+                    continue
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                w.append(int(meta["width"]))
+                h.append(int(meta["height"]))
+                m.append(float(arr.mean()) if len(arr) else 0.0)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "decoded_width": pd.array(w, dtype="Int32"),
+                                "decoded_height": pd.array(h, dtype="Int32"),
+                                "mean_intensity": m})
+
+    return media.select("media_id", "payload", "meta").mapInPandas(
+        decode, schema=out_schema)

@@ -18,6 +18,8 @@ Two tiers (SURVEY north star — training-data pipeline ops):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import DataFrame
@@ -57,14 +59,22 @@ def brute_force_topk(embeddings: DataFrame, query_vec: list[float],
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col)).limit(k)
 
 
+def hyperplanes(num_planes: int = 8, dim: int = 64,
+                seed: int = 1234) -> np.ndarray:
+    """The fixed hyperplane coefficient matrix (rounded to 6 dp so the
+    literals are short and engine-portable). Shared by the Spark signature
+    expression and the SQL-oracle generator."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((num_planes, dim)).round(6)
+
+
 def hyperplane_signature(vec_col, num_planes: int = 8, dim: int = 64,
                          seed: int = 1234):
     """Deterministic random-hyperplane LSH signature (int bucket id).
 
     Plane coefficients are derived from a seeded numpy RNG and inlined as
     literals — identical across engines and runs."""
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((num_planes, dim)).round(6)
+    planes = hyperplanes(num_planes, dim, seed)
     vec_d = F.transform(vec_col if not isinstance(vec_col, str)
                         else F.col(vec_col), lambda x: x.cast("double"))
     sig = F.lit(0)
@@ -86,8 +96,7 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     dim = len(query_vec)
     bucketed = embeddings.withColumn(
         "bucket", hyperplane_signature(vec_col, num_planes, dim, seed))
-    rng = np.random.RandomState(seed)
-    planes = rng.standard_normal((num_planes, dim)).round(6)
+    planes = hyperplanes(num_planes, dim, seed)
     qsig = 0
     for p_i, plane in enumerate(planes):
         if float(np.dot(query_vec, plane)) >= 0:
@@ -121,35 +130,45 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         .where(F.col("cosine_sim") >= threshold))
 
 
+def ivf_centroid_rows(embeddings: DataFrame, num_centroids: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic centroid pick: order ids by a portable multiplicative
+    hash `(id * 2654435761) % 1000003` and take the first `num_centroids`.
+    Pure arithmetic -> reproducible in any engine (and in the SQL oracle)."""
+    h = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(1000003))
+    rows = (embeddings.withColumn("_h", h)
+            .orderBy("_h", id_col).limit(num_centroids)
+            .select(id_col, vec_col).collect())
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
 def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             num_centroids: int = 16, probes: int = 4,
-             seed: int = 99) -> DataFrame:
-    """IVF: centroids = deterministic sample of the dataset itself (ids
-    hashed with the seed), vectors assigned to nearest centroid once
-    (pre-materializable), query probes its `probes` nearest lists."""
-    cents = (embeddings
-             .withColumn("_h", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
-                                      F.lit(1_000_000)))
-             .orderBy("_h").limit(num_centroids)
-             .select(F.monotonically_increasing_id().alias("cent_id"),
-                     F.col(vec_col).alias("cent_vec")))
-    cent_rows = cents.collect()  # tiny: num_centroids rows
-    # assign: argmax cosine over broadcast centroid literals
+             num_centroids: int = 16, probes: int = 4) -> DataFrame:
+    """IVF: coarse inverted lists — vectors assigned to their nearest of C
+    deterministic centroids (assignment is pre-materializable / a partition
+    column at scale), query probes only its `probes` nearest lists.
+
+    Similarities are portable-rounded to 9 dp before every comparison so
+    the argmax assignment and the probe choice are engine-independent."""
+    cents = ivf_centroid_rows(embeddings, num_centroids, id_col, vec_col)
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    best_id, best_sim = F.lit(-1), F.lit(-2.0)
-    for r in cent_rows:
-        cv = F.array(*[F.lit(float(x)) for x in r["cent_vec"]])
-        sim = cosine(vec_d, cv)
-        cond = sim > best_sim
-        best_id = F.when(cond, F.lit(r["cent_id"])).otherwise(best_id)
-        best_sim = F.when(cond, sim).otherwise(best_sim)
-    assigned = embeddings.withColumn("cent_id", best_id)
+    # argmax via array_max over (sim, -cent_id) structs: linear-size
+    # expression (an iterative when() fold doubles in size per centroid).
+    sims = F.array(*[
+        F.struct(
+            portable_round(cosine(vec_d, F.array(
+                *[F.lit(float(x)) for x in cv_list])), 9).alias("sim"),
+            F.lit(-cent_id).alias("neg_id"))
+        for cent_id, cv_list in cents])
+    assigned = embeddings.withColumn(
+        "cent_id", (-F.array_max(sims)["neg_id"]).cast("int"))
+    qn = float(np.linalg.norm(query_vec))
     qsims = sorted(
-        ((r["cent_id"], float(np.dot(query_vec, np.array(r["cent_vec"], float))
-                              / (np.linalg.norm(query_vec)
-                                 * np.linalg.norm(r["cent_vec"]) + 1e-12)))
-         for r in cent_rows), key=lambda t: -t[1])
+        ((cid, math.floor(float(np.dot(query_vec, np.asarray(cv, float)))
+                          / (qn * float(np.linalg.norm(cv))) * 1e9 + 0.5) / 1e9)
+         for cid, cv in cents), key=lambda t: (-t[1], t[0]))
     probe_ids = [c for c, _ in qsims[:probes]]
     return brute_force_topk(assigned.where(F.col("cent_id").isin(probe_ids)),
                             query_vec, k, id_col, vec_col)
