@@ -1,0 +1,8 @@
+from lswms_forage_etl_spark.plans.pipeline import (
+    Pipeline,
+    Stage,
+    StageResult,
+    forage_pipeline,
+)
+
+__all__ = ["Pipeline", "Stage", "StageResult", "forage_pipeline"]

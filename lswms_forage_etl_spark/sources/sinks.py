@@ -1,0 +1,158 @@
+"""Sinks (SURVEY §2.1 S7/S11/S12/S14/S15/S17).
+
+The engine-native sink is date/zone-partitioned parquet; the legacy
+single-file CSV, manifest, REST-POST, and GeoTIFF shapes are thin
+compatibility layers on top of it.
+
+Scale notes:
+  * `write_partitioned` is THE storage contract — everything else derives.
+  * the REST sink batches per partition (`foreachPartition`-equivalent via
+    `toLocalIterator` when small, mapPartitions when large) with an
+    injectable transport so tests never open sockets.
+  * `geotiff_export` groups by date and materializes each date's dense
+    grid in one Arrow batch — the per-date file write the reference does
+    (rasterize.py:79-91), parallel over dates. Actual TIFF encoding needs
+    rasterio (absent here) and is stubbed; the header+raw-grid `.bin`
+    artifact it writes instead carries identical information.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark import schemas
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: tuple[str, ...] = ("date",),
+                      mode: str = "overwrite") -> None:
+    """S11/S12 — engine-native sink: parquet partitioned by date (rasters)
+    or zone_id (series). `mode='append'` reproduces the HDF5 append path's
+    *intended* semantics (BiomassAggregate.py:359-365) — keyed append, not
+    positional resize (SURVEY §7 risks)."""
+    (df.write.mode(mode).partitionBy(*partition_cols).parquet(path))
+
+
+def write_legacy_csv(df: DataFrame, path: str) -> None:
+    """S7 — the reference's single-file CSV hand-off shape
+    (data_extraction_v2.py:519-531). coalesce(1) is deliberate and
+    documented: legacy-compat only, never the scale path."""
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_manifest(df: DataFrame, path: str,
+                   filename_col: str = "filename") -> int:
+    """S17 — new-artifact manifest (rasterize.py:67-77): one name per
+    line. Returns the count so callers can short-circuit (F7 empty-guard,
+    import_biomass.py:44-45)."""
+    names = [r[0] for r in df.select(filename_col).collect()]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write("\n".join(names) + ("\n" if names else ""))
+    return len(names)
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """S17 scan side (import_biomass.py:39-42)."""
+    if not os.path.exists(path) or os.path.getsize(path) == 0:
+        return spark.createDataFrame([], "filename string")
+    return (spark.read.text(path)
+            .where(F.length(F.trim("value")) > 0)
+            .select(F.trim("value").alias("filename")))
+
+
+def rest_post_sink(df: DataFrame, url: str, token: str,
+                   transport: Callable[[str, dict, list[dict]], int],
+                   batch_size: int = 500,
+                   round_cols: dict[str, int] | None = None) -> int:
+    """S14/S15 — REST bulk-POST sink (BiomassAggregate.py:367-395,
+    BiomassForecast.py:104-144).
+
+    Rows are serialized with `to_json` (NULL -> JSON null reproduces the
+    reference's NaN->None, :375-376), batched, and handed to `transport`
+    (url, headers, batch) -> status. Transport is injectable so tests (and
+    air-gapped runs) never open sockets; the default production transport
+    would be a urllib POST. Executed per partition — each executor posts
+    its own slice; no driver collect of the payload."""
+    out = df
+    for c, nd in (round_cols or {}).items():
+        out = out.withColumn(c, F.round(F.col(c), nd))
+    json_rows = out.select(F.to_json(F.struct(*out.columns)).alias("j"))
+    headers = {"Authorization": f"Bearer {token}",
+               "Content-Type": "application/json"}
+
+    def post_partition(it: Iterator) -> Iterator[tuple[int, int]]:
+        batch, sent, n = [], 0, 0
+        for row in it:
+            batch.append(json.loads(row["j"]))
+            if len(batch) >= batch_size:
+                transport(url, headers, batch)
+                sent += 1
+                n += len(batch)
+                batch = []
+        if batch:
+            transport(url, headers, batch)
+            sent += 1
+            n += len(batch)
+        yield (sent, n)
+
+    stats = json_rows.rdd.mapPartitions(post_partition).collect()
+    return sum(n for _, n in stats)
+
+
+def geotiff_export(cells: DataFrame, out_dir: str,
+                   fake: bool = False) -> DataFrame:
+    """S11 — per-date raster file export (rasterize.py:79-91).
+
+    Groups the long-format cell table by date; each group materializes the
+    dense 300x260 float32 grid (nodata-filled) and writes
+    `biomass_YYYYMMDD.*`. Real GeoTIFF encoding requires rasterio (absent
+    in this container) -> NotImplementedError; with `fake=True` writes the
+    raw float32 grid + a JSON sidecar with the affine/CRS/nodata header —
+    the identical distributed write path minus the TIFF container.
+
+    Returns the written-file manifest as a DataFrame(filename, n_valid)."""
+    try:  # pragma: no cover
+        import rasterio  # noqa: F401
+        have_rasterio = True
+    except ImportError:
+        have_rasterio = False
+    if not fake and not have_rasterio:
+        raise NotImplementedError(
+            "GeoTIFF encoding requires rasterio; pass fake=True to write "
+            "raw-grid .bin + .json header artifacts instead")
+
+    os.makedirs(out_dir, exist_ok=True)
+    nrows, ncols = schemas.GRID_N_ROWS, schemas.GRID_N_COLS
+    nodata = schemas.RASTER_NODATA
+
+    def write_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        date = key[0]
+        grid = np.full((nrows, ncols), nodata, dtype=np.float32)
+        r = pdf["row"].to_numpy(int)
+        c = pdf["col"].to_numpy(int)
+        v = pdf["value"].to_numpy(float)
+        ok = ~np.isnan(v)
+        grid[r[ok], c[ok]] = v[ok]
+        name = f"biomass_{date.strftime('%Y%m%d')}"
+        grid.tofile(os.path.join(out_dir, name + ".bin"))
+        with open(os.path.join(out_dir, name + ".json"), "w") as fh:
+            json.dump({"transform": [schemas.GRID_ORIGIN_LON,
+                                     schemas.GRID_ORIGIN_LAT,
+                                     schemas.GRID_CELL_DEG],
+                       "crs": "EPSG:4326", "nodata": nodata,
+                       "shape": [nrows, ncols]}, fh)
+        return pd.DataFrame({"filename": [name + ".bin"],
+                             "n_valid": [int(ok.sum())]})
+
+    return (cells.groupBy("date")
+            .applyInPandas(write_one,
+                           schema="filename string, n_valid long"))

@@ -1,0 +1,11 @@
+from lswms_forage_etl_spark.streaming.incremental import (
+    complete_periods_only,
+    incremental_composite_run,
+    resume_start_date,
+    stream_windowed_counts,
+)
+
+__all__ = [
+    "resume_start_date", "complete_periods_only",
+    "incremental_composite_run", "stream_windowed_counts",
+]
