@@ -50,7 +50,10 @@ from lswms_forage_etl_spark.operators.multimodal import (
     media_stats,
     synth_media,
 )
-from lswms_forage_etl_spark.operators.periods import composite_periods
+from lswms_forage_etl_spark.operators.periods import (
+    assign_period,
+    composite_periods,
+)
 from lswms_forage_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -365,8 +368,7 @@ def q_agg_temporal_mean_composite(spark, sf):
         "period_id INT, start DATE, end DATE")
     e = ev.select(F.pmod(F.col("user_id"), F.lit(100)).alias("cell"),
                   F.col("ts").cast("date").alias("d"), "value")
-    j = e.join(F.broadcast(pdf),
-               (F.col("d") >= F.col("start")) & (F.col("d") <= F.col("end")))
+    j = assign_period(e, pdf, date_col="d")
     return (j.groupBy("cell", F.col("end").alias("date"))
             .agg(scaled_mean(F.col("value"), 6, 4).alias("value_mean"),
                  F.count(F.lit(1)).alias("n_obs")))
@@ -383,8 +385,7 @@ def q_agg_temporal_sum_composite(spark, sf):
     v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
     e = ev.select(F.pmod(F.col("user_id"), F.lit(100)).alias("cell"),
                   F.col("ts").cast("date").alias("d"), v.alias("v"))
-    j = e.join(F.broadcast(pdf),
-               (F.col("d") >= F.col("start")) & (F.col("d") <= F.col("end")))
+    j = assign_period(e, pdf, date_col="d")
     return (j.groupBy("cell", F.col("end").alias("date"))
             .agg((F.sum(F.floor(F.col("v") * 10000 + 0.5).cast("long")) / 10000.0)
                  .alias("value_sum")))

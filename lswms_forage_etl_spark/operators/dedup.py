@@ -59,7 +59,21 @@ def shingle_table(docs: DataFrame, text_col: str = "text",
     one of the k hash branches and both sides of the candidate join —
     turning an O(k·shingles) pipeline into an O(k·shingles·copies) one
     (observed 123 s -> ~2 s at sf0.1)."""
-    return docs.select(F.col(id_col), word_shingles(text_col, k).alias("sh"))
+    return _spread(docs).select(
+        F.col(id_col), word_shingles(text_col, k).alias("sh"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure expression-heavy per-row stages use every core: a small
+    parquet source arrives as 1-2 splits, which would serialize the k·md5
+    shingle/signature work on one thread. The shuffle moves only the raw
+    text (tiny next to the compute); on a real multi-split 100 TB source
+    `spark.sql.files.maxPartitionBytes` already yields enough tasks and
+    this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
@@ -80,7 +94,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
     sig = F.array(*[F.array_min(F.transform(sh, _hasher(i)))
                     for i in range(num_hashes)])
-    return docs.select(F.col(id_col), sig.alias("minhash"))
+    return _spread(docs).select(F.col(id_col), sig.alias("minhash"))
 
 
 def _hasher(i: int):
@@ -171,7 +185,7 @@ def simhash(docs: DataFrame, text_col: str = "text",
     sig = bit_exprs[0]
     for e in bit_exprs[1:]:
         sig = sig.bitwiseOR(e)
-    return docs.select(F.col(id_col), sig.alias("simhash"))
+    return _spread(docs).select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",

@@ -56,15 +56,34 @@ def periods_df(spark: SparkSession, series_start: dt.date, current_date: dt.date
 
 
 def assign_period(df: DataFrame, periods: DataFrame,
-                  date_col: str = "date") -> DataFrame:
-    """Tag each row with its composite period via a broadcast range join.
+                  date_col: str = "date",
+                  length_days: int = 16) -> DataFrame:
+    """Tag each row with its composite period.
+
+    Implemented as a broadcast **hash** join on a coarse block key —
+    `floor(days_since_epoch / length_days)` — with the tiny period table
+    expanded to one row per overlapped block (each period spans <= 2
+    blocks), plus a residual between-filter. A plain range join would be a
+    BroadcastNestedLoopJoin: O(periods) struct comparisons per fact row
+    and no codegen hash probe; the block trick keeps the fact side
+    streaming through whole-stage codegen with one O(1) probe per row.
 
     Rows outside every period (e.g. after the last complete window) are
     dropped — matching the reference's only-complete-windows contract.
     """
-    p = F.broadcast(periods)
-    return df.join(
-        p,
-        (F.col(date_col) >= p["start"]) & (F.col(date_col) <= p["end"]),
-        "inner",
-    )
+    epoch = dt.date(1970, 1, 1)
+    expanded = []
+    for r in periods.collect():          # tiny: O(days/16) rows
+        b0 = (r["start"] - epoch).days // length_days
+        b1 = (r["end"] - epoch).days // length_days
+        for b in range(b0, b1 + 1):
+            expanded.append((b, r["period_id"], r["start"], r["end"]))
+    exp_df = df.sparkSession.createDataFrame(
+        expanded, "_block long, period_id int, start date, end date")
+    block = F.floor(F.datediff(F.col(date_col), F.lit(epoch))
+                    / length_days).cast("long")
+    return (df.withColumn("_b", block)
+            .join(F.broadcast(exp_df), F.col("_b") == F.col("_block"))
+            .where((F.col(date_col) >= F.col("start"))
+                   & (F.col(date_col) <= F.col("end")))
+            .drop("_b", "_block"))
