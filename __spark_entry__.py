@@ -548,6 +548,36 @@ def q_text_lang_id(spark, sf):
     return d.select("doc_id", "lang", T.lang_id("text").alias("lang_pred"))
 
 
+def q_text_tokens(spark, sf):
+    """BPE-ish piece count (portable match-all regex) + per-language
+    stopword ratio over distinct tokens."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.bpe_ish_token_count("text").alias("n_pieces"),
+        pround(T.stopword_ratio("text", "en"), 6).alias("stop_ratio_en"))
+
+
+def q_window_lag_pivot(spark, sf):
+    """W3 — the hindcast lag-matrix shape: tall (key, date, horizon, value)
+    rows pivoted to lag_{0,16,32,48}_day columns keyed on (key, date)
+    (BiomassHindcasts.py:91-94 without the positional writes)."""
+    o = _t(spark, sf, "orders")
+    tall = (o.select(F.pmod(F.col("o_custkey"), F.lit(50)).alias("zone"),
+                     F.col("o_orderdate").cast("date").alias("date"),
+                     (F.pmod(F.col("o_orderkey"), F.lit(4)) * 16)
+                     .cast("int").alias("horizon"),
+                     F.col("o_totalprice"))
+            .groupBy("zone", "date", "horizon")
+            .agg(F.round(F.min("o_totalprice"), 2).alias("v")))
+    return (tall.groupBy("zone", "date")
+            .pivot("horizon", [0, 16, 32, 48])
+            .agg(F.first("v"))
+            .select("zone", "date",
+                    *[F.col(str(h)).alias(f"lag_{h}_day")
+                      for h in (0, 16, 32, 48)]))
+
+
 def q_text_fingerprint(spark, sf):
     """Document fingerprint: md5 over normalized text (exact-dedup key)."""
     d = _t(spark, sf, "documents")
@@ -746,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_tokens": q_text_tokens,
+        "window_lag_pivot": q_window_lag_pivot,
         # dedup
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -1122,6 +1154,35 @@ def oracle_sql() -> dict[str, str]:
                     WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
                     ELSE 'de' END AS lang_pred
         FROM h
+    """
+
+    sql["text_tokens"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_distinct(list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> ''), x -> lower(x))) AS toks
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_pieces,
+               {_pr("CAST(len(list_intersect(toks, " + _STOPWORD_SQL['en']
+                    + ")) AS DOUBLE) / greatest(len(toks), 1)", 6)}
+                 AS stop_ratio_en
+        FROM t
+    """
+
+    lag_cols = ", ".join(
+        f"min(CASE WHEN horizon = {h} THEN v END) AS lag_{h}_day"
+        for h in (0, 16, 32, 48))
+    sql["window_lag_pivot"] = f"""
+        WITH tall AS (
+          SELECT o_custkey % 50 AS zone, CAST(o_orderdate AS DATE) AS date,
+                 CAST((o_orderkey % 4) * 16 AS INT) AS horizon,
+                 round(min(o_totalprice), 2) AS v
+          FROM orders GROUP BY 1, 2, 3)
+        SELECT zone, date, {lag_cols}
+        FROM tall GROUP BY zone, date
     """
 
     sql["text_fingerprint"] = """

@@ -32,12 +32,15 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """BPE-ish proxy: count word pieces + digits + punctuation runs via a
-    tokenizer regex — a cheap, deterministic stand-in for a real BPE count."""
-    return F.size(F.filter(
-        F.split(_c(col), r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-        lambda t: (t != "") & (t != " ")))
+    """BPE-ish proxy: alnum runs + individual punctuation marks, counted
+    with one match-all regex — a cheap, deterministic stand-in for a real
+    BPE count. The pattern avoids lookarounds so any RE2-class engine
+    (including the DuckDB oracle) computes the identical count."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0))
 
 
 def punct_ratio(col: Column | str) -> Column:
