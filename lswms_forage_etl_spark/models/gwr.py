@@ -46,17 +46,31 @@ def _weights(d: np.ndarray, bw_k: int) -> np.ndarray:
 def _wls_predict(coords_cal: np.ndarray, x_cal: np.ndarray, y_cal: np.ndarray,
                  coords_pred: np.ndarray, x_pred: np.ndarray,
                  bw_k: int) -> np.ndarray:
-    """Vectorized per-point weighted least squares (gaussian GWR)."""
-    out = np.empty(len(coords_pred))
-    xt = np.hstack([np.ones((len(x_cal), 1)), x_cal])       # intercept
-    xp = np.hstack([np.ones((len(x_pred), 1)), x_pred])
-    for i in range(len(coords_pred)):
-        d = np.hypot(coords_cal[:, 0] - coords_pred[i, 0],
-                     coords_cal[:, 1] - coords_pred[i, 1])
-        w = _weights(d, bw_k)
-        xw = xt * w[:, None]
-        beta, *_ = np.linalg.lstsq(xw.T @ xt, xw.T @ y_cal, rcond=None)
-        out[i] = xp[i] @ beta
+    """Batched weighted least squares (gaussian GWR): prediction points are
+    processed in chunks with einsum-batched normal equations — no Python
+    loop per point. Chunk size bounds the (chunk x n_cal x p) workspace to
+    ~tens of MB regardless of calibration size."""
+    n, p1 = len(coords_cal), x_cal.shape[1] + 1
+    m = len(coords_pred)
+    xt = np.hstack([np.ones((n, 1)), x_cal])                # intercept
+    xp = np.hstack([np.ones((m, 1)), x_pred])
+    out = np.empty(m)
+    chunk = max(8, int(2_000_000 / max(n, 1)))
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        cp = coords_pred[lo:hi]
+        d = np.hypot(coords_cal[None, :, 0] - cp[:, 0, None],
+                     coords_cal[None, :, 1] - cp[:, 1, None])   # (c, n)
+        w = _weights(d, bw_k)                                   # (c, n)
+        xw = xt[None, :, :] * w[:, :, None]                     # (c, n, p)
+        a = np.einsum("cnp,nq->cpq", xw, xt)                    # (c, p, p)
+        b = np.einsum("cnp,n->cp", xw, y_cal)                   # (c, p)
+        try:
+            beta = np.linalg.solve(a, b[..., None])[..., 0]
+        except np.linalg.LinAlgError:                            # rare: fall
+            beta = np.stack([np.linalg.lstsq(a[i], b[i], rcond=None)[0]
+                             for i in range(len(a))])            # back per row
+        out[lo:hi] = np.einsum("cp,cp->c", xp[lo:hi], beta)
     return out
 
 
