@@ -54,6 +54,7 @@ from lswms_forage_etl_spark.operators.periods import (
     assign_period,
     composite_periods,
 )
+from lswms_forage_etl_spark.operators.sessions import sessionize
 from lswms_forage_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -508,6 +509,61 @@ def q_window_neighborhood_mean(spark, sf):
             .join(cells.select("row", "col"), ["row", "col"], "left_semi"))
 
 
+def q_window_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity splits) + per-session
+    rollup — one shuffle on user_id, two window passes."""
+    ev = _events(spark, sf)
+    s = sessionize(ev, gap_minutes=30, order_cols=("event_id",))
+    return (s.groupBy("user_id", "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 (F.sum(F.floor(F.col("value") * 10000 + 0.5).cast("long"))
+                  / 10000.0).alias("value_sum")))
+
+
+def q_join_range_bucketed(spark, sf):
+    """Generic non-uniform range join at scale: lineitem prices binned into
+    irregular bands via a broadcast HASH join on a coarse block key (bands
+    expanded to overlapped blocks driver-side) + residual between-filter —
+    the same pattern assign_period uses, applied to a numeric interval
+    dimension. No BroadcastNestedLoopJoin."""
+    li = _t(spark, sf, "lineitem")
+    bands = [(0, "low", 0.0, 20000.0), (1, "mid", 20000.0, 45000.0),
+             (2, "high", 45000.0, 80000.0), (3, "lux", 80000.0, 1e9)]
+    block_w = 10000.0
+    expanded = []
+    for bid, name, lo, hi in bands:
+        b0, b1 = int(lo // block_w), int(min(hi, 120000.0) // block_w)
+        for b in range(b0, b1 + 1):
+            expanded.append((b, bid, name, lo, hi))
+    exp_df = spark.createDataFrame(
+        expanded, "blk long, band_id int, band string, lo double, hi double")
+    j = (li.withColumn("blk", F.floor(F.col("l_extendedprice") / block_w)
+                       .cast("long"))
+         .join(F.broadcast(exp_df), "blk")
+         .where((F.col("l_extendedprice") >= F.col("lo"))
+                & (F.col("l_extendedprice") < F.col("hi"))))
+    return (j.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum((F.col("l_quantity") * 100).cast("long")) / 100.0)
+                 .alias("qty_sum")))
+
+
+def q_agg_cube(spark, sf):
+    """CUBE grouping sets over (returnflag, tax-class) with exact scaled
+    sums — §2.5's 'Spark provides natively' surface."""
+    li = _t(spark, sf, "lineitem")
+    cls = F.when(F.col("l_tax") == 0, "notax").otherwise("taxed")
+    return (li.withColumn("ship_class", cls)
+            .cube("l_returnflag", "ship_class")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum((F.col("l_quantity") * 100).cast("long")) / 100.0)
+                 .alias("qty_sum"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("ship_class", F.lit("ALL")).alias("sc"),
+                    "n", "qty_sum"))
+
+
 # --- set ops / top-k (U1, §2.8) ----------------------------------------------
 
 def q_set_union_except(spark, sf):
@@ -769,6 +825,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_expanding_mean": q_window_expanding_mean,
         "window_days_since_start": q_window_days_since_start,
         "window_neighborhood_mean": q_window_neighborhood_mean,
+        "window_sessionize": q_window_sessionize,
+        "join_range_bucketed": q_join_range_bucketed,
+        "agg_cube": q_agg_cube,
         # set ops / top-k
         "set_union_except": q_set_union_except,
         "topk_global": q_topk_global,
@@ -1099,6 +1158,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.row, a.col, nbr_mean, nbr_n
         FROM agg a WHERE EXISTS (SELECT 1 FROM cells c
                                  WHERE c.row = a.row AND c.col = a.col)
+    """
+
+    sql["window_sessionize"] = """
+        WITH s AS (
+          SELECT user_id, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                      THEN 1 ELSE 0 END AS ns,
+                 ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s2 AS (
+          SELECT user_id, event_id, value,
+                 CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+          FROM s)
+        SELECT user_id, session_idx, count(*) AS n_events,
+               min(event_id) AS first_event,
+               sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) / 10000.0
+                 AS value_sum
+        FROM s2 GROUP BY 1, 2
+    """
+
+    sql["join_range_bucketed"] = """
+        WITH bands(band, lo, hi) AS (VALUES
+          ('low', 0.0, 20000.0), ('mid', 20000.0, 45000.0),
+          ('high', 45000.0, 80000.0), ('lux', 80000.0, 1e9))
+        SELECT band, count(*) AS n,
+               sum(CAST(l_quantity * 100 AS BIGINT)) / 100.0 AS qty_sum
+        FROM lineitem JOIN bands
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band
+    """
+
+    sql["agg_cube"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(ship_class, 'ALL') AS sc,
+               count(*) AS n,
+               sum(CAST(l_quantity * 100 AS BIGINT)) / 100.0 AS qty_sum
+        FROM (SELECT l_returnflag,
+                     CASE WHEN l_tax = 0 THEN 'notax' ELSE 'taxed' END
+                       AS ship_class,
+                     l_quantity
+              FROM lineitem)
+        GROUP BY CUBE (l_returnflag, ship_class)
     """
 
     sql["set_union_except"] = """
