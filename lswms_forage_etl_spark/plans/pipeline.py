@@ -137,12 +137,17 @@ def forage_pipeline(series_start: dt.date, current_date: dt.date,
             [per_var["ndvi"], per_var["sm"], per_var["preci"]])
         combined = conditional_zero_jitter(
             combined, "preci", ["lon", "lat", "date"])
-        return {"combined": combined}
+        # stage hand-off tables are materialization points (the reference
+        # writes each to CSV/HDF5, §1.4): persist so downstream stages —
+        # and multiple consumers of ctx — never recompute the upstream
+        # (GWR scoring in particular must run once, not per consumer).
+        # At real scale these become parquet/Delta stage tables.
+        return {"combined": combined.persist()}
 
     def st_gwr(spark, ctx):
         scored = gwr_fit_score(ctx["combined"], bandwidth=gwr_bandwidth)
         return {"results": scored.withColumn(
-            "biom", biomass_calibration("pred"))}
+            "biom", biomass_calibration("pred")).persist()}
 
     def st_rasterize(spark, ctx):
         cells = rasterize_points(ctx["results"], spark, dense=False)
@@ -153,7 +158,7 @@ def forage_pipeline(series_start: dt.date, current_date: dt.date,
             "value", F.when(F.col("value") <= -1000.0, None)
             .otherwise(F.col("value")))
         return {"zone_series": zone_series(
-            cells, ctx["coverage"], ctx.get("centroids"))}
+            cells, ctx["coverage"], ctx.get("centroids")).persist()}
 
     def st_hindcast(spark, ctx):
         tall = hindcast_tall(ctx["zone_series"])

