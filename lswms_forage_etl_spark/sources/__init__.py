@@ -1,3 +1,12 @@
+from lswms_forage_etl_spark.sources.geometry import (
+    zone_coverage_from_wkt,
+    zone_coverage_tables,
+)
+from lswms_forage_etl_spark.sources.ingest import (
+    Notifier,
+    daily_fetch_plan,
+    run_fetches,
+)
 from lswms_forage_etl_spark.sources.readers import (
     read_csv_strict,
     read_points_csv,
@@ -17,4 +26,6 @@ __all__ = [
     "read_csv_strict", "read_points_csv", "read_raster_cells",
     "scan_raster_filenames", "write_partitioned", "write_legacy_csv",
     "write_manifest", "read_manifest", "rest_post_sink", "geotiff_export",
+    "zone_coverage_from_wkt", "zone_coverage_tables",
+    "daily_fetch_plan", "run_fetches", "Notifier",
 ]
