@@ -364,12 +364,9 @@ def q_agg_temporal_mean_composite(spark, sf):
     join — year-reset walk generated driver-side)."""
     ev = _events(spark, sf)
     periods = composite_periods(dt.date(2024, 1, 3), dt.date(2024, 12, 31))
-    pdf = spark.createDataFrame(
-        [(p, s, e) for p, s, e in periods],
-        "period_id INT, start DATE, end DATE")
     e = ev.select(F.pmod(F.col("user_id"), F.lit(100)).alias("cell"),
                   F.col("ts").cast("date").alias("d"), "value")
-    j = assign_period(e, pdf, date_col="d")
+    j = assign_period(e, periods, date_col="d")
     return (j.groupBy("cell", F.col("end").alias("date"))
             .agg(scaled_mean(F.col("value"), 6, 4).alias("value_mean"),
                  F.count(F.lit(1)).alias("n_obs")))
@@ -380,13 +377,10 @@ def q_agg_temporal_sum_composite(spark, sf):
     sum via scaled-bigint for exactness."""
     ev = _events(spark, sf)
     periods = composite_periods(dt.date(2024, 1, 3), dt.date(2024, 12, 31))
-    pdf = spark.createDataFrame(
-        [(p, s, e) for p, s, e in periods],
-        "period_id INT, start DATE, end DATE")
     v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
     e = ev.select(F.pmod(F.col("user_id"), F.lit(100)).alias("cell"),
                   F.col("ts").cast("date").alias("d"), v.alias("v"))
-    j = assign_period(e, pdf, date_col="d")
+    j = assign_period(e, periods, date_col="d")
     return (j.groupBy("cell", F.col("end").alias("date"))
             .agg((F.sum(F.floor(F.col("v") * 10000 + 0.5).cast("long")) / 10000.0)
                  .alias("value_sum")))

@@ -55,7 +55,8 @@ def periods_df(spark: SparkSession, series_start: dt.date, current_date: dt.date
     return spark.createDataFrame(rows, PERIODS)
 
 
-def assign_period(df: DataFrame, periods: DataFrame,
+def assign_period(df: DataFrame,
+                  periods: DataFrame | list[tuple[int, dt.date, dt.date]],
                   date_col: str = "date",
                   length_days: int = 16) -> DataFrame:
     """Tag each row with its composite period.
@@ -72,12 +73,17 @@ def assign_period(df: DataFrame, periods: DataFrame,
     dropped — matching the reference's only-complete-windows contract.
     """
     epoch = dt.date(1970, 1, 1)
+    if isinstance(periods, DataFrame):
+        rows = [(r["period_id"], r["start"], r["end"])
+                for r in periods.collect()]  # tiny: O(days/16) rows
+    else:
+        rows = list(periods)
     expanded = []
-    for r in periods.collect():          # tiny: O(days/16) rows
-        b0 = (r["start"] - epoch).days // length_days
-        b1 = (r["end"] - epoch).days // length_days
+    for pid, start, end in rows:
+        b0 = (start - epoch).days // length_days
+        b1 = (end - epoch).days // length_days
         for b in range(b0, b1 + 1):
-            expanded.append((b, r["period_id"], r["start"], r["end"]))
+            expanded.append((b, pid, start, end))
     exp_df = df.sparkSession.createDataFrame(
         expanded, "_block long, period_id int, start date, end date")
     block = F.floor(F.datediff(F.col(date_col), F.lit(epoch))
