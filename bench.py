@@ -28,14 +28,19 @@ HEADLINE = [
     "join_merge_inner",
     "join_zonal_broadcast",
     "join_asof_nearest",
+    "join_range_bucketed",
     "agg_temporal_mean_composite",
     "window_expanding_mean",
     "window_tail_k",
+    "window_sessionize",
     "topk_global",
     "dedup_exact",
     "dedup_lsh_pairs",
+    "dedup_embedding",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "text_stats",
+    "mm_byte_histogram",
 ]
 
 
@@ -44,8 +49,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer reads, not counted
+    # warmup: JVM + parquet footer reads + Python/Arrow worker pool spawn
+    # (one-time process costs, not per-query throughput), not counted
     entrymod.q_agg_distinct_dates(spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long").write.format("noop").mode(
         "overwrite").save()
 
     qs = entrymod.queries()

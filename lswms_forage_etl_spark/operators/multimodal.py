@@ -125,8 +125,13 @@ def byte_histogram(media: DataFrame, bins: int = 16,
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "features": feats})
 
-    return media.select("media_id", payload_col).mapInPandas(
-        extract, schema=out_schema)
+    src = media.select("media_id", payload_col)
+    # spread single-split sources across cores before the Python stage
+    # (no-op on real multi-split inputs) — same rationale as dedup._spread
+    target = media.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(extract, schema=out_schema)
 
 
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:

@@ -153,17 +153,33 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     Similarities are portable-rounded to 9 dp before every comparison so
     the argmax assignment and the probe choice are engine-independent."""
     cents = ivf_centroid_rows(embeddings, num_centroids, id_col, vec_col)
+
+    def _seq_norm(cv: list[float]) -> float:
+        # sequential left-to-right fold — bit-identical to the JVM
+        # aggregate() and the DuckDB list_aggregate over the same values
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        return math.sqrt(acc)
+
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # argmax via array_max over (sim, -cent_id) structs: linear-size
     # expression (an iterative when() fold doubles in size per centroid).
+    # The row's norm is computed ONCE (`_vn`) and each centroid's norm is a
+    # precomputed literal — 16 dot folds per row instead of 48 folds.
     sims = F.array(*[
         F.struct(
-            portable_round(cosine(vec_d, F.array(
-                *[F.lit(float(x)) for x in cv_list])), 9).alias("sim"),
+            portable_round(
+                _dot(F.col("_vd"), F.array(*[F.lit(float(x)) for x in cv]))
+                / (F.col("_vn") * F.lit(_seq_norm(cv))), 9).alias("sim"),
             F.lit(-cent_id).alias("neg_id"))
-        for cent_id, cv_list in cents])
-    assigned = embeddings.withColumn(
-        "cent_id", (-F.array_max(sims)["neg_id"]).cast("int"))
+        for cent_id, cv in cents])
+    assigned = (embeddings
+                .withColumn("_vd", vec_d)
+                .withColumn("_vn", _norm(F.col("_vd")))
+                .withColumn("cent_id",
+                            (-F.array_max(sims)["neg_id"]).cast("int"))
+                .drop("_vd", "_vn"))
     qn = float(np.linalg.norm(query_vec))
     qsims = sorted(
         ((cid, math.floor(float(np.dot(query_vec, np.asarray(cv, float)))
