@@ -690,6 +690,55 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_dups(sigs, max_hamming=10)
 
 
+# --- model operators (M1/M2 — rows-only: iterative numeric fits are not
+# SQL-expressible; SURVEY §5 prescribes shape/determinism checks) ------------
+
+def _zone_series_from_orders(spark, sf, zones=50, tail=24):
+    """Synthetic ZONE_SERIES: per (custkey%zones) take the last `tail`
+    orders by date and treat avg price as 'biomass'."""
+    o = _t(spark, sf, "orders")
+    z = (o.groupBy(F.pmod(F.col("o_custkey"), F.lit(zones)).alias("zk"),
+                   F.col("o_orderdate").cast("date").alias("date"))
+         .agg(F.avg(F.col("o_totalprice") / 100000.0).alias("biomass")))
+    w = Window.partitionBy("zk").orderBy(F.col("date").desc())
+    return (z.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= tail)
+            .select(F.concat(F.lit("Z"), F.col("zk")).alias("zone_id"),
+                    "date", "biomass"))
+
+
+def q_model_gp_forecast(spark, sf):
+    """M2 — per-zone Gaussian-process forecast (applyInPandas): last
+    in-sample point + 16/32/48-day horizons per zone. Deterministic
+    (exact posterior mean, no SVI seed sensitivity)."""
+    from lswms_forage_etl_spark.models.gp import gp_forecast
+    return gp_forecast(_zone_series_from_orders(spark, sf))
+
+
+def q_model_hindcast_lag(spark, sf):
+    """W2/W3 — expanding-window GP refits per zone (applyInPandas) pivoted
+    into the lag matrix."""
+    from lswms_forage_etl_spark.operators.hindcast import (
+        hindcast_tall, lag_matrix)
+    series = _zone_series_from_orders(spark, sf, zones=20, tail=16)
+    return lag_matrix(hindcast_tall(series))
+
+
+def q_model_gwr_score(spark, sf):
+    """M1 — GWR fit-small/score-distributed (mapInPandas): synthetic
+    spatial regression over customer-derived coordinates."""
+    from lswms_forage_etl_spark.models.gwr import gwr_fit_score
+    c = _t(spark, sf, "customer")
+    lon = F.lit(36.0) + F.pmod(F.col("c_custkey") * 7, F.lit(2600)) / 200.0
+    lat = F.lit(0.0) + F.pmod(F.col("c_custkey") * 13, F.lit(3000)) / 200.0
+    sm = F.pmod(F.col("c_custkey") * 31, F.lit(1000)) / 1000.0
+    preci = F.pmod(F.col("c_custkey") * 17, F.lit(1000)) / 1000.0
+    df = c.select("c_custkey", lon.alias("lon"), lat.alias("lat"),
+                  sm.alias("sm"), preci.alias("preci"),
+                  (F.lit(0.3) * sm + F.lit(0.1) * preci).alias("ndvi"))
+    scored = gwr_fit_score(df, bandwidth=60)
+    return scored.select("c_custkey", pround(F.col("pred"), 4).alias("pred"))
+
+
 # --- multimodal --------------------------------------------------------------
 
 def q_mm_metadata(spark, sf):
@@ -848,6 +897,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_metadata": q_mm_metadata,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_byte_histogram": q_mm_byte_histogram,
+        # model operators (rows-only by design)
+        "model_gp_forecast": q_model_gp_forecast,
+        "model_hindcast_lag": q_model_hindcast_lag,
+        "model_gwr_score": q_model_gwr_score,
     }
 
 
