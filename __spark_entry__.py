@@ -55,6 +55,7 @@ from lswms_forage_etl_spark.operators.periods import (
     composite_periods,
 )
 from lswms_forage_etl_spark.operators.sessions import sessionize
+from lswms_forage_etl_spark.operators.skew import salted_agg_count
 from lswms_forage_etl_spark.operators.similarity import (
     brute_force_topk,
     cosine,
@@ -543,6 +544,17 @@ def q_join_range_bucketed(spark, sf):
                  .alias("qty_sum")))
 
 
+def q_agg_salted_count(spark, sf):
+    """Skew-safe two-phase count: lineitem grouped by a deliberately
+    skewed key (suppkey floor-div — few giant groups) via salt -> partial
+    -> final. The oracle is the PLAIN group-by count: the salted plan must
+    be semantically identical."""
+    li = _t(spark, sf, "lineitem")
+    keyed = li.select((F.col("l_suppkey") % 7).alias("skey"),
+                      "l_orderkey", "l_linenumber")
+    return salted_agg_count(keyed, "skey", num_salts=8)
+
+
 def q_agg_cube(spark, sf):
     """CUBE grouping sets over (returnflag, tax-class) with exact scaled
     sums — §2.5's 'Spark provides natively' surface."""
@@ -871,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sessionize": q_window_sessionize,
         "join_range_bucketed": q_join_range_bucketed,
         "agg_cube": q_agg_cube,
+        "agg_salted_count": q_agg_salted_count,
         # set ops / top-k
         "set_union_except": q_set_union_except,
         "topk_global": q_topk_global,
@@ -1237,6 +1250,11 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN bands
           ON l_extendedprice >= lo AND l_extendedprice < hi
         GROUP BY band
+    """
+
+    sql["agg_salted_count"] = """
+        SELECT l_suppkey % 7 AS skey, count(*) AS count
+        FROM lineitem GROUP BY 1
     """
 
     sql["agg_cube"] = """
