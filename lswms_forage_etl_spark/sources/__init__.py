@@ -2,10 +2,18 @@ from lswms_forage_etl_spark.sources.geometry import (
     zone_coverage_from_wkt,
     zone_coverage_tables,
 )
+from lswms_forage_etl_spark.sources.geotiff import (
+    geotiff_to_cells,
+    read_geotiff,
+)
 from lswms_forage_etl_spark.sources.ingest import (
     Notifier,
     daily_fetch_plan,
     run_fetches,
+)
+from lswms_forage_etl_spark.sources.shapefile import (
+    read_shapefile_zones,
+    read_shp_polygons,
 )
 from lswms_forage_etl_spark.sources.readers import (
     read_csv_strict,
@@ -28,4 +36,6 @@ __all__ = [
     "write_manifest", "read_manifest", "rest_post_sink", "geotiff_export",
     "zone_coverage_from_wkt", "zone_coverage_tables",
     "daily_fetch_plan", "run_fetches", "Notifier",
+    "read_geotiff", "geotiff_to_cells",
+    "read_shapefile_zones", "read_shp_polygons",
 ]

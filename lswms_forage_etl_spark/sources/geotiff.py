@@ -1,0 +1,127 @@
+"""S10 — native GeoTIFF scan without GDAL.
+
+Reference (BiomassAggregate.py:128-154): rasterio band-1 read with
+scale/offset and a sentinel-nodata set. This container has no rasterio, so
+the engine ships a minimal reader for the reference's own raster layout —
+single-band, uncompressed, strip-organized float32 — sufficient for every
+`biomass_YYYYMMDD.tif` the reference produces (`rasterize.py:63,90-91`
+writes exactly this shape). Anything fancier (tiles, compression) raises
+cleanly rather than guessing.
+
+The driver-side decode feeds the long-format RASTER_CELLS table; at scale
+the same bytes would be decoded executor-side from a binary-file source
+(`spark.read.format("binaryFile")` + this parser in mapPartitions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import re
+import struct
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lswms_forage_etl_spark import schemas
+from lswms_forage_etl_spark.functions.cleansing import mask_sentinels
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+
+
+def _read_tag_values(data: bytes, endian: str, typ: int, cnt: int,
+                     val_field: bytes):
+    size = _TYPE_SIZE[typ] * cnt
+    if size <= 4:
+        raw = val_field[:size]
+    else:
+        off = struct.unpack(endian + "I", val_field)[0]
+        raw = data[off:off + size]
+    if typ == 3:
+        return struct.unpack(endian + f"{cnt}H", raw)
+    if typ == 4:
+        return struct.unpack(endian + f"{cnt}I", raw)
+    if typ == 12:
+        return struct.unpack(endian + f"{cnt}d", raw)
+    if typ == 2:
+        return (raw.split(b"\x00")[0].decode("ascii", "replace"),)
+    return (raw,)
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float],
+                                     float | None]:
+    """-> (array[rows, cols] float64 with nodata -> NaN,
+           (origin_lon, origin_lat, cell_size), nodata).
+
+    Supports the reference's exact layout: single IFD, one band,
+    uncompressed strips, 32-bit IEEE float samples."""
+    data = open(path, "rb").read()
+    endian = "<" if data[:2] == b"II" else ">"
+    magic, ifd = struct.unpack(endian + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError(f"not a classic TIFF: {path}")
+    n = struct.unpack(endian + "H", data[ifd:ifd + 2])[0]
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        t, typ, cnt = struct.unpack(endian + "HHI",
+                                    data[ifd + 2 + i * 12:ifd + 10 + i * 12])
+        val_field = data[ifd + 10 + i * 12:ifd + 14 + i * 12]
+        tags[t] = _read_tag_values(data, endian, typ, cnt, val_field)
+
+    width, height = tags[256][0], tags[257][0]
+    if tags.get(259, (1,))[0] != 1:
+        raise NotImplementedError("compressed TIFF not supported")
+    if tags.get(258, (32,))[0] != 32 or tags.get(339, (3,))[0] != 3:
+        raise NotImplementedError("only float32 samples supported")
+    rows_per_strip = tags.get(278, (height,))[0]
+    offsets, counts = tags[273], tags[279]
+
+    dt_np = np.dtype(np.float32).newbyteorder(endian)
+    rows = []
+    for k, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per_strip, height - k * rows_per_strip)
+        strip = np.frombuffer(data, dtype=dt_np, count=nrows * width,
+                              offset=off)
+        rows.append(strip.reshape(nrows, width))
+    arr = np.vstack(rows).astype(np.float64)
+
+    # ModelPixelScale (33550) + ModelTiepoint (33922): affine for the
+    # north-up rasters the reference writes (from_origin, rasterize.py:63)
+    sx, sy = tags[33550][0], tags[33550][1]
+    tie = tags[33922]
+    origin_lon = tie[3] - tie[0] * sx
+    origin_lat = tie[4] + tie[1] * sy
+    nodata = None
+    if 42113 in tags:
+        try:
+            nodata = float(tags[42113][0])
+        except (TypeError, ValueError):
+            nodata = None
+    if nodata is not None:
+        arr[arr == nodata] = np.nan
+    return arr, (origin_lon, origin_lat, sx), nodata
+
+
+_DATE_RE = re.compile(r"(\d{8})")
+
+
+def geotiff_to_cells(spark: SparkSession, paths: list[str],
+                     mask_nodata: bool = True) -> DataFrame:
+    """Decode GeoTIFFs into the long-format RASTER_CELLS table (dates from
+    filenames, C13), sentinel set normalized to NULL (F5). Only populated
+    (non-NaN) cells are emitted — the engine-native sparse form."""
+    rows = []
+    for p in paths:
+        m = _DATE_RE.search(os.path.basename(p))
+        if not m:
+            raise ValueError(f"no yyyymmdd date in filename: {p}")
+        date = dt.datetime.strptime(m.group(1), "%Y%m%d").date()
+        arr, _, _ = read_geotiff(p)
+        rr, cc = np.nonzero(~np.isnan(arr))
+        rows.extend((date, int(r), int(c), float(arr[r, c]))
+                    for r, c in zip(rr, cc))
+    df = spark.createDataFrame(rows, schemas.RASTER_CELLS)
+    if mask_nodata:
+        df = df.withColumn("value", mask_sentinels("value"))
+    return df
