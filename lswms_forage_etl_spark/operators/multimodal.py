@@ -141,12 +141,10 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     it raises ``NotImplementedError``. With ``fake=True`` a deterministic
     stand-in (first/last byte arithmetic) exercises the identical Arrow
     path so schema, batching, and partitioning are all testable."""
-    try:  # pragma: no cover - decoder libs not installed here
-        import PIL.Image  # noqa: F401
-        have_pil = True
-    except ImportError:
-        have_pil = False
-    if not fake and not have_pil:
+    if not fake:
+        # a real PIL/ffmpeg decode kernel would replace the loop body
+        # below; the Arrow plumbing (schema, batching, partitioning) is
+        # identical and is what fake=True exercises
         raise NotImplementedError(
             "media decode requires PIL/ffmpeg which are not installed; "
             "pass fake=True for the deterministic test stand-in")

@@ -120,15 +120,14 @@ def geotiff_export(cells: DataFrame, out_dir: str,
     the identical distributed write path minus the TIFF container.
 
     Returns the written-file manifest as a DataFrame(filename, n_valid)."""
-    try:  # pragma: no cover
-        import rasterio  # noqa: F401
-        have_rasterio = True
-    except ImportError:
-        have_rasterio = False
-    if not fake and not have_rasterio:
+    if not fake:
+        # the rasterio-backed TIFF container writer is not implemented in
+        # this container (rasterio absent); the grouping/materialization
+        # path below is identical either way
         raise NotImplementedError(
-            "GeoTIFF encoding requires rasterio; pass fake=True to write "
-            "raw-grid .bin + .json header artifacts instead")
+            "GeoTIFF container encoding requires rasterio (absent); pass "
+            "fake=True to write raw-grid .bin + .json header artifacts "
+            "through the same distributed write path")
 
     os.makedirs(out_dir, exist_ok=True)
     nrows, ncols = schemas.GRID_N_ROWS, schemas.GRID_N_COLS

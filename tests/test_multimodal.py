@@ -84,10 +84,5 @@ def test_decode_media_fake_and_gate(spark):
     # payload of doc 0 is all 'x' (120): mean intensity exactly 120
     assert byid[0]["mean_intensity"] == 120.0
     assert byid[0]["decoded_width"] == (10 * 7) % 1920 + 16
-    try:
-        import PIL  # noqa: F401
-        pytest.skip("PIL installed; gate not applicable")
-    except ImportError:
-        pass
     with pytest.raises(NotImplementedError):
         decode_media(m, fake=False)

@@ -114,12 +114,8 @@ def test_geotiff_export_stub(spark, tmp_path):
     assert grid[5, 5] == schemas.RASTER_NODATA
     hdr = json.load(open(os.path.join(out, "biomass_20240116.json")))
     assert hdr["crs"] == "EPSG:4326" and hdr["nodata"] == -99999.0
-    try:
-        import rasterio  # noqa: F401
-        pytest.skip("rasterio installed")
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            geotiff_export(cells, out, fake=False)
+    with pytest.raises(NotImplementedError):
+        geotiff_export(cells, out, fake=False)
 
 
 def test_scan_filenames_and_resume(spark, tmp_path):
