@@ -504,6 +504,28 @@ def q_window_neighborhood_mean(spark, sf):
             .join(cells.select("row", "col"), ["row", "col"], "left_semi"))
 
 
+def q_window_sliding_mean(spark, sf):
+    """Sliding (hopping) window aggregate: 4-day windows every 2 days over
+    events. Each row explodes into exactly width/hop = 2 window starts —
+    bounded fan-out computed map-side (the streaming twin is
+    `window(ts, '4 days', '2 days')`)."""
+    ev = _events(spark, sf)
+    hop_d, width_hops = 2, 2  # 4-day window, 2-day hop
+    d = F.col("ts").cast("date")
+    hop_idx = F.floor(F.datediff(d, F.lit("2024-01-01")) / hop_d)
+    starts = F.transform(
+        F.sequence(F.lit(0), F.lit(width_hops - 1)),
+        lambda k: F.date_add(F.lit("2024-01-01"),
+                             ((hop_idx - k) * hop_d).cast("int")))
+    e = ev.select(d.alias("d"), "value",
+                  F.explode(starts).alias("window_start"))
+    e = e.where(F.col("d") < F.date_add(F.col("window_start"),
+                                        hop_d * width_hops))
+    return (e.groupBy("window_start")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 scaled_mean(F.col("value"), 6, 4).alias("value_mean")))
+
+
 def q_window_sessionize(spark, sf):
     """Gap-based sessionization (30-min inactivity splits) + per-session
     rollup — one shuffle on user_id, two window passes."""
@@ -881,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_days_since_start": q_window_days_since_start,
         "window_neighborhood_mean": q_window_neighborhood_mean,
         "window_sessionize": q_window_sessionize,
+        "window_sliding_mean": q_window_sliding_mean,
         "join_range_bucketed": q_join_range_bucketed,
         "agg_cube": q_agg_cube,
         "agg_salted_count": q_agg_salted_count,
@@ -1218,6 +1241,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.row, a.col, nbr_mean, nbr_n
         FROM agg a WHERE EXISTS (SELECT 1 FROM cells c
                                  WHERE c.row = a.row AND c.col = a.col)
+    """
+
+    sql["window_sliding_mean"] = f"""
+        WITH e AS (
+          SELECT CAST(ts AS DATE) AS d, value,
+                 CAST(floor(datediff('day', DATE '2024-01-01',
+                                     CAST(ts AS DATE)) / 2) AS BIGINT) AS hi
+          FROM events),
+        x AS (
+          SELECT d, value,
+                 DATE '2024-01-01' + CAST((hi - k) * 2 AS INT) AS window_start
+          FROM e, (SELECT unnest([0, 1]) AS k))
+        SELECT window_start, count(*) AS n,
+               {_sm("value", 6, 4)} AS value_mean
+        FROM x WHERE d < window_start + 4
+        GROUP BY 1
     """
 
     sql["window_sessionize"] = """
