@@ -21,6 +21,10 @@ from lswms_forage_etl_spark.sources.readers import (
     read_raster_cells,
     scan_raster_filenames,
 )
+from lswms_forage_etl_spark.sources.xlsx import (
+    read_points_xlsx,
+    read_xlsx_rows,
+)
 from lswms_forage_etl_spark.sources.sinks import (
     geotiff_export,
     read_manifest,
@@ -38,4 +42,5 @@ __all__ = [
     "daily_fetch_plan", "run_fetches", "Notifier",
     "read_geotiff", "geotiff_to_cells",
     "read_shapefile_zones", "read_shp_polygons",
+    "read_xlsx_rows", "read_points_xlsx",
 ]
