@@ -1,0 +1,103 @@
+"""Edge-case robustness: null/empty text through the text/dedup surface,
+python-reference jaccard property check, append-mode sinks, bandwidth
+search sanity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark import schemas
+from lswms_forage_etl_spark.functions import text as T
+from lswms_forage_etl_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard,
+    shingle_table,
+)
+from lswms_forage_etl_spark.sources import read_raster_cells, write_partitioned
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_text_functions_on_degenerate_inputs(spark):
+    df = _docs(spark, ["", "   ", "x", None, "a b c d e"])
+    out = df.select(
+        "doc_id",
+        T.token_count("text").alias("tc"),
+        T.bpe_ish_token_count("text").alias("bc"),
+        F.round(T.punct_ratio("text"), 4).alias("pr"),
+        T.quality_score("text").alias("q"),
+        T.lang_id("text").alias("lang"),
+        T.fingerprint("text").alias("fp"),
+    ).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert got[0]["tc"] == 0 and got[1]["tc"] == 0
+    assert got[2]["tc"] == 1 and got[4]["tc"] == 5
+    assert got[0]["lang"] == "und"
+    # null text propagates NULL, never crashes
+    assert got[3]["tc"] is None and got[3]["fp"] is None
+    # empty and whitespace-only normalize to the same fingerprint
+    assert got[0]["fp"] == got[1]["fp"]
+
+
+def test_shingles_below_k_and_dedup_with_nulls(spark):
+    df = _docs(spark, ["one two", "one two", None, "one two three four"])
+    sh = {r["doc_id"]: r["sh"] for r in shingle_table(df).collect()}
+    assert sh[0] == []                       # < k tokens -> empty set
+    assert sh[3] == ["one two three", "two three four"]
+    # exact dedup groups the identical pair; null text forms its own group
+    groups = exact_dedup(df).collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in groups}
+    assert by_id[0] == 2
+
+
+def _py_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = [w for w in a.lower().split() if w] if t is a else \
+            [w for w in b.lower().split() if w]
+        return {" ".join(toks[i:i + k]) for i in range(max(len(toks) - k + 1, 0))}
+    sa, sb = sh(a), sh(b)
+    u = sa | sb
+    return len(sa & sb) / len(u) if u else 0.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=2, max_size=2))
+def test_jaccard_matches_python_reference(spark, texts):
+    a, b = texts
+    df = _docs(spark, [a, b])
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    got = ngram_jaccard(df, pairs).collect()[0]["jaccard"]
+    want = round(_py_jaccard(a, b), 6)
+    assert abs(got - want) < 2e-6, (a, b, got, want)
+
+
+def test_partitioned_append_mode(spark, tmp_path):
+    path = str(tmp_path / "r")
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    c1 = spark.createDataFrame([(d1, 0, 0, 1.0)], schemas.RASTER_CELLS)
+    c2 = spark.createDataFrame([(d2, 0, 0, 2.0)], schemas.RASTER_CELLS)
+    write_partitioned(c1, path)
+    write_partitioned(c2, path, mode="append")
+    back = read_raster_cells(spark, path)
+    assert back.count() == 2
+    assert {r["value"] for r in back.collect()} == {1.0, 2.0}
+
+
+def test_bandwidth_search_prefers_signal_scale(spark):
+    from lswms_forage_etl_spark.models.gwr import select_bandwidth
+    rng = np.random.RandomState(1)
+    n = 400
+    coords = rng.uniform(0, 10, (n, 2))
+    x = rng.uniform(0, 1, (n, 1))
+    y = 0.5 * x[:, 0] + rng.normal(0, 0.01, n)
+    bw = select_bandwidth(coords, x, y, lo=16)
+    assert 16 <= bw <= n - 1                 # in-range, converged
