@@ -5,7 +5,12 @@ synthetic observations, and report per-stage wall times.
 The reference runs this workload as ~5 sequential single-threaded scripts;
 this driver executes the same dataflow as a handful of Spark jobs.
 
-Usage: python tools/run_forage_demo.py [n_days]
+Usage:
+  python tools/run_forage_demo.py [n_days]     synthetic reference-scale run
+  python tools/run_forage_demo.py --real       REAL-data parity run: reads the
+      reference's own shapefile + production GeoTIFFs with the engine's
+      native parsers, runs zonal -> hindcast -> forecast, and prints the
+      match rate against the production woredas.csv
 """
 
 from __future__ import annotations
@@ -67,7 +72,58 @@ def synth_inputs(spark, n_days: int):
     }, start
 
 
+def run_real():
+    """Zonal -> hindcast -> forecast on the reference's actual inputs."""
+    import csv
+
+    from lswms_forage_etl_spark.operators.hindcast import (
+        hindcast_tall, lag_matrix)
+    from lswms_forage_etl_spark.models.gp import gp_forecast
+    from lswms_forage_etl_spark.operators.zonal import zone_series
+    from lswms_forage_etl_spark.sources.geotiff import geotiff_to_cells
+    from lswms_forage_etl_spark.sources.shapefile import read_shapefile_zones
+
+    shp = "/root/reference/src/inputs/Shapefiles/woredas.shp"
+    tif_dir = "/root/reference/src/data/layers/biomass_et"
+    ref_csv = "/root/reference/src/outputs/Databases/woredas.csv"
+    spark = get_spark("forage-real")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    zones = read_shapefile_zones(shp, shp[:-4] + ".dbf")
+    coverage, centroids = zone_coverage_from_wkt(spark, zones)
+    dates = ("20220101", "20220117", "20220218")
+    cells = geotiff_to_cells(
+        spark, [f"{tif_dir}/biomass_{d}.tif" for d in dates])
+    zs = zone_series(cells, coverage, centroids).persist()
+    n_series = zs.count()
+    print(f"zonal series: {n_series} rows (151 zones x 3 dates) "
+          f"[{time.time()-t0:.1f}s]")
+
+    import numpy as np
+    got = {(r["zone_id"], r["date"].strftime("%Y%m%d")): r["biomass"]
+           for r in zs.collect()}
+    with open(ref_csv) as fh:
+        want = {(r["Dataset"], r["Date"]): float(r["Biomass"])
+                for r in csv.DictReader(fh) if r["Date"] in dates}
+    rel = np.array([abs(got[k] - w) / max(abs(w), 1e-9)
+                    for k, w in want.items()])
+    print(f"parity vs production woredas.csv: {len(want)} pairs, "
+          f"p95 rel err {np.percentile(rel, 95):.2e}, "
+          f"within 1%: {(rel < 0.01).mean():.1%}")
+
+    t0 = time.time()
+    hind = lag_matrix(hindcast_tall(zs))
+    fc = gp_forecast(zs)
+    print(f"hindcast rows: {hind.count()} (3-date series are below the "
+          f"refit minimum), forecast rows: {fc.count()} "
+          f"(151 zones x last+3 horizons) [{time.time()-t0:.1f}s]")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--real":
+        run_real()
+        return
     n_days = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     spark = get_spark("forage-demo")
     spark.sparkContext.setLogLevel("ERROR")
