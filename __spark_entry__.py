@@ -215,8 +215,8 @@ def q_scalar_grid_snap(spark, sf):
     return df.select(
         "c_custkey",
         lon_to_col("lon").alias("col"), lat_to_row("lat").alias("row"),
-        F.round(cell_to_lon(lon_to_col("lon")), 4).alias("cell_lon"),
-        F.round(cell_to_lat(lat_to_row("lat")), 4).alias("cell_lat"))
+        pround(cell_to_lon(lon_to_col("lon")), 4).alias("cell_lon"),
+        pround(cell_to_lat(lat_to_row("lat")), 4).alias("cell_lat"))
 
 
 def q_scalar_strings(spark, sf):
@@ -243,8 +243,12 @@ def q_scalar_json(spark, sf):
     """C21 — JSON parse of events.props + re-serialize (from_json/to_json)."""
     ev = _events(spark, sf)
     parsed = F.from_json(F.col("props"), "k INT")
+    # NULL k -> NULL round-trip (to_json would emit '{}', diverging from
+    # the oracle's NULL-propagating string concat)
+    rt = F.when(parsed["k"].isNotNull(),
+                F.to_json(F.struct(parsed["k"].alias("k"))))
     return ev.select("event_id", parsed["k"].alias("k"),
-                     F.to_json(F.struct(parsed["k"].alias("k"))).alias("json_rt"))
+                     rt.alias("json_rt"))
 
 
 # --- joins (J1-J5) -----------------------------------------------------------
@@ -257,7 +261,7 @@ def q_join_merge_inner(spark, sf):
     return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
             .join(c, o["o_custkey"] == c["c_custkey"])
             .select("l_orderkey", "l_linenumber", "c_custkey",
-                    F.round(F.col("l_extendedprice"), 2).alias("price"),
+                    pround(F.col("l_extendedprice"), 2).alias("price"),
                     F.col("o_orderstatus").alias("status")))
 
 
@@ -392,7 +396,7 @@ def q_agg_conditional_fraction(spark, sf):
     (gwr_model.py:44-46 nonzero-% precheck shape)."""
     li = _t(spark, sf, "lineitem")
     return li.agg(
-        F.round(F.avg((F.col("l_tax") == 0).cast("double")) * 100, 4)
+        pround(F.avg((F.col("l_tax") == 0).cast("double")) * 100, 4)
         .alias("pct_zero_tax"),
         F.count(F.lit(1)).alias("n_rows"))
 
@@ -446,8 +450,8 @@ def q_window_lag_lead(spark, sf):
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
         "o_custkey", "o_orderkey",
-        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
-        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        pround(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        pround(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
         F.datediff(F.col("o_orderdate"),
                    F.lag("o_orderdate", 1).over(w)).alias("days_since_prev"))
 
@@ -545,12 +549,14 @@ def q_join_range_bucketed(spark, sf):
     the same pattern assign_period uses, applied to a numeric interval
     dimension. No BroadcastNestedLoopJoin."""
     li = _t(spark, sf, "lineitem")
+    # finite band ends (domain ceiling well above TPC-H's ~105k max) so the
+    # block expansion covers every band exactly — no silent truncation
     bands = [(0, "low", 0.0, 20000.0), (1, "mid", 20000.0, 45000.0),
-             (2, "high", 45000.0, 80000.0), (3, "lux", 80000.0, 1e9)]
+             (2, "high", 45000.0, 80000.0), (3, "lux", 80000.0, 200000.0)]
     block_w = 10000.0
     expanded = []
     for bid, name, lo, hi in bands:
-        b0, b1 = int(lo // block_w), int(min(hi, 120000.0) // block_w)
+        b0, b1 = int(lo // block_w), int(hi // block_w)
         for b in range(b0, b1 + 1):
             expanded.append((b, bid, name, lo, hi))
     exp_df = spark.createDataFrame(
@@ -609,7 +615,7 @@ def q_topk_global(spark, sf):
     o = _t(spark, sf, "orders")
     return (o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
             .limit(25)
-            .select("o_orderkey", F.round("o_totalprice", 2).alias("price")))
+            .select("o_orderkey", pround(F.col("o_totalprice"), 2).alias("price")))
 
 
 # --- text analysis -----------------------------------------------------------
@@ -622,7 +628,7 @@ def q_text_stats(spark, sf):
         "doc_id",
         T.token_count("text").alias("n_tokens"),
         F.length("text").alias("n_chars_check"),
-        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        pround(T.punct_ratio("text"), 4).alias("punct_ratio"),
         T.quality_score("text").alias("quality"))
 
 
@@ -653,7 +659,7 @@ def q_window_lag_pivot(spark, sf):
                      .cast("int").alias("horizon"),
                      F.col("o_totalprice"))
             .groupBy("zone", "date", "horizon")
-            .agg(F.round(F.min("o_totalprice"), 2).alias("v")))
+            .agg(pround(F.min("o_totalprice"), 2).alias("v")))
     return (tall.groupBy("zone", "date")
             .pivot("horizon", [0, 16, 32, 48])
             .agg(F.first("v"))
@@ -826,7 +832,7 @@ def q_ann_pairwise_label_sim(spark, sf):
     vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
     return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(cosine(va, vb), 6).alias("cosine_sim"))
+                    pround(cosine(va, vb), 6).alias("cosine_sim"))
             .where(F.col("cosine_sim") > 0.2))
 
 
@@ -1037,8 +1043,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey,
                CAST(floor((lon - 36.0) / 0.05) AS INT) AS col,
                CAST(floor((15.0 - lat) / 0.05) AS INT) AS row,
-               round(36.0 + (CAST(floor((lon - 36.0) / 0.05) AS INT) + 0.5) * 0.05, 4) AS cell_lon,
-               round(15.0 - (CAST(floor((15.0 - lat) / 0.05) AS INT) + 0.5) * 0.05, 4) AS cell_lat
+               floor((36.0 + (CAST(floor((lon - 36.0) / 0.05) AS INT) + 0.5) * 0.05) * 10000 + 0.5) / 10000.0 AS cell_lon,
+               floor((15.0 - (CAST(floor((15.0 - lat) / 0.05) AS INT) + 0.5) * 0.05) * 10000 + 0.5) / 10000.0 AS cell_lat
         FROM pts
     """
 
@@ -1065,7 +1071,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["join_merge_inner"] = """
         SELECT l_orderkey, l_linenumber, c_custkey,
-               round(l_extendedprice, 2) AS price, o_orderstatus AS status
+               floor(l_extendedprice * 100 + 0.5) / 100.0 AS price,
+               o_orderstatus AS status
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -1159,7 +1166,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["agg_conditional_fraction"] = """
-        SELECT round(avg(CASE WHEN l_tax = 0 THEN 1.0 ELSE 0.0 END) * 100, 4) AS pct_zero_tax,
+        SELECT floor(avg(CASE WHEN l_tax = 0 THEN 1.0 ELSE 0.0 END) * 100 * 10000 + 0.5) / 10000.0 AS pct_zero_tax,
                count(*) AS n_rows
         FROM lineitem
     """
@@ -1192,8 +1199,8 @@ def oracle_sql() -> dict[str, str]:
 
     sql["window_lag_lead"] = """
         SELECT o_custkey, o_orderkey,
-               round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-               round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+               floor(lag(o_totalprice, 1) OVER w * 100 + 0.5) / 100.0 AS prev_price,
+               floor(lead(o_totalprice, 1) OVER w * 100 + 0.5) / 100.0 AS next_price,
                datediff('day', lag(CAST(o_orderdate AS DATE), 1) OVER w,
                         CAST(o_orderdate AS DATE)) AS days_since_prev
         FROM orders
@@ -1283,7 +1290,7 @@ def oracle_sql() -> dict[str, str]:
     sql["join_range_bucketed"] = """
         WITH bands(band, lo, hi) AS (VALUES
           ('low', 0.0, 20000.0), ('mid', 20000.0, 45000.0),
-          ('high', 45000.0, 80000.0), ('lux', 80000.0, 1e9))
+          ('high', 45000.0, 80000.0), ('lux', 80000.0, 200000.0))
         SELECT band, count(*) AS n,
                sum(CAST(l_quantity * 100 AS BIGINT)) / 100.0 AS qty_sum
         FROM lineitem JOIN bands
@@ -1319,7 +1326,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["topk_global"] = """
-        SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        SELECT o_orderkey, floor(o_totalprice * 100 + 0.5) / 100.0 AS price FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
     """
 
@@ -1332,13 +1339,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(len(toks) AS INT) AS n_tokens,
                CAST(length(text) AS INT) AS n_chars_check,
-               round((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
-                     / greatest(length(text), 1), 4) AS punct_ratio,
-               round(((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)
+               floor((length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+                     / greatest(length(text), 1) * 10000 + 0.5) / 10000.0 AS punct_ratio,
+               floor(((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)
                     + (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
                             / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.4 END)
                     + (CASE WHEN length(text) / greatest(len(toks), 1.0) BETWEEN 2.5 AND 12
-                            THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality
+                            THEN 1.0 ELSE 0.5 END)) / 3.0 * 10000 + 0.5) / 10000.0 AS quality
         FROM t
     """
 
@@ -1387,7 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         WITH tall AS (
           SELECT o_custkey % 50 AS zone, CAST(o_orderdate AS DATE) AS date,
                  CAST((o_orderkey % 4) * 16 AS INT) AS horizon,
-                 round(min(o_totalprice), 2) AS v
+                 floor(min(o_totalprice) * 100 + 0.5) / 100.0 AS v
           FROM orders GROUP BY 1, 2, 3)
         SELECT zone, date, {lag_cols}
         FROM tall GROUP BY zone, date
@@ -1584,7 +1591,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT media_id, kind, n_bytes,
                (n * 7) % 1920 + 16 AS width,
                (n * 13) % 1080 + 16 AS height,
-               CASE WHEN kind = 'video' THEN n % 240 + 1 ELSE 0 END AS frames,
+               coalesce(CASE WHEN kind = 'video' THEN n % 240 + 1
+                             ELSE 0 END, 0) AS frames,
                CASE WHEN kind = 'audio' THEN 16000 ELSE 0 END AS sample_rate
         FROM m
     """

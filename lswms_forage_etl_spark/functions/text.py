@@ -69,7 +69,9 @@ def quality_score(col: Column | str) -> Column:
     len_ok = F.when((n >= 50) & (n <= 10000), 1.0).otherwise(0.3)
     punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.4)
     word_ok = F.when((mean_word >= 2.5) & (mean_word <= 12), 1.0).otherwise(0.5)
-    return F.round((len_ok + punct_ok + word_ok) / F.lit(3.0), 4)
+    # portable floor-based rounding so the DuckDB oracle matches bit-for-bit
+    s = F.lit(10000.0)
+    return F.floor((len_ok + punct_ok + word_ok) / F.lit(3.0) * s + F.lit(0.5)) / s
 
 
 def lang_id(col: Column | str) -> Column:

@@ -77,16 +77,24 @@ def _wls_predict(coords_cal: np.ndarray, x_cal: np.ndarray, y_cal: np.ndarray,
 def select_bandwidth(coords: np.ndarray, x: np.ndarray, y: np.ndarray,
                      lo: int = 16, hi: int | None = None,
                      max_eval_points: int = 500, seed: int = 7) -> int:
-    """Golden-section search over adaptive-NN bandwidth minimizing CV RMSE
-    on a bounded evaluation subsample (driver-side, O(seconds))."""
+    """Golden-section search over adaptive-NN bandwidth minimizing holdout
+    CV RMSE on a bounded evaluation subsample excluded from the fit set
+    (driver-side, O(seconds))."""
     hi = hi or max(lo + 1, len(coords) - 1)
     rng = np.random.RandomState(seed)
-    idx = rng.choice(len(coords), size=min(max_eval_points, len(coords)),
+    n = len(coords)
+    idx = rng.choice(n, size=min(max_eval_points, max(1, n // 2)),
                      replace=False)
+    # true holdout: the evaluation points are EXCLUDED from the fit set —
+    # otherwise each prediction includes itself at distance 0 (kernel
+    # weight 1), biasing the search toward tiny bandwidths
+    mask = np.ones(n, dtype=bool)
+    mask[idx] = False
 
     def score(k: int) -> float:
         k = int(round(k))
-        pred = _wls_predict(coords, x, y, coords[idx], x[idx], k)
+        pred = _wls_predict(coords[mask], x[mask], y[mask],
+                            coords[idx], x[idx], k)
         return float(np.sqrt(np.mean((pred - y[idx]) ** 2)))
 
     phi = (math.sqrt(5) - 1) / 2

@@ -107,8 +107,18 @@ def _hasher(i: int):
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 4) -> DataFrame:
     """Band the signature, bucket-join on (band_id, band_hash) -> distinct
-    candidate pairs (a < b). The only shuffle is on the band buckets."""
-    n_hashes = bands  # placeholder, computed below from the array
+    candidate pairs (a < b). The only shuffle is on the band buckets.
+
+    The signature width must be a positive multiple of `bands`: a zero
+    rows-per-band slice would hash every document into the same bucket
+    and silently degenerate to the O(n^2) cross join this operator
+    exists to avoid."""
+    first = signatures.select(F.size("minhash").alias("n")).first()
+    n_hashes = 0 if first is None else first["n"]
+    if first is not None and (n_hashes < bands or n_hashes % bands != 0):
+        raise ValueError(
+            f"signature width {n_hashes} not a positive multiple of "
+            f"bands={bands}")
     sig = signatures.select(
         id_col, F.posexplode(F.expr(
             f"transform(sequence(0, {bands - 1}), b -> "

@@ -93,6 +93,8 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     `multiprobe_hamming` bits of the query's bucket are scored exactly.
     At scale the bucketed table is pre-materialized and partitioned by
     bucket -> the probe is a partition-pruned scan."""
+    import itertools
+
     dim = len(query_vec)
     bucketed = embeddings.withColumn(
         "bucket", hyperplane_signature(vec_col, num_planes, dim, seed))
@@ -101,10 +103,14 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     for p_i, plane in enumerate(planes):
         if float(np.dot(query_vec, plane)) >= 0:
             qsig |= 1 << p_i
-    probe = [qsig]
-    if multiprobe_hamming >= 1:
-        probe += [qsig ^ (1 << i) for i in range(num_planes)]
-    cand = bucketed.where(F.col("bucket").isin(probe))
+    probe = {qsig}
+    for h in range(1, min(multiprobe_hamming, num_planes) + 1):
+        for bits in itertools.combinations(range(num_planes), h):
+            flipped = qsig
+            for b in bits:
+                flipped ^= 1 << b
+            probe.add(flipped)
+    cand = bucketed.where(F.col("bucket").isin(sorted(probe)))
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 

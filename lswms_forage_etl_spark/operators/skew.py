@@ -23,8 +23,15 @@ from pyspark.sql import functions as F
 def salted_join(left: DataFrame, right: DataFrame, key: str,
                 num_salts: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join on `key` with the left side salted and the right side
-    replicated `num_salts` times. Output columns = left ∪ right (minus
-    the duplicate key), exactly like `left.join(right, key, how)`."""
+    replicated `num_salts` times. Output = `left.join(right, key, how)`
+    for inner/left joins. Right/full outer joins are rejected: an
+    unmatched right row would surface once per replica (num_salts
+    duplicates), so those shapes need the inverse construction (salt
+    right, replicate left)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r} — "
+            "replicated unmatched right rows would duplicate")
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
                   F.lit(num_salts)).cast("int")
     lhs = left.withColumn("_salt", salt)
