@@ -572,6 +572,42 @@ def q_join_range_bucketed(spark, sf):
                  .alias("qty_sum")))
 
 
+def q_agg_percentile(spark, sf):
+    """Exact interpolated percentiles per group (sort-based, so fully
+    deterministic and engine-portable, unlike floating aggregation)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(pround(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                 .alias("p50"),
+                 pround(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+                 .alias("p90"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_agg_corr_exact(spark, sf):
+    """Pearson correlation from exact scaled-BIGINT moments: sums of x, y,
+    x^2, y^2, xy quantized to integers commute across partitions, so the
+    distributed result is bit-stable under any partitioning/AQE re-plan —
+    the numerically-robust form of corr() at 1000 executors."""
+    li = _t(spark, sf, "lineitem")
+    s = 100  # 2-dp quantization of both variables
+    x = F.floor(F.col("l_quantity") * s + 0.5).cast("long")
+    y = F.floor(F.col("l_discount") * 10000 + 0.5).cast("long")
+    agg = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = n * F.col("sxy") - sx * sy
+    varx = n * F.col("sxx") - sx * sx
+    vary = n * F.col("syy") - sy * sy
+    return agg.select(
+        "l_linestatus", "n",
+        pround(cov / F.sqrt(varx.cast("double") * vary.cast("double")), 6)
+        .alias("corr_qty_disc"))
+
+
 def q_agg_salted_count(spark, sf):
     """Skew-safe two-phase count: lineitem grouped by a deliberately
     skewed key (suppkey floor-div — few giant groups) via salt -> partial
@@ -913,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range_bucketed": q_join_range_bucketed,
         "agg_cube": q_agg_cube,
         "agg_salted_count": q_agg_salted_count,
+        "agg_percentile": q_agg_percentile,
+        "agg_corr_exact": q_agg_corr_exact,
         # set ops / top-k
         "set_union_except": q_set_union_except,
         "topk_global": q_topk_global,
@@ -1296,6 +1334,32 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN bands
           ON l_extendedprice >= lo AND l_extendedprice < hi
         GROUP BY band
+    """
+
+    sql["agg_percentile"] = f"""
+        SELECT l_returnflag,
+               {_pr("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+               {_pr("quantile_cont(l_extendedprice, 0.9)", 4)} AS p90,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    sql["agg_corr_exact"] = f"""
+        WITH m AS (
+          SELECT l_linestatus, count(*) AS n,
+                 sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+                 sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS sy,
+                 sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+                 sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)
+                     * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS syy,
+                 sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                     * CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS sxy
+          FROM lineitem GROUP BY l_linestatus)
+        SELECT l_linestatus, n,
+               {_pr("(n * sxy - sx * sy) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))", 6)}
+                 AS corr_qty_disc
+        FROM m
     """
 
     sql["agg_salted_count"] = """
