@@ -65,6 +65,19 @@ def test_zonal_cascade(spark):
     assert abs(got["C"]["biomass_mean"] - sum(ring) / 3) < 1e-9
 
 
+def test_zonal_single_scan_plan(spark, tmp_path):
+    # VERDICT r1 #1: the cascade must scan the cells table exactly once —
+    # every tier is a conditional aggregate over one broadcast join, not a
+    # per-tier join/scan. Assert on the physical plan of a parquet source.
+    path = str(tmp_path / "cells")
+    _cells(spark).write.mode("overwrite").parquet(path)
+    cells = spark.read.parquet(path)
+    plan = zonal_stats(cells, _coverage(spark), _centroids(spark)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastHashJoin" in plan
+
+
 def test_zone_series_nan_to_zero(spark):
     # a zone whose every covered cell is nodata -> biomass 0.0 at the sink
     cells = spark.createDataFrame(
