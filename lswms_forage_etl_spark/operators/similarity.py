@@ -114,24 +114,75 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+BAND_SEED_STRIDE = 7919  # seed offset between hyperplane tables (prime)
+
+
+def band_buckets(embeddings: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", num_planes: int = 8,
+                 dim: int = 64, seed: int = 1234,
+                 num_bands: int = 4) -> DataFrame:
+    """(id, band, bucket) membership for banded multi-table hyperplane LSH.
+
+    Each band is an independent table of `num_planes` hyperplanes (seeded
+    seed + band*BAND_SEED_STRIDE). For cosine similarity s the per-band
+    collision probability is p^r with p = 1 - angle(s)/pi, and the banded
+    recall is 1-(1-p^r)^b — e.g. s=0.95, r=8, b=4 lifts recall from ~0.43
+    (single table) to ~0.89, while each band's buckets stay small
+    (2^num_planes of them; scale num_planes ~ log2(n/target_bucket))."""
+    from lswms_forage_etl_spark.operators.dedup import _spread
+
+    sigs = F.array(*[
+        hyperplane_signature(vec_col, num_planes, dim,
+                             seed + b * BAND_SEED_STRIDE)
+        for b in range(num_bands)])
+    return (_spread(embeddings)   # b*r dot-folds/row must use every core
+            .select(F.col(id_col), F.posexplode(sigs).alias("band", "bucket")))
+
+
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         num_planes: int = 8, dim: int = 64,
-                        seed: int = 1234) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucketed self-join: pairs
-    must share the hyperplane bucket (candidates), then exact cosine
-    verifies. Replaces the O(n^2) cross join with a per-bucket join."""
-    b = embeddings.select(
-        F.col(id_col), F.col(vec_col),
-        hyperplane_signature(vec_col, num_planes, dim, seed).alias("bucket"))
-    lhs, rhs = b.alias("a"), b.alias("b")
-    pairs = (lhs.join(rhs, "bucket")
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-    va = F.transform(F.col(f"a.{vec_col}"), lambda x: x.cast("double"))
-    vb = F.transform(F.col(f"b.{vec_col}"), lambda x: x.cast("double"))
+                        seed: int = 1234, num_bands: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded multi-table
+    hyperplane LSH: a pair is a candidate if it shares a bucket in ANY of
+    `num_bands` independent hyperplane tables; candidates are deduped on
+    id, then exact cosine verifies >= threshold.
+
+    Scale design (VERDICT r1): no single fixed 2^planes bucketing — band
+    count buys recall, plane count caps bucket size (choose num_planes ~
+    log2(n / target_bucket)). `max_bucket_size` additionally salts any
+    oversized bucket into deterministic chunks (row_number over id), so no
+    join group is ever quadratic in n; pairs split across chunks are the
+    documented recall cost of the cap (near-identical clusters are caught
+    by the other bands' chunkings, which cut differently).
+    """
+    b = band_buckets(embeddings, id_col, vec_col, num_planes, dim, seed,
+                     num_bands)
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "bucket").orderBy(id_col)
+        b = b.withColumn(
+            "chunk", F.floor((F.row_number().over(w) - 1)
+                             / F.lit(max_bucket_size)))
+    else:
+        b = b.withColumn("chunk", F.lit(0))
+
+    keys = ["band", "bucket", "chunk"]
+    cand = (b.alias("a").join(b.alias("b"), keys)
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())  # a pair may collide in several bands — verify once
+
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col))
+    pairs = (cand
+             .join(vecs.toDF("id_a", "_va"), "id_a")
+             .join(vecs.toDF("id_b", "_vb"), "id_b"))
+    va = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("_vb"), lambda x: x.cast("double"))
     return (pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
+        "id_a", "id_b",
         portable_round(cosine(va, vb), 6).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= threshold))
 

@@ -95,3 +95,43 @@ def test_embedding_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              embedding_near_dups(emb, threshold=0.999, dim=16).collect()}
     assert (0, 7) in pairs
+
+
+def test_embedding_lsh_bucket_cap_under_skew(spark):
+    # VERDICT r1: no join group may grow quadratic in n. Skewed set: 300 of
+    # 360 vectors cluster around one direction (they'd all share a bucket
+    # in every band), so without the cap one group would hold ~300 rows.
+    from lswms_forage_etl_spark.operators.similarity import band_buckets
+    from pyspark.sql import Window
+
+    rng = np.random.RandomState(11)
+    hub = rng.standard_normal(16)
+    rows = []
+    for i in range(300):                      # tight cluster (skew)
+        v = hub + rng.standard_normal(16) * 0.01
+        rows.append((i, [float(x) for x in v], 0))
+    for i in range(300, 360):                 # background
+        rows.append((i, [float(x) for x in rng.standard_normal(16)], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+    cap = 50
+    b = band_buckets(emb, dim=16, num_bands=2)
+    w = Window.partitionBy("band", "bucket").orderBy("vec_id")
+    capped = b.withColumn(
+        "chunk", F.floor((F.row_number().over(w) - 1) / F.lit(cap)))
+    max_group = (capped.groupBy("band", "bucket", "chunk").count()
+                 .agg(F.max("count")).collect()[0][0])
+    max_uncapped = (b.groupBy("band", "bucket").count()
+                    .agg(F.max("count")).collect()[0][0])
+    assert max_uncapped > cap          # the skew is real
+    assert max_group <= cap            # the salted cap bounds every group
+
+    # the capped operator still finds planted near-dups: members of the
+    # same chunk verify; banding keeps cross-chunk recall (bands chunk
+    # differently only when bucketings differ — document, don't hide).
+    pairs = embedding_near_dups(emb, threshold=0.999, dim=16,
+                                num_bands=2, max_bucket_size=cap)
+    got = {(r["id_a"], r["id_b"]) for r in
+           pairs.where("id_a < 10 AND id_b < 10").collect()}
+    assert len(got) > 0
