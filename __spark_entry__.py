@@ -756,14 +756,14 @@ def q_dedup_ngram_jaccard(spark, sf):
 
 
 def q_dedup_simhash(spark, sf):
-    """SimHash near-dup pairs: 64-bit signatures, 4x16-bit banded candidate
-    join, exact hamming verify <= 10. (xxhash64-based — Spark-only hash, so
-    this entry is rows-only unless the oracle recomputes it; we instead
-    check the full pipeline output deterministically via hamming on
-    matching band signatures.)"""
+    """SimHash near-dup pairs: portable md5-derived 64-bit signatures (one
+    hash per token, all 64 bit-votes in a single fold), 4x16-bit banded
+    candidate join, exact hamming verify <= 3 — the radius the 4-chunk
+    pigeonhole banding is recall-complete for (ADVICE r1). Oracle-checked:
+    DuckDB recomputes the identical signatures from the md5 hex."""
     docs = _t(spark, sf, "documents")
     sigs = simhash(docs)
-    return simhash_near_dups(sigs, max_hamming=10)
+    return simhash_near_dups(sigs, max_hamming=3)
 
 
 # --- model operators (M1/M2 — rows-only: iterative numeric fits are not
@@ -1527,6 +1527,49 @@ def oracle_sql() -> dict[str, str]:
           FROM cand JOIN s sa ON sa.doc_id = id_a
                     JOIN s sb ON sb.doc_id = id_b)
         SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+    """
+
+    # SimHash: replay the md5-derived 64-bit signature bit-for-bit. Bit b
+    # of the big-endian 16-hex-char hash lives in hex digit 16-(b//4)
+    # (1-based), bit b%4 of that digit's value; DuckDB rejects 1<<63 on
+    # BIGINT so bit 63 contributes the min-long literal instead.
+    sql["dedup_simhash"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(
+                   string_split_regex(lower(trim(text)), '\\s+'),
+                   x -> x <> '')) AS toks
+          FROM documents),
+        h AS (SELECT doc_id, substr(md5(unnest(toks)), 1, 16) AS hx FROM d),
+        b AS (
+          SELECT doc_id, bb.b AS bit,
+                 CASE WHEN ((strpos('0123456789abcdef',
+                                    substr(hx, 16 - CAST(bb.b // 4 AS INT), 1)) - 1)
+                            >> (bb.b % 4)) & 1 = 1
+                      THEN 1 ELSE -1 END AS vote
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb),
+        v AS (SELECT doc_id, bit, sum(vote) AS votes FROM b GROUP BY 1, 2),
+        s0 AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN votes > 0 THEN
+                        CASE WHEN bit = 63 THEN -9223372036854775808
+                             ELSE (1::BIGINT << CAST(bit AS INT)) END
+                      ELSE 0 END) AS BIGINT) AS simhash
+          FROM v GROUP BY 1),
+        sigs AS (SELECT d.doc_id, coalesce(s0.simhash, 0) AS simhash
+                 FROM d LEFT JOIN s0 USING (doc_id)),
+        c AS (
+          SELECT doc_id, simhash, cc.i AS chunk_id,
+                 (simhash >> CAST(16 * cc.i AS INT)) & 65535 AS chunk
+          FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS i) cc),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                          a.simhash AS sa, b2.simhash AS sb
+          FROM c a JOIN c b2
+            ON a.chunk_id = b2.chunk_id AND a.chunk = b2.chunk
+           AND a.doc_id < b2.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """
 
     sql["dedup_ngram_jaccard"] = f"""

@@ -51,7 +51,8 @@ def test_simhash_identical_and_distance(spark):
     vals = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
     assert vals[0] == vals[1]
     nd = {(r["id_a"], r["id_b"]): r["hamming"]
-          for r in simhash_near_dups(sigs, max_hamming=16).collect()}
+          for r in simhash_near_dups(sigs, max_hamming=16,
+                                     num_chunks=32).collect()}
     assert nd[(0, 1)] == 0
     if (0, 2) in nd:
         assert nd[(0, 2)] > 0
