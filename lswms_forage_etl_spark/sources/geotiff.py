@@ -8,9 +8,12 @@ single-band, uncompressed, strip-organized float32 — sufficient for every
 writes exactly this shape). Anything fancier (tiles, compression) raises
 cleanly rather than guessing.
 
-The driver-side decode feeds the long-format RASTER_CELLS table; at scale
-the same bytes would be decoded executor-side from a binary-file source
-(`spark.read.format("binaryFile")` + this parser in mapPartitions)."""
+Two decode paths share one bytes-level parser (`decode_geotiff_bytes`):
+`geotiff_to_cells` loops driver-side (fine for a handful of rasters, and
+what the reference itself does), while `geotiff_to_cells_distributed`
+scans the files with `spark.read.format("binaryFile")` and decodes inside
+`mapInPandas` — the 100 TB path, where 10k rasters fan out one-per-task
+across executors and only the long-format cells ever reach the shuffle."""
 
 from __future__ import annotations
 
@@ -51,16 +54,23 @@ def _read_tag_values(data: bytes, endian: str, typ: int, cnt: int,
 
 def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float],
                                      float | None]:
+    """Driver-side convenience wrapper over `decode_geotiff_bytes`."""
+    return decode_geotiff_bytes(open(path, "rb").read(), path)
+
+
+def decode_geotiff_bytes(data: bytes, name: str = "<bytes>"
+                         ) -> tuple[np.ndarray, tuple[float, float, float],
+                                    float | None]:
     """-> (array[rows, cols] float64 with nodata -> NaN,
            (origin_lon, origin_lat, cell_size), nodata).
 
     Supports the reference's exact layout: single IFD, one band,
-    uncompressed strips, 32-bit IEEE float samples."""
-    data = open(path, "rb").read()
+    uncompressed strips, 32-bit IEEE float samples. Pure bytes -> numpy,
+    no filesystem access — safe to run executor-side on binaryFile rows."""
     endian = "<" if data[:2] == b"II" else ">"
     magic, ifd = struct.unpack(endian + "HI", data[2:8])
     if magic != 42:
-        raise ValueError(f"not a classic TIFF: {path}")
+        raise ValueError(f"not a classic TIFF: {name}")
     n = struct.unpack(endian + "H", data[ifd:ifd + 2])[0]
     tags: dict[int, tuple] = {}
     for i in range(n):
@@ -106,22 +116,67 @@ def read_geotiff(path: str) -> tuple[np.ndarray, tuple[float, float, float],
 _DATE_RE = re.compile(r"(\d{8})")
 
 
+def _file_date(path: str) -> dt.date:
+    m = _DATE_RE.search(os.path.basename(path))
+    if not m:
+        raise ValueError(f"no yyyymmdd date in filename: {path}")
+    return dt.datetime.strptime(m.group(1), "%Y%m%d").date()
+
+
 def geotiff_to_cells(spark: SparkSession, paths: list[str],
                      mask_nodata: bool = True) -> DataFrame:
     """Decode GeoTIFFs into the long-format RASTER_CELLS table (dates from
     filenames, C13), sentinel set normalized to NULL (F5). Only populated
-    (non-NaN) cells are emitted — the engine-native sparse form."""
+    (non-NaN) cells are emitted — the engine-native sparse form.
+
+    Driver-side loop — right-sized for the reference's daily handful of
+    rasters; use `geotiff_to_cells_distributed` for large archives."""
     rows = []
     for p in paths:
-        m = _DATE_RE.search(os.path.basename(p))
-        if not m:
-            raise ValueError(f"no yyyymmdd date in filename: {p}")
-        date = dt.datetime.strptime(m.group(1), "%Y%m%d").date()
+        date = _file_date(p)
         arr, _, _ = read_geotiff(p)
         rr, cc = np.nonzero(~np.isnan(arr))
         rows.extend((date, int(r), int(c), float(arr[r, c]))
                     for r, c in zip(rr, cc))
     df = spark.createDataFrame(rows, schemas.RASTER_CELLS)
+    if mask_nodata:
+        df = df.withColumn("value", mask_sentinels("value"))
+    return df
+
+
+def geotiff_to_cells_distributed(spark: SparkSession, paths: list[str] | str,
+                                 mask_nodata: bool = True) -> DataFrame:
+    """Executor-side decode: `binaryFile` scan -> `decode_geotiff_bytes`
+    inside `mapInPandas`, one Arrow batch of cells per raster.
+
+    The scale path promised by the module docstring: file bytes never
+    visit the driver, each raster decodes in its own task (repartition by
+    path — binaryFile coalesces small files into shared splits), and the
+    emitted rows are already the sparse long format, so downstream
+    composites/zonal aggs shuffle only populated cells."""
+    import pandas as pd
+
+    bf = spark.read.format("binaryFile").load(paths) \
+        .select("path", "content")
+    n_files = bf.rdd.getNumPartitions()
+    bf = bf.repartition(max(n_files, spark.sparkContext.defaultParallelism),
+                        "path")
+
+    def decode(batches):
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                date = _file_date(path)
+                arr, _, _ = decode_geotiff_bytes(bytes(content), path)
+                rr, cc = np.nonzero(~np.isnan(arr))
+                yield pd.DataFrame({
+                    "date": np.repeat(np.array(date, dtype="datetime64[D]"),
+                                      len(rr)),
+                    "row": rr.astype(np.int32),
+                    "col": cc.astype(np.int32),
+                    "value": arr[rr, cc].astype(np.float64),
+                })
+
+    df = bf.mapInPandas(decode, schemas.RASTER_CELLS)
     if mask_nodata:
         df = df.withColumn("value", mask_sentinels("value"))
     return df
