@@ -116,6 +116,69 @@ def decode_geotiff_bytes(data: bytes, name: str = "<bytes>"
 _DATE_RE = re.compile(r"(\d{8})")
 
 
+def encode_geotiff_bytes(arr: np.ndarray, origin_lon: float,
+                         origin_lat: float, cell_size: float,
+                         nodata: float | None = None) -> bytes:
+    """Encode a 2-D array as the exact layout `decode_geotiff_bytes`
+    parses — and the one the reference writes (rasterize.py:63,90-91 via
+    rasterio from_origin): classic little-endian TIFF, single band,
+    float32 samples, uncompressed single strip, ModelPixelScale +
+    ModelTiepoint georeferencing, GDAL_NODATA ascii tag. No rasterio."""
+    a = np.ascontiguousarray(arr, dtype="<f4")
+    if a.ndim != 2:
+        raise ValueError("expected a 2-D array")
+    h, w = a.shape
+    pix = a.tobytes()
+    data_off = 8
+    ifd_off = data_off + len(pix)
+
+    SHORT, LONG, ASCII, DOUBLE = 3, 4, 2, 12
+    entries: list[tuple[int, int, int, bytes]] = []  # tag, typ, cnt, inline4
+    tail = b""  # external values, appended after the IFD
+
+    def inline(typ: int, *vals: int) -> bytes:
+        fmt = {SHORT: "H", LONG: "I"}[typ]
+        raw = struct.pack("<" + fmt * len(vals), *vals)
+        return raw.ljust(4, b"\x00")
+
+    n_entries = 12 + (1 if nodata is not None else 0)
+    ext_base = ifd_off + 2 + n_entries * 12 + 4  # external values after IFD
+
+    def external(raw: bytes) -> bytes:
+        nonlocal tail
+        off = ext_base + len(tail)
+        tail += raw
+        return struct.pack("<I", off)
+
+    entries.append((256, SHORT, 1, inline(SHORT, w)))
+    entries.append((257, SHORT, 1, inline(SHORT, h)))
+    entries.append((258, SHORT, 1, inline(SHORT, 32)))
+    entries.append((259, SHORT, 1, inline(SHORT, 1)))      # uncompressed
+    entries.append((262, SHORT, 1, inline(SHORT, 1)))      # min-is-black
+    entries.append((273, LONG, 1, inline(LONG, data_off)))  # strip offset
+    entries.append((277, SHORT, 1, inline(SHORT, 1)))      # one band
+    entries.append((278, LONG, 1, inline(LONG, h)))        # rows per strip
+    entries.append((279, LONG, 1, inline(LONG, len(pix))))
+    entries.append((339, SHORT, 1, inline(SHORT, 3)))      # IEEE float
+    ps = struct.pack("<3d", cell_size, cell_size, 0.0)
+    entries.append((33550, DOUBLE, 3, external(ps)))
+    tp = struct.pack("<6d", 0.0, 0.0, 0.0, origin_lon, origin_lat, 0.0)
+    entries.append((33922, DOUBLE, 6, external(tp)))
+    if nodata is not None:
+        nd = str(nodata).encode("ascii") + b"\x00"
+        entries.append((42113, ASCII, len(nd), external(nd)))
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += pix
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack("<HHI", tag, typ, cnt) + val
+    out += struct.pack("<I", 0)  # no next IFD
+    out += tail
+    return bytes(out)
+
+
 def _file_date(path: str) -> dt.date:
     m = _DATE_RE.search(os.path.basename(path))
     if not m:

@@ -11,9 +11,9 @@ Scale notes:
     injectable transport so tests never open sockets.
   * `geotiff_export` groups by date and materializes each date's dense
     grid in one Arrow batch — the per-date file write the reference does
-    (rasterize.py:79-91), parallel over dates. Actual TIFF encoding needs
-    rasterio (absent here) and is stubbed; the header+raw-grid `.bin`
-    artifact it writes instead carries identical information.
+    (rasterize.py:79-91), parallel over dates. TIFF encoding is native
+    (`geotiff.encode_geotiff_bytes` — the same strip layout rasterio
+    writes for the reference, no rasterio needed).
 """
 
 from __future__ import annotations
@@ -114,20 +114,13 @@ def geotiff_export(cells: DataFrame, out_dir: str,
 
     Groups the long-format cell table by date; each group materializes the
     dense 300x260 float32 grid (nodata-filled) and writes
-    `biomass_YYYYMMDD.*`. Real GeoTIFF encoding requires rasterio (absent
-    in this container) -> NotImplementedError; with `fake=True` writes the
-    raw float32 grid + a JSON sidecar with the affine/CRS/nodata header —
-    the identical distributed write path minus the TIFF container.
+    `biomass_YYYYMMDD.tif` — a native uncompressed-strip GeoTIFF in the
+    same layout the reference's rasterio writer produces (rasterize.py:
+    63,90-91), round-trippable through `read_geotiff`. `fake=True` keeps
+    the raw-grid `.bin` + JSON-header artifact shape (legacy/debug).
 
     Returns the written-file manifest as a DataFrame(filename, n_valid)."""
-    if not fake:
-        # the rasterio-backed TIFF container writer is not implemented in
-        # this container (rasterio absent); the grouping/materialization
-        # path below is identical either way
-        raise NotImplementedError(
-            "GeoTIFF container encoding requires rasterio (absent); pass "
-            "fake=True to write raw-grid .bin + .json header artifacts "
-            "through the same distributed write path")
+    from lswms_forage_etl_spark.sources.geotiff import encode_geotiff_bytes
 
     os.makedirs(out_dir, exist_ok=True)
     nrows, ncols = schemas.GRID_N_ROWS, schemas.GRID_N_COLS
@@ -142,14 +135,24 @@ def geotiff_export(cells: DataFrame, out_dir: str,
         ok = ~np.isnan(v)
         grid[r[ok], c[ok]] = v[ok]
         name = f"biomass_{date.strftime('%Y%m%d')}"
-        grid.tofile(os.path.join(out_dir, name + ".bin"))
-        with open(os.path.join(out_dir, name + ".json"), "w") as fh:
-            json.dump({"transform": [schemas.GRID_ORIGIN_LON,
-                                     schemas.GRID_ORIGIN_LAT,
-                                     schemas.GRID_CELL_DEG],
-                       "crs": "EPSG:4326", "nodata": nodata,
-                       "shape": [nrows, ncols]}, fh)
-        return pd.DataFrame({"filename": [name + ".bin"],
+        if fake:
+            grid.tofile(os.path.join(out_dir, name + ".bin"))
+            with open(os.path.join(out_dir, name + ".json"), "w") as fh:
+                json.dump({"transform": [schemas.GRID_ORIGIN_LON,
+                                         schemas.GRID_ORIGIN_LAT,
+                                         schemas.GRID_CELL_DEG],
+                           "crs": "EPSG:4326", "nodata": nodata,
+                           "shape": [nrows, ncols]}, fh)
+            out_name = name + ".bin"
+        else:
+            tif = encode_geotiff_bytes(grid, schemas.GRID_ORIGIN_LON,
+                                       schemas.GRID_ORIGIN_LAT,
+                                       schemas.GRID_CELL_DEG,
+                                       nodata=nodata)
+            with open(os.path.join(out_dir, name + ".tif"), "wb") as fh:
+                fh.write(tif)
+            out_name = name + ".tif"
+        return pd.DataFrame({"filename": [out_name],
                              "n_valid": [int(ok.sum())]})
 
     return (cells.groupBy("date")

@@ -114,8 +114,31 @@ def test_geotiff_export_stub(spark, tmp_path):
     assert grid[5, 5] == schemas.RASTER_NODATA
     hdr = json.load(open(os.path.join(out, "biomass_20240116.json")))
     assert hdr["crs"] == "EPSG:4326" and hdr["nodata"] == -99999.0
-    with pytest.raises(NotImplementedError):
-        geotiff_export(cells, out, fake=False)
+
+
+def test_geotiff_export_real_roundtrip(spark, tmp_path):
+    """VERDICT r1 #4: the sink writes a real strip TIFF that the engine's
+    own reader (the reference-layout spec) decodes to identical cells."""
+    from lswms_forage_etl_spark.sources.geotiff import read_geotiff
+
+    out = str(tmp_path / "tifs")
+    cells = spark.createDataFrame(
+        [(D1, 0, 0, 5.0), (D1, 299, 259, 7.0), (D1, 10, 20, 1.25)],
+        schemas.RASTER_CELLS)
+    man = {r["filename"]: r["n_valid"]
+           for r in geotiff_export(cells, out).collect()}
+    assert man == {"biomass_20240116.tif": 3}
+    arr, (olon, olat, sx), nd = read_geotiff(
+        os.path.join(out, "biomass_20240116.tif"))
+    assert arr.shape == (300, 260)
+    assert nd == schemas.RASTER_NODATA
+    assert (olon, olat, sx) == (schemas.GRID_ORIGIN_LON,
+                                schemas.GRID_ORIGIN_LAT,
+                                schemas.GRID_CELL_DEG)
+    assert arr[0, 0] == 5.0 and arr[299, 259] == 7.0 and arr[10, 20] == 1.25
+    # nodata cells come back masked to NaN, matching the scan-side F5 rule
+    assert np.isnan(arr[5, 5])
+    assert np.isnan(arr).sum() == 300 * 260 - 3
 
 
 def test_scan_filenames_and_resume(spark, tmp_path):
