@@ -735,7 +735,7 @@ def q_dedup_lsh_pairs(spark, sf):
     docs = _t(spark, sf, "documents")
     sh = shingle_table(docs).persist()
     sigs = minhash_signatures(docs, num_hashes=16, shingles=sh).persist()
-    pairs = lsh_candidate_pairs(sigs, bands=4)
+    pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
     return ngram_jaccard(docs, pairs, shingles=sh).where(F.col("jaccard") >= 0.5)
 
 

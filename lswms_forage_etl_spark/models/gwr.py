@@ -129,11 +129,15 @@ def gwr_fit_score(df: DataFrame,
     """
     feature_cols = list(feature_cols)
     clean = df.fillna(0, subset=feature_cols + [target_col])
-    n = clean.count()
-    cal = clean
-    if n > max_calibration_rows:
-        cal = clean.sample(fraction=max_calibration_rows / n, seed=seed)
-    pdf = cal.select(*coord_cols, *feature_cols, target_col).toPandas()
+    # bounded calibration set in ONE job: hash-ordered top-k
+    # (TakeOrderedAndProject — per-partition heaps, no full sort, no
+    # count() pre-scan; VERDICT r1). The hash order is a deterministic
+    # uniform draw, so the cap is an unbiased sample.
+    cal_cols = [*coord_cols, *feature_cols, target_col]
+    pdf = (clean.select(*cal_cols)
+           .orderBy(F.xxhash64(*cal_cols, F.lit(seed)))
+           .limit(max_calibration_rows)
+           .toPandas())
     coords = pdf[list(coord_cols)].to_numpy(float)
     x_cal = pdf[feature_cols].to_numpy(float)
     y_cal = pdf[target_col].to_numpy(float)

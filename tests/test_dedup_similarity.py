@@ -91,6 +91,37 @@ def test_ivf_topk_contains_planted_neighbor(spark):
     assert 0 in ids and 7 in ids
 
 
+def test_lsh_candidates_no_job_on_plan_build(spark):
+    # VERDICT r1: building the candidate plan must not launch a Spark job
+    # (the old .first() width probe did). The width guard now lives either
+    # driver-side (num_hashes passed) or inside the plan (raise_error).
+    from lswms_forage_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    sigs = minhash_signatures(_docs(spark), num_hashes=16)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    pairs = lsh_candidate_pairs(sigs, bands=4)              # in-plan guard
+    pairs2 = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
+    assert len(tracker.getJobIdsForGroup(None)) == before
+    assert pairs.count() == pairs2.count()
+    # the in-plan guard actually fires on a bad width
+    bad = minhash_signatures(_docs(spark), num_hashes=6)
+    try:
+        lsh_candidate_pairs(bad, bands=4).count()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    try:
+        lsh_candidate_pairs(bad, bands=4, num_hashes=6)
+        raised_static = False
+    except ValueError:
+        raised_static = True
+    assert raised_static
+
+
 def test_embedding_near_dups(spark):
     emb, _ = _embeddings(spark)
     pairs = {(r["id_a"], r["id_b"]) for r in

@@ -87,7 +87,13 @@ def test_gwr_recovers_linear_signal(spark):
     df = spark.createDataFrame(
         [tuple(map(float, t)) for t in zip(lon, lat, sm, preci, ndvi)],
         "lon double, lat double, sm double, preci double, ndvi double")
-    out = gwr_fit_score(df, bandwidth=60).withColumn(
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    scored = gwr_fit_score(df, bandwidth=60)
+    # VERDICT r1: calibration is ONE collect (hash-ordered top-k), not
+    # count + sample + collect
+    assert len(tracker.getJobIdsForGroup(None)) - before <= 2
+    out = scored.withColumn(
         "err", F.abs(F.col("pred") - F.col("ndvi")))
     rmse = out.agg(F.sqrt(F.avg(F.col("err") ** 2))).collect()[0][0]
     assert rmse < 0.05
