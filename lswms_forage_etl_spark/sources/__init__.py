@@ -4,6 +4,7 @@ from lswms_forage_etl_spark.sources.geometry import (
 )
 from lswms_forage_etl_spark.sources.geotiff import (
     geotiff_to_cells,
+    geotiff_to_cells_distributed,
     read_geotiff,
 )
 from lswms_forage_etl_spark.sources.ingest import (
@@ -25,6 +26,10 @@ from lswms_forage_etl_spark.sources.xlsx import (
     read_points_xlsx,
     read_xlsx_rows,
 )
+from lswms_forage_etl_spark.sources.geoserver import (
+    GeoServerPublisher,
+    build_mosaic_zip,
+)
 from lswms_forage_etl_spark.sources.sinks import (
     geotiff_export,
     read_manifest,
@@ -40,7 +45,8 @@ __all__ = [
     "write_manifest", "read_manifest", "rest_post_sink", "geotiff_export",
     "zone_coverage_from_wkt", "zone_coverage_tables",
     "daily_fetch_plan", "run_fetches", "Notifier",
-    "read_geotiff", "geotiff_to_cells",
+    "read_geotiff", "geotiff_to_cells", "geotiff_to_cells_distributed",
+    "GeoServerPublisher", "build_mosaic_zip",
     "read_shapefile_zones", "read_shp_polygons",
     "read_xlsx_rows", "read_points_xlsx",
 ]

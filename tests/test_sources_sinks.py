@@ -4,6 +4,7 @@ injected transport, GeoTIFF export stub, resume-state derivation."""
 from __future__ import annotations
 
 import datetime as dt
+import io
 import json
 import os
 
@@ -139,6 +140,65 @@ def test_geotiff_export_real_roundtrip(spark, tmp_path):
     # nodata cells come back masked to NaN, matching the scan-side F5 rule
     assert np.isnan(arr[5, 5])
     assert np.isnan(arr).sum() == 300 * 260 - 3
+
+
+def test_geoserver_publisher_call_sequence(tmp_path):
+    """S16 (tools.py:70-139, import_biomass.py:55-76): create-on-first-
+    contact then harvest, zip = raster + exactly 2 properties files,
+    time dimension enabled right after create."""
+    from lswms_forage_etl_spark.sources.geoserver import (
+        GeoServerPublisher,
+        build_mosaic_zip,
+    )
+    import zipfile as zf
+
+    props = tmp_path / "props"
+    props.mkdir()
+    (props / "indexer.properties").write_text("TimeAttribute=time\n")
+    (props / "timeregex.properties").write_text("regex=[0-9]{8}\n")
+    r1 = tmp_path / "biomass_20240101.tif"
+    r2 = tmp_path / "biomass_20240117.tif"
+    r1.write_bytes(b"t1")
+    r2.write_bytes(b"t2")
+
+    payload = build_mosaic_zip(str(r1), str(props))
+    assert sorted(zf.ZipFile(io.BytesIO(payload)).namelist()) == [
+        "biomass_20240101.tif", "indexer.properties", "timeregex.properties"]
+
+    calls = []
+    stores: set[str] = set()
+
+    def fake_transport(method, url, payload):
+        calls.append((method, url.split("/geoserver/rest/", 1)[1]))
+        if method == "GET":
+            return (200, "ok") if "biomass_et" in stores else (404, "absent")
+        if method == "POST" and url.endswith("file.imagemosaic"):
+            stores.add("biomass_et")
+        return 201, "created"
+
+    pub = GeoServerPublisher("http://gs/geoserver/rest", "waterpoints_et",
+                             fake_transport)
+    counts = pub.publish("biomass_et", [str(r1), str(r2)], str(props))
+    assert counts == {"created": 1, "updated": 1}
+    base = "workspaces/waterpoints_et/coveragestores/biomass_et"
+    assert calls == [
+        ("GET", f"{base}.xml"),                            # store probe
+        ("POST", f"{base}/file.imagemosaic"),              # create mosaic
+        ("PUT", f"{base}/coverages/biomass_et.xml"),       # enable time
+        ("GET", f"{base}.xml"),                            # store probe
+        ("POST", f"{base}/file.imagemosaic?recalculate="),  # harvest
+    ]
+
+    # exactly-2-properties guard (zip_files aborts otherwise)
+    (props / "extra.properties").write_text("x\n")
+    with pytest.raises(ValueError):
+        build_mosaic_zip(str(r1), str(props))
+
+    # non-2xx from the server surfaces, never silent success
+    bad = GeoServerPublisher("http://gs/geoserver/rest", "ws",
+                             lambda m, u, p: (500, "boom"))
+    with pytest.raises(RuntimeError):
+        bad.create_mosaic("s", payload)
 
 
 def test_scan_filenames_and_resume(spark, tmp_path):
