@@ -387,7 +387,9 @@ def q_agg_temporal_sum_composite(spark, sf):
                   F.col("ts").cast("date").alias("d"), v.alias("v"))
     j = assign_period(e, periods, date_col="d")
     return (j.groupBy("cell", F.col("end").alias("date"))
-            .agg((F.sum(F.floor(F.col("v") * 10000 + 0.5).cast("long")) / 10000.0)
+            .agg((F.coalesce(
+                F.sum(F.floor(F.col("v") * 10000 + 0.5).cast("long")),
+                F.lit(0).cast("long")) / 10000.0)
                  .alias("value_sum")))
 
 
@@ -1198,8 +1200,9 @@ def oracle_sql() -> dict[str, str]:
 
     sql["agg_temporal_sum_composite"] = f"""
         SELECT user_id % 100 AS cell, "end" AS date,
-               sum(CAST(floor((CASE WHEN event_type = 'error' THEN NULL
-                                    ELSE value END) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS value_sum
+               coalesce(sum(CAST(floor((CASE WHEN event_type = 'error' THEN NULL
+                                    ELSE value END) * 10000 + 0.5) AS BIGINT)),
+                        0) / 10000.0 AS value_sum
         FROM events JOIN {periods_2024}
           ON CAST(ts AS DATE) BETWEEN start AND "end"
         GROUP BY 1, 2

@@ -31,11 +31,17 @@ def composite(df: DataFrame, periods: DataFrame, agg: str = "mean",
     :312-317).
     """
     out_col = out_col or f"{value_col}_{agg}"
-    fn = {"mean": F.avg, "sum": F.sum}[agg]
+    # mean of an all-NULL slice is NaN in xarray -> NULL here; but the
+    # reference's precipitation sum is `ds.sum(skipna=True)`, which yields
+    # 0.0 for an all-NaN slice — Spark sum() would yield NULL (ADVICE r1)
+    agg_expr = {
+        "mean": F.avg(value_col),
+        "sum": F.coalesce(F.sum(value_col), F.lit(0.0)),
+    }[agg]
     tagged = assign_period(df, periods, date_col)
     return (
         tagged.groupBy(*key_cols, "period_id", "end")
-        .agg(fn(value_col).alias(out_col))
+        .agg(agg_expr.alias(out_col))
         .withColumnRenamed("end", date_col)
         .drop("period_id")
     )

@@ -72,16 +72,20 @@ def read_manifest(spark: SparkSession, path: str) -> DataFrame:
 def rest_post_sink(df: DataFrame, url: str, token: str,
                    transport: Callable[[str, dict, list[dict]], int],
                    batch_size: int = 500,
-                   round_cols: dict[str, int] | None = None) -> int:
+                   round_cols: dict[str, int] | None = None) -> dict[str, int]:
     """S14/S15 — REST bulk-POST sink (BiomassAggregate.py:367-395,
     BiomassForecast.py:104-144).
 
     Rows are serialized with `to_json` (NULL -> JSON null reproduces the
     reference's NaN->None, :375-376), batched, and handed to `transport`
-    (url, headers, batch) -> status. Transport is injectable so tests (and
-    air-gapped runs) never open sockets; the default production transport
-    would be a urllib POST. Executed per partition — each executor posts
-    its own slice; no driver collect of the payload."""
+    (url, headers, batch) -> HTTP status. Transport is injectable so tests
+    (and air-gapped runs) never open sockets; the default production
+    transport would be a urllib POST. Executed per partition — each
+    executor posts its own slice; no driver collect of the payload.
+
+    Returns {"delivered": rows, "failed": rows} by transport status (the
+    reference branches on status codes too, BiomassAggregate.update_trends
+    — partial delivery must never read as full success; ADVICE r1)."""
     out = df
     for c, nd in (round_cols or {}).items():
         out = out.withColumn(c, F.round(F.col(c), nd))
@@ -90,22 +94,28 @@ def rest_post_sink(df: DataFrame, url: str, token: str,
                "Content-Type": "application/json"}
 
     def post_partition(it: Iterator) -> Iterator[tuple[int, int]]:
-        batch, sent, n = [], 0, 0
+        batch, ok, bad = [], 0, 0
+
+        def flush():
+            nonlocal ok, bad
+            status = transport(url, headers, batch)
+            if 200 <= status < 300:
+                ok += len(batch)
+            else:
+                bad += len(batch)
+
         for row in it:
             batch.append(json.loads(row["j"]))
             if len(batch) >= batch_size:
-                transport(url, headers, batch)
-                sent += 1
-                n += len(batch)
+                flush()
                 batch = []
         if batch:
-            transport(url, headers, batch)
-            sent += 1
-            n += len(batch)
-        yield (sent, n)
+            flush()
+        yield (ok, bad)
 
     stats = json_rows.rdd.mapPartitions(post_partition).collect()
-    return sum(n for _, n in stats)
+    return {"delivered": sum(ok for ok, _ in stats),
+            "failed": sum(bad for _, bad in stats)}
 
 
 def geotiff_export(cells: DataFrame, out_dir: str,

@@ -74,6 +74,19 @@ def test_mean_and_sum_composites(spark):
     assert len(m) == 2 and len(s) == 2
 
 
+def test_sum_composite_all_null_slice_is_zero(spark):
+    # xarray ds.sum(dim='time', skipna=True) gives 0.0 for an all-NaN
+    # slice (reference :296-319); mean stays NULL (NaN). ADVICE r1.
+    periods = periods_df(spark, dt.date(2024, 1, 1), dt.date(2024, 2, 10))
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 2), 0, 0, None), (dt.date(2024, 1, 10), 0, 0, None)],
+        "date date, row int, col int, value double")
+    s = sum_composite(df, periods).collect()
+    assert len(s) == 1 and s[0]["value_sum"] == 0.0
+    m = mean_composite(df, periods).collect()
+    assert len(m) == 1 and m[0]["value_mean"] is None
+
+
 def test_composite_no_per_period_loop_one_shuffle(spark):
     # plan sanity: a single hash aggregate over the bucket join — no union
     # of per-period subplans

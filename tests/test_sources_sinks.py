@@ -93,7 +93,7 @@ def test_rest_post_sink_batches(spark, tmp_path):
         "id int, v double, s string").repartition(2)
     n = rest_post_sink(df, "http://api/bulk", "tok", transport, batch_size=2,
                        round_cols={"v": 4})
-    assert n == 3
+    assert n == {"delivered": 3, "failed": 0}
     rows = []
     for f in os.listdir(out_dir):
         rows += json.load(open(out_dir / f))
@@ -101,6 +101,10 @@ def test_rest_post_sink_batches(spark, tmp_path):
     byid = {r["id"]: r for r in rows}
     # NULL -> absent/null in JSON (reference NaN->None)
     assert "v" not in byid[2] or byid[2]["v"] is None
+    # failed POSTs are reported, not folded into the success count
+    n = rest_post_sink(df, "http://api/bulk", "tok",
+                       lambda u, h, b: 503, batch_size=2)
+    assert n == {"delivered": 0, "failed": 3}
 
 
 def test_geotiff_export_stub(spark, tmp_path):
