@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -117,6 +118,38 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 BAND_SEED_STRIDE = 7919  # seed offset between hyperplane tables (prime)
 
 
+def band_signatures_udf(num_planes: int = 8, dim: int = 64,
+                        seed: int = 1234, num_bands: int = 4):
+    """Arrow-vectorized per-band hyperplane signatures: array<long> of
+    `num_bands` bucket ids per vector.
+
+    Bit-compatible with the expression form (`hyperplane_signature`) and
+    the DuckDB oracle: the dot product accumulates LEFT-TO-RIGHT in
+    float64 (a dim-step python loop over vectorized columns), exactly the
+    JVM `aggregate` fold order, so a near-zero dot can never flip sign
+    between engines. One numpy pass computes all bands*planes dots — the
+    equivalent higher-order-function expression is interpreted (lambda
+    expressions are outside whole-stage codegen) and ~50x slower."""
+    from pyspark.sql.functions import pandas_udf
+
+    flat = np.stack([
+        hyperplanes(num_planes, dim, seed + b * BAND_SEED_STRIDE)
+        for b in range(num_bands)]).reshape(-1, dim)          # (B*R, D)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sigs(col: pd.Series) -> pd.Series:
+        v = np.asarray(col.tolist(), dtype=np.float64)        # n x D
+        acc = np.zeros((v.shape[0], flat.shape[0]))
+        for i in range(dim):                                  # fold order!
+            acc += v[:, i:i + 1] * flat[None, :, i]
+        bits = (acc >= 0).reshape(len(v), num_bands, num_planes)
+        sig = (bits * weights).sum(axis=2)
+        return pd.Series(list(sig))
+
+    return sigs
+
+
 def band_buckets(embeddings: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", num_planes: int = 8,
                  dim: int = 64, seed: int = 1234,
@@ -131,12 +164,10 @@ def band_buckets(embeddings: DataFrame, id_col: str = "vec_id",
     (2^num_planes of them; scale num_planes ~ log2(n/target_bucket))."""
     from lswms_forage_etl_spark.operators.dedup import _spread
 
-    sigs = F.array(*[
-        hyperplane_signature(vec_col, num_planes, dim,
-                             seed + b * BAND_SEED_STRIDE)
-        for b in range(num_bands)])
-    return (_spread(embeddings)   # b*r dot-folds/row must use every core
-            .select(F.col(id_col), F.posexplode(sigs).alias("band", "bucket")))
+    sigs = band_signatures_udf(num_planes, dim, seed, num_bands)
+    return (_spread(embeddings)   # b*r dots/row must use every core
+            .select(F.col(id_col),
+                    F.posexplode(sigs(F.col(vec_col))).alias("band", "bucket")))
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
