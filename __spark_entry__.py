@@ -36,7 +36,9 @@ from lswms_forage_etl_spark.functions.grid import (
 )
 from lswms_forage_etl_spark.functions import text as T
 from lswms_forage_etl_spark.operators.dedup import (
+    MINHASH_PRIME,
     exact_dedup,
+    minhash_coeffs,
     minhash_signatures,
     lsh_candidate_pairs,
     ngram_jaccard,
@@ -1481,7 +1483,14 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1
     """
 
-    _mh = ("list_min(list_transform(sh, s -> md5('{i}|' || s)))")
+    # minhash: one md5-derived 32-bit base per shingle, affine rehash per
+    # hash index — mirrors dedup._minhash_sig (coeffs from the same
+    # generator; empty shingle set -> MINHASH_PRIME sentinel)
+    _coeffs = minhash_coeffs(16)
+    _mh = ("coalesce(list_min(list_transform(xs, "
+           "x -> ({a} * x + {b}) % " + str(MINHASH_PRIME) + ")), "
+           + str(MINHASH_PRIME) + ")")
+    _xs = ("list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)")
     sql["dedup_minhash_sig"] = f"""
         WITH t AS (
           SELECT doc_id,
@@ -1489,19 +1498,20 @@ def oracle_sql() -> dict[str, str]:
                              x -> x <> '') AS toks
           FROM documents),
         s AS (
-          SELECT doc_id, {_SHINGLE_FRAG} AS sh FROM t)
+          SELECT doc_id, {_SHINGLE_FRAG} AS sh FROM t),
+        x AS (SELECT doc_id, {_xs} AS xs FROM s)
         SELECT doc_id,
-               {_mh.format(i=0)} AS mh_0,
-               {_mh.format(i=7)} AS mh_7,
-               {_mh.format(i=15)} AS mh_15
-        FROM s
+               {_mh.format(a=_coeffs[0][0], b=_coeffs[0][1])} AS mh_0,
+               {_mh.format(a=_coeffs[7][0], b=_coeffs[7][1])} AS mh_7,
+               {_mh.format(a=_coeffs[15][0], b=_coeffs[15][1])} AS mh_15
+        FROM x
     """
 
-    # LSH pairs: replicate band hashing in SQL
+    # LSH pairs: replicate band hashing in SQL (BIGINT minhash values
+    # implicitly cast to VARCHAR by concat_ws, same as the Spark cast)
     band_hash = ("md5(concat_ws('|', mh[{lo}], mh[{a}], mh[{b}], mh[{c}]))")
     mh_list = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s)))"
-        for i in range(16))
+        _mh.format(a=a, b=b) for a, b in _coeffs)
     bands_sql = ", ".join(
         band_hash.format(lo=4 * b + 1, a=4 * b + 2, b=4 * b + 3, c=4 * b + 4)
         for b in range(4))
@@ -1512,7 +1522,8 @@ def oracle_sql() -> dict[str, str]:
                              x -> x <> '') AS toks
           FROM documents),
         s AS (SELECT doc_id, {_SHINGLE_FRAG} AS sh FROM t),
-        m AS (SELECT doc_id, sh, [{mh_list}] AS mh FROM s),
+        m AS (SELECT doc_id, sh, [{mh_list}] AS mh
+              FROM (SELECT doc_id, sh, {_xs} AS xs FROM s)),
         b AS (
           SELECT doc_id, sh, unnest([{bands_sql}]) AS band_hash,
                  unnest([0, 1, 2, 3]) AS band_id

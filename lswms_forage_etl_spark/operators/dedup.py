@@ -76,32 +76,63 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def minhash_coeffs(num_hashes: int = 16,
+                   seed: int = 602214076) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine universal-hash family
+    h_i(x) = (a_i*x + b_i) mod MINHASH_PRIME. Shared by the Spark
+    expression and the DuckDB oracle generator. a_i < 2^31 and x < 2^32,
+    so a_i*x + b_i < 2^63 — no BIGINT overflow in either engine."""
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    return [(int(rng.randint(1, 2**31 - 1)), int(rng.randint(0, 2**31 - 1)))
+            for _ in range(num_hashes)]
+
+
+def _minhash_sig(sh_col, num_hashes: int):
+    """MinHash signature as ONE fold: md5 each shingle ONCE (first 8 hex
+    chars -> 32-bit base value), then all `num_hashes` mins come from
+    cheap affine rehashes of that base (Carter-Wegman universal hashing).
+    The naive alternative — hash_i(s) = md5(i||s) — costs num_hashes md5
+    evals per shingle: 16x the scan-side hashing at 100 TB.
+
+    The base array is consumed by a single `aggregate`, never referenced
+    twice (CollapseProject would duplicate the md5 transform per
+    reference — the shingle_table 60x blowup). Empty shingle sets fold to
+    the MINHASH_PRIME sentinel (> any hash value)."""
+    p = F.lit(MINHASH_PRIME)
+    consts = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in minhash_coeffs(num_hashes)])
+    xs = F.transform(
+        sh_col, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+        .cast("long"))
+    return F.aggregate(
+        xs, F.array_repeat(p.cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc, consts, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % p)))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_hashes: int = 16,
                        shingles: DataFrame | None = None) -> DataFrame:
-    """(id, minhash array<string>) — hash_i(s) = md5(i || s); min per i.
+    """(id, minhash array<long>) — min over shingles of affine rehashes of
+    one md5-derived base per shingle (see _minhash_sig).
 
-    Portable across engines (md5 of strings), vectorized JVM-side via
-    higher-order array functions — no Python, no explode shuffle: the
+    Portable across engines (md5 + BIGINT arithmetic), vectorized JVM-side
+    via higher-order array functions — no Python, no explode shuffle: the
     signature is computed inside the scan projection.
     """
     if shingles is not None:
-        sig = F.array(*[F.array_min(F.transform(F.col("sh"), _hasher(i)))
-                        for i in range(num_hashes)])
-        return shingles.select(F.col(id_col), sig.alias("minhash"))
-    sh = word_shingles(text_col, k)
-
-    sig = F.array(*[F.array_min(F.transform(sh, _hasher(i)))
-                    for i in range(num_hashes)])
-    return _spread(docs).select(F.col(id_col), sig.alias("minhash"))
-
-
-def _hasher(i: int):
-    # NB: must be a 1-arg lambda — F.transform treats a 2-arg callable
-    # as (element, index), which would silently shadow the hash index.
-    prefix = f"{i}|"
-    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+        return shingles.select(
+            F.col(id_col), _minhash_sig(F.col("sh"), num_hashes)
+            .alias("minhash"))
+    return _spread(docs).select(
+        F.col(id_col),
+        _minhash_sig(word_shingles(text_col, k), num_hashes).alias("minhash"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
@@ -119,8 +150,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     job on the hot path (VERDICT r1)."""
     band_arr = F.expr(
         f"transform(sequence(0, {bands - 1}), b -> "
-        f"md5(concat_ws('|', slice(minhash, b * (size(minhash) div {bands}) + 1, "
-        f"size(minhash) div {bands})))) ")
+        f"md5(concat_ws('|', transform("
+        f"slice(minhash, b * (size(minhash) div {bands}) + 1, "
+        f"size(minhash) div {bands}), v -> cast(v as string))))) ")
     if num_hashes is not None:
         if num_hashes < bands or num_hashes % bands != 0:
             raise ValueError(
