@@ -836,8 +836,9 @@ def q_mm_frame_sample(spark, sf):
 
 def q_mm_byte_histogram(spark, sf):
     """Arrow-batched featurizer over binary payloads (mapInPandas) —
-    projected to 3 stable histogram bins. Rows-only oracle: byte-level
-    histogramming is not SQL-expressible in DuckDB."""
+    projected to 3 stable histogram bins. Oracle-checked: DuckDB replays
+    the byte histogram by hex-decoding the payload blob (2 hex chars per
+    byte) with portable 9-dp rounding on both sides."""
     h = byte_histogram(synth_media(_t(spark, sf, "documents")), bins=16)
     return h.select("media_id",
                     F.col("features")[0].alias("bin_0"),
@@ -1729,6 +1730,27 @@ def oracle_sql() -> dict[str, str]:
           SELECT media_id, frames, unnest(range(0, frames)) AS frame_idx
           FROM v)
         SELECT media_id, frames, frame_idx FROM x WHERE frame_idx % 10 = 0
+    """
+
+    # byte histogram: hex-decode the payload blob (2 hex chars per byte),
+    # bin = byte // 16, portable 9-dp rounding mirrors the numpy side
+    sql["mm_byte_histogram"] = """
+        WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        b AS (SELECT media_id,
+                     ('0x' || substr(hx, 2 * j + 1, 2))::INT // 16 AS bin
+              FROM m, (SELECT unnest(range(0, n)) AS j)),
+        h AS (SELECT media_id,
+                     count(*) FILTER (WHERE bin = 0) AS c0,
+                     count(*) FILTER (WHERE bin = 7) AS c7,
+                     count(*) FILTER (WHERE bin = 15) AS c15
+              FROM b GROUP BY 1)
+        SELECT m.media_id,
+               coalesce(floor(c0 / m.n * 1e9 + 0.5) / 1e9, 0.0) AS bin_0,
+               coalesce(floor(c7 / m.n * 1e9 + 0.5) / 1e9, 0.0) AS bin_7,
+               coalesce(floor(c15 / m.n * 1e9 + 0.5) / 1e9, 0.0) AS bin_15
+        FROM m LEFT JOIN h USING (media_id)
     """
 
     # banded multi-table hyperplane LSH: one UNION ALL branch per band,
