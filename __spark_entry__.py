@@ -37,6 +37,7 @@ from lswms_forage_etl_spark.functions.grid import (
 from lswms_forage_etl_spark.functions import text as T
 from lswms_forage_etl_spark.operators.dedup import (
     MINHASH_PRIME,
+    duplicate_clusters,
     exact_dedup,
     minhash_coeffs,
     minhash_signatures,
@@ -743,6 +744,20 @@ def q_dedup_lsh_pairs(spark, sf):
     return ngram_jaccard(docs, pairs, shingles=sh).where(F.col("jaccard") >= 0.5)
 
 
+def q_dedup_clusters(spark, sf):
+    """Duplicate clusters: the LSH near-dup pairs (jaccard >= 0.5) resolved
+    into connected components by iterative min-label propagation ->
+    (doc_id, canonical rep_id, cluster_size). The oracle replays the
+    closure with a recursive CTE — same fixpoint, different algorithm."""
+    docs = _t(spark, sf, "documents")
+    sh = shingle_table(docs).persist()
+    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh).persist()
+    pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
+    dups = ngram_jaccard(docs, pairs, shingles=sh).where(
+        F.col("jaccard") >= 0.5)
+    return duplicate_clusters(dups)
+
+
 def q_dedup_ngram_jaccard(spark, sf):
     """Exact word-3-gram jaccard for a deterministic candidate pair set
     (doc_id vs doc_id+7, plus doc_id vs doc_id+100) — the LSH verify stage
@@ -971,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         # similarity
@@ -1516,8 +1532,7 @@ def oracle_sql() -> dict[str, str]:
     bands_sql = ", ".join(
         band_hash.format(lo=4 * b + 1, a=4 * b + 2, b=4 * b + 3, c=4 * b + 4)
         for b in range(4))
-    sql["dedup_lsh_pairs"] = f"""
-        WITH t AS (
+    _lsh_ctes = f"""t AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                              x -> x <> '') AS toks
@@ -1540,8 +1555,29 @@ def oracle_sql() -> dict[str, str]:
                             / len(list_distinct(sa.sh || sb.sh))
                        ELSE 0.0 END''', 6)} AS jaccard
           FROM cand JOIN s sa ON sa.doc_id = id_a
-                    JOIN s sb ON sb.doc_id = id_b)
+                    JOIN s sb ON sb.doc_id = id_b)"""
+
+    sql["dedup_lsh_pairs"] = f"""
+        WITH {_lsh_ctes}
         SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+    """
+
+    # connected components over the verified near-dup pairs: transitive
+    # closure by recursive CTE (oracle-side only — the engine uses
+    # iterative min-label propagation, which is the scale shape)
+    sql["dedup_clusters"] = f"""
+        WITH RECURSIVE {_lsh_ctes},
+        p AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.5),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id),
+        lbl AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY 1)
+        SELECT doc_id, rep_id,
+               count(*) OVER (PARTITION BY rep_id) AS cluster_size
+        FROM lbl
     """
 
     # SimHash: replay the md5-derived 64-bit signature bit-for-bit. Bit b

@@ -211,6 +211,53 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
         F.col("jaccard") >= threshold)
 
 
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_rounds: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs -> (doc_id, rep_id,
+    cluster_size), rep_id = min doc id in the component (the canonical
+    keeper a dedup pipeline retains).
+
+    Iterative min-label propagation: every node starts at its own id and
+    each round takes the min of its neighbors' labels (edges used in both
+    directions + self-loop). Label values only fall, so the loop converges
+    in O(diameter) rounds <= O(log n) for the short chains near-dup graphs
+    form; the driver loop only counts rounds — all data movement is one
+    shuffled join + one aggregation per round, the standard large-graph CC
+    shape (no collect of edges). Raises if max_rounds is hit without a
+    fixpoint rather than returning half-merged clusters."""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b), F.col(id_a)))
+             .union(pairs.select(F.col(id_a), F.col(id_a)))
+             .union(pairs.select(F.col(id_b), F.col(id_b)))
+             .distinct().persist())
+    labels = (edges.groupBy(F.col("src").alias("id"))
+              .agg(F.min("dst").alias("lbl")).persist())
+    for _ in range(max_rounds):
+        # new label(v) = min label among v and its neighbors
+        prop = (edges.join(labels.withColumnRenamed("id", "dst")
+                           .withColumnRenamed("lbl", "nlbl"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("nlbl").alias("lbl")).persist())
+        changed = (prop.join(labels.withColumnRenamed("lbl", "old"), "id")
+                   .where(F.col("lbl") != F.col("old")))
+        done = changed.isEmpty()
+        labels.unpersist()
+        labels = prop
+        if done:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds")
+    edges.unpersist()
+    sizes = labels.groupBy(F.col("lbl").alias("rep_id")) \
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (labels.select(F.col("id").alias("doc_id"),
+                          F.col("lbl").alias("rep_id"))
+            .join(sizes, "rep_id")
+            .select("doc_id", "rep_id", "cluster_size"))
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 64,
             fast: bool = False) -> DataFrame:

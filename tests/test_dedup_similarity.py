@@ -91,6 +91,22 @@ def test_ivf_topk_contains_planted_neighbor(spark):
     assert 0 in ids and 7 in ids
 
 
+def test_duplicate_clusters_components(spark):
+    from lswms_forage_etl_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3 (transitive, never a direct 1-3 pair), pair 10-11,
+    # plus a long path 20..24 to force several propagation rounds
+    pairs = [(1, 2), (2, 3), (10, 11),
+             (20, 21), (21, 22), (22, 23), (23, 24)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["doc_id"]: (r["rep_id"], r["cluster_size"])
+           for r in duplicate_clusters(df).collect()}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[10] == (10, 2) and got[11] == (10, 2)
+    assert all(got[i] == (20, 5) for i in range(20, 25))
+    assert len(got) == 10
+
+
 def test_lsh_candidates_no_job_on_plan_build(spark):
     # VERDICT r1: building the candidate plan must not launch a Spark job
     # (the old .first() width probe did). The width guard now lives either
