@@ -744,6 +744,24 @@ def q_dedup_lsh_pairs(spark, sf):
     return ngram_jaccard(docs, pairs, shingles=sh).where(F.col("jaccard") >= 0.5)
 
 
+def q_sample_stratified(spark, sf):
+    """Deterministic stratified downsample: halve the dominant language,
+    quarter 'de', keep the tail — decisions are md5(key) threshold
+    compares, so retries/oracles reproduce the exact sample (no rand())."""
+    from lswms_forage_etl_spark.operators.sampling import stratified_sample
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, "lang", {"en": 0.5, "de": 0.25},
+                             key_col="doc_id", default_rate=1.0)
+
+
+def q_sample_group_cap(spark, sf):
+    """Deterministic reservoir: at most 12 docs per source, picked by hash
+    order — the skew-safe way to cap a dominant domain at 100 TB."""
+    from lswms_forage_etl_spark.operators.sampling import group_cap
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return group_cap(docs, ["source"], k=12, key_col="doc_id")
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate clusters: the LSH near-dup pairs (jaccard >= 0.5) resolved
     into connected components by iterative min-label propagation ->
@@ -987,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_lsh_pairs": q_dedup_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
+        "sample_group_cap": q_sample_group_cap,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         # similarity
@@ -1560,6 +1580,26 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_lsh_pairs"] = f"""
         WITH {_lsh_ctes}
         SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+    """
+
+    # deterministic sampling: md5-derived u32 thresholds / hash-order caps
+    _u32 = ("('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT")
+    _th = {k: int(r * (1 << 32))
+           for k, r in (("en", 0.5), ("de", 0.25), ("_", 1.0))}
+    sql["sample_stratified"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE {_u32} < CASE lang WHEN 'en' THEN {_th['en']}
+                                 WHEN 'de' THEN {_th['de']}
+                                 ELSE {_th['_']} END
+    """
+    sql["sample_group_cap"] = f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY {_u32}, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 12
     """
 
     # connected components over the verified near-dup pairs: transitive

@@ -1,0 +1,57 @@
+"""Deterministic sampling operators: reproducibility, rate accuracy,
+partitioning-invariance (properties Spark's rand()-based sample lacks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.operators.sampling import (
+    group_cap,
+    hash_sample,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("grp"))
+
+
+def test_hash_sample_rate_and_determinism(spark):
+    df = _docs(spark)
+    s1 = hash_sample(df, 0.3, "doc_id")
+    n = s1.count()
+    assert abs(n / 2000 - 0.3) < 0.05                 # rate is honest
+    ids1 = {r["doc_id"] for r in s1.collect()}
+    # identical sample regardless of physical partitioning
+    ids2 = {r["doc_id"] for r in
+            hash_sample(df.repartition(13), 0.3, "doc_id").collect()}
+    assert ids1 == ids2
+    # different seed -> different (but same-rate) sample
+    ids3 = {r["doc_id"] for r in
+            hash_sample(df, 0.3, "doc_id", seed=9).collect()}
+    assert ids3 != ids1
+
+
+def test_stratified_rates_per_group(spark):
+    df = _docs(spark)
+    out = stratified_sample(df, "grp", {"g0": 1.0, "g1": 0.5}, "doc_id",
+                            default_rate=0.0)
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["g0"] == 500                        # rate 1.0 keeps all
+    assert abs(counts.get("g1", 0) / 500 - 0.5) < 0.1
+    assert "g2" not in counts and "g3" not in counts  # default 0.0
+
+
+def test_group_cap_exact_k_and_stable(spark):
+    df = _docs(spark)
+    out = group_cap(df, ["grp"], k=7, key_col="doc_id")
+    counts = [r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()]
+    assert counts == [7, 7, 7, 7]
+    a = {(r["grp"], r["doc_id"]) for r in out.collect()}
+    b = {(r["grp"], r["doc_id"]) for r in
+         group_cap(df.repartition(17), ["grp"], 7, "doc_id").collect()}
+    assert a == b                                     # partition-invariant
