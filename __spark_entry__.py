@@ -762,6 +762,33 @@ def q_sample_group_cap(spark, sf):
     return group_cap(docs, ["source"], k=12, key_col="doc_id")
 
 
+def q_text_contamination(spark, sf):
+    """Train/eval contamination sweep: sources split by parity into
+    train/eval, LSH candidates crossing the split, directional n-gram
+    containment of the EVAL doc inside the train doc >= 0.2 — catches
+    near-verbatim inclusion that symmetric jaccard under-scores."""
+    from lswms_forage_etl_spark.operators.dedup import ngram_containment
+    docs = _t(spark, sf, "documents")
+    sh = shingle_table(docs).persist()
+    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh)
+    pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
+    par = docs.select(
+        "doc_id",
+        (F.substring("source", 4, 10).cast("int") % 2).alias("split"))
+    crossing = (pairs
+                .join(par.toDF("id_a", "split_a"), "id_a")
+                .join(par.toDF("id_b", "split_b"), "id_b")
+                .where(F.col("split_a") != F.col("split_b")))
+    cont = ngram_containment(docs, crossing.select("id_a", "id_b"),
+                             shingles=sh)
+    j = (cont.join(par.toDF("id_a", "split_a"), "id_a")
+         .select(
+             "id_a", "id_b",
+             F.when(F.col("split_a") == 0, F.col("containment_b_in_a"))
+             .otherwise(F.col("containment_a_in_b")).alias("containment")))
+    return j.where(F.col("containment") >= 0.2)
+
+
 def q_dedup_clusters(spark, sf):
     """Duplicate clusters: the LSH near-dup pairs (jaccard >= 0.5) resolved
     into connected components by iterative min-label propagation ->
@@ -1007,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
         "sample_group_cap": q_sample_group_cap,
+        "text_contamination": q_text_contamination,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         # similarity
@@ -1600,6 +1628,29 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY {_u32}, doc_id) AS rn
           FROM documents)
         WHERE rn <= 12
+    """
+
+    # train/eval contamination: candidates crossing the parity split,
+    # directional containment of the eval doc's shingles in the train doc
+    _cont = ("CASE WHEN len({den}.sh) > 0 THEN "
+             "CAST(len(list_intersect(sa2.sh, sb.sh)) AS DOUBLE)"
+             " / len({den}.sh) ELSE 0.0 END")
+    sql["text_contamination"] = f"""
+        WITH {_lsh_ctes},
+        par AS (SELECT doc_id, CAST(substr(source, 4) AS INT) % 2 AS split
+                FROM documents),
+        cr AS (SELECT c.id_a, c.id_b, pa.split AS sa
+               FROM cand c JOIN par pa ON pa.doc_id = c.id_a
+                           JOIN par pb ON pb.doc_id = c.id_b
+               WHERE pa.split <> pb.split),
+        ct AS (SELECT cr.id_a, cr.id_b,
+                      CASE WHEN cr.sa = 0
+                           THEN {_pr(_cont.format(den='sb'), 6)}
+                           ELSE {_pr(_cont.format(den='sa2'), 6)}
+                      END AS containment
+               FROM cr JOIN s sa2 ON sa2.doc_id = cr.id_a
+                       JOIN s sb ON sb.doc_id = cr.id_b)
+        SELECT id_a, id_b, containment FROM ct WHERE containment >= 0.2
     """
 
     # connected components over the verified near-dup pairs: transitive

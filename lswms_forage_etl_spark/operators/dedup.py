@@ -196,6 +196,34 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
         .alias("jaccard"))
 
 
+def ngram_containment(docs: DataFrame, pairs: DataFrame,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3,
+                      shingles: DataFrame | None = None) -> DataFrame:
+    """Directional n-gram containment for candidate pairs: what fraction
+    of B's shingles appear in A (and vice versa). The contamination
+    metric for train/eval overlap sweeps — near-verbatim inclusion of a
+    short eval doc inside a long train doc scores ~1.0 where symmetric
+    jaccard stays low. Same join shape as ngram_jaccard: shingle sets
+    travel by id, no re-tokenization per pair."""
+    sh = shingles if shingles is not None else shingle_table(
+        docs, text_col, id_col, k)
+    out = (pairs
+           .join(sh.withColumnRenamed(id_col, "id_a")
+                   .withColumnRenamed("sh", "sh_a"), "id_a")
+           .join(sh.withColumnRenamed(id_col, "id_b")
+                   .withColumnRenamed("sh", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    na = F.size("sh_a").cast("double")
+    nb = F.size("sh_b").cast("double")
+    return out.select(
+        "id_a", "id_b",
+        portable_round(F.when(nb > 0, inter / nb).otherwise(0.0), 6)
+        .alias("containment_b_in_a"),
+        portable_round(F.when(na > 0, inter / na).otherwise(0.0), 6)
+        .alias("containment_a_in_b"))
+
+
 def minhash_dedup(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3, num_hashes: int = 16,
                   bands: int = 4, threshold: float = 0.7) -> DataFrame:

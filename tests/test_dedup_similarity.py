@@ -91,6 +91,22 @@ def test_ivf_topk_contains_planted_neighbor(spark):
     assert 0 in ids and 7 in ids
 
 
+def test_ngram_containment_directional(spark):
+    from lswms_forage_etl_spark.operators.dedup import ngram_containment
+
+    train = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    eval_doc = "delta epsilon zeta eta theta"     # verbatim inside train
+    docs = spark.createDataFrame(
+        [(0, train), (1, eval_doc)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    r = ngram_containment(docs, pairs).collect()[0]
+    # every shingle of the short eval doc appears in the long train doc
+    assert r["containment_b_in_a"] == 1.0
+    # but the symmetric direction (and jaccard) stays low
+    assert r["containment_a_in_b"] < 0.2
+
+
 def test_duplicate_clusters_components(spark):
     from lswms_forage_etl_spark.operators.dedup import duplicate_clusters
 
