@@ -762,6 +762,25 @@ def q_sample_group_cap(spark, sf):
     return group_cap(docs, ["source"], k=12, key_col="doc_id")
 
 
+def q_text_clean_pipeline(spark, sf):
+    """The C4-style cleaning pass in one plan: quality-score gate +
+    language identified (not 'und') + exact-dedup keep-min-id — the
+    composition a real corpus build runs nightly. Scan-side expressions
+    plus ONE window shuffle on the fingerprint."""
+    from pyspark.sql import Window
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id",
+        T.quality_score("text").alias("quality"),
+        T.lang_id("text").alias("lang_pred"),
+        T.fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("quality") >= 0.8)
+                   & (F.col("lang_pred") != "und"))
+            .select("doc_id", "lang_pred", "quality"))
+
+
 def q_text_contamination(spark, sf):
     """Train/eval contamination sweep: sources split by parity into
     train/eval, LSH candidates crossing the split, directional n-gram
@@ -954,6 +973,15 @@ def q_ann_ivf_topk(spark, sf):
                     num_centroids=16, probes=4)
 
 
+def q_ann_topk_join(spark, sf):
+    """Batched retrieval: top-3 corpus neighbors for each of the 8 query
+    vectors (vec_id < 8) in one plan — broadcast queries, map-side
+    scoring, per-query window top-k."""
+    from lswms_forage_etl_spark.operators.similarity import topk_join
+    emb = _t(spark, sf, "embeddings")
+    return topk_join(emb.where(F.col("vec_id") < 8), emb, k=3)
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs: banded multi-table hyperplane LSH
     (4 independent 8-plane tables — recall ~0.89 at s=0.95 vs ~0.43 for one
@@ -1035,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_group_cap": q_sample_group_cap,
         "text_contamination": q_text_contamination,
+        "text_clean_pipeline": q_text_clean_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         # similarity
@@ -1042,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairwise_label_sim": q_ann_pairwise_label_sim,
         "ann_embedding_norms": q_ann_embedding_norms,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_topk_join": q_ann_topk_join,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
         # multimodal
@@ -1630,6 +1660,38 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn <= 12
     """
 
+    # C4-style cleaning pass: quality gate + lang-id + exact-dedup keep-min
+    sql["text_clean_pipeline"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS rawtoks,
+                 list_distinct(list_transform(
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> ''), x -> lower(x))) AS toks
+          FROM documents),
+        h AS (SELECT doc_id, fp, text, rawtoks,
+                     {', '.join(lang_cases)} FROM t),
+        sc AS (
+          SELECT doc_id, fp,
+                 floor(((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)
+                      + (CASE WHEN (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')))
+                              / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.4 END)
+                      + (CASE WHEN length(text) / greatest(len(rawtoks), 1.0) BETWEEN 2.5 AND 12
+                              THEN 1.0 ELSE 0.5 END)) / 3.0 * 10000 + 0.5) / 10000.0 AS quality,
+                 CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de) = 0 THEN 'und'
+                      WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'en'
+                      WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'es'
+                      WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de) THEN 'fr'
+                      ELSE 'de' END AS lang_pred
+          FROM h),
+        r AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM sc)
+        SELECT doc_id, lang_pred, quality FROM r
+        WHERE rn = 1 AND quality >= 0.8 AND lang_pred <> 'und'
+    """
+
     # train/eval contamination: candidates crossing the parity split,
     # directional containment of the eval doc's shingles in the train doc
     _cont = ("CASE WHEN len({den}.sh) > 0 THEN "
@@ -1830,6 +1892,19 @@ def oracle_sql() -> dict[str, str]:
                    WHERE a.cent_id IN (SELECT cent_id FROM probe))
         SELECT vec_id, cosine_sim FROM scored
         ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    sql["ann_topk_join"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        sc AS (SELECT q.query_id, e.vec_id,
+                      {_pr(_cos('e.v', 'q.qv'), 6)} AS cosine_sim
+               FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, vec_id) AS rk FROM sc)
+        SELECT query_id, vec_id, cosine_sim FROM r WHERE rk <= 3
     """
 
     kind_expr = "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]"

@@ -36,10 +36,14 @@ HEADLINE = [
     "topk_global",
     "dedup_exact",
     "dedup_lsh_pairs",
+    "dedup_clusters",
     "dedup_embedding",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_topk_join",
     "text_stats",
+    "text_clean_pipeline",
+    "sample_group_cap",
     "mm_byte_histogram",
 ]
 

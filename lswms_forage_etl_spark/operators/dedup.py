@@ -269,10 +269,13 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                 .agg(F.min("nlbl").alias("lbl")).persist())
         changed = (prop.join(labels.withColumnRenamed("lbl", "old"), "id")
                    .where(F.col("lbl") != F.col("old")))
-        done = changed.isEmpty()
+        # count() (not isEmpty) so prop's cache fully materializes every
+        # round — a short-circuiting probe would leave partial caches and
+        # each round's lineage would recompute the previous rounds' joins
+        n_changed = changed.count()
         labels.unpersist()
         labels = prop
-        if done:
+        if n_changed == 0:
             break
     else:
         raise RuntimeError(

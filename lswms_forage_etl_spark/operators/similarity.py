@@ -218,6 +218,36 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
         .where(F.col("cosine_sim") >= threshold))
 
 
+def topk_join(queries: DataFrame, corpus: DataFrame, k: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id: str = "query_id") -> DataFrame:
+    """Batched ANN join: top-k corpus neighbors for EVERY query row (the
+    retrieval shape — one query vector at a time is lsh_topk/ivf_topk).
+
+    Exact scoring: bounded |Q| x |N| hash-partitioned cross product, then
+    a per-query window top-k. At 100 TB the corpus side is the scale
+    dimension: each corpus partition scores all (broadcast) queries
+    map-side, and only k rows per query survive per partition before the
+    final per-query merge — the same partial-top-k shape Spark's global
+    orderBy.limit uses. Replace the broadcast cross with an IVF/LSH
+    candidate join (ann_lsh_topk pattern) when |Q| is itself large."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias(query_id),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col))
+    qd = F.transform(F.col("_qv"), lambda x: x.cast("double"))
+    cd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = (c.join(F.broadcast(q),
+                     F.col(query_id) != F.col(id_col))
+              .select(query_id, id_col,
+                      portable_round(cosine(cd, qd), 6).alias("cosine_sim")))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))
+
+
 def ivf_centroid_rows(embeddings: DataFrame, num_centroids: int = 16,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
