@@ -81,6 +81,53 @@ def _running_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     })
 
 
+DEDUP_STATE = StructType([StructField("seen", LongType())])
+DEDUP_SCHEMA = StructType([
+    StructField("fp", StringType()),
+    StructField("doc_id", LongType()),
+    StructField("dup_in_batch", LongType()),
+])
+
+
+def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+    seen = state.get[0] if state.exists else 0
+    keeper = None
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        if seen == 0 and len(pdf) > 0:
+            first = int(pdf["doc_id"].min())
+            keeper = first if keeper is None else min(keeper, first)
+    state.update((seen + n,))
+    if seen == 0 and keeper is not None:
+        yield pd.DataFrame({"fp": [str(key[0])], "doc_id": [keeper],
+                            "dup_in_batch": [n]})
+
+
+def stream_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Streaming exact dedup: the first document ever seen per normalized-
+    text fingerprint is emitted (min id inside its arrival batch); every
+    later arrival of the same fingerprint — same batch or any future
+    micro-batch — is suppressed by per-key GroupState. The streaming twin
+    of `operators/dedup.exact_dedup`: an ingest pipeline runs this in
+    front of the corpus sink so replays/backfills cannot re-admit dups.
+    State is one counter per fingerprint, sharded with the shuffle
+    partition — no driver state, no global set."""
+    from lswms_forage_etl_spark.functions.text import fingerprint
+
+    src = docs_stream.select(fingerprint(text_col).alias("fp"),
+                             F.col(id_col).cast("long").alias("doc_id"))
+    return (src.groupBy("fp")
+            .applyInPandasWithState(
+                _dedup_fn,
+                outputStructType=DEDUP_SCHEMA,
+                stateStructType=DEDUP_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def running_composite_state(events_stream: DataFrame,
                             key_col: str = "user_id",
                             value_col: str = "value") -> DataFrame:

@@ -64,3 +64,38 @@ def test_running_state_across_batches(spark, tmp_path):
     got = run_batch()
     assert got["1"]["running_n"] == 3 and got["1"]["running_sum"] == 12.0
     assert got["1"]["running_mean"] == 4.0
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    from lswms_forage_etl_spark.streaming.stateful import stream_exact_dedup
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "dckpt")
+    schema = "doc_id long, text string"
+
+    def run_batch():
+        rows = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_exact_dedup(stream)
+        q = (out.writeStream
+             .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["doc_id"]: r for r in rows}
+
+    # batch 1: X appears twice (keep min id 1), Y once
+    spark.createDataFrame(
+        [(5, "same text"), (1, "same  TEXT"), (3, "other text")],
+        schema).write.mode("append").parquet(src)
+    got = run_batch()
+    assert set(got) == {1, 3}
+    assert got[1]["dup_in_batch"] == 2      # both X arrivals counted
+    # batch 2 (fresh stream, recovered state): X replays -> suppressed;
+    # Z is new -> emitted
+    spark.createDataFrame(
+        [(9, "same text"), (7, "brand new")], schema) \
+        .write.mode("append").parquet(src)
+    got2 = run_batch()
+    assert set(got2) == {7}
