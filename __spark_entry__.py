@@ -982,6 +982,19 @@ def q_ann_topk_join(spark, sf):
     return topk_join(emb.where(F.col("vec_id") < 8), emb, k=3)
 
 
+def q_ann_label_centroids(spark, sf):
+    """Per-label class centroids: distributed element-wise vector mean
+    with exact scaled-integer sums (order-independent under partial
+    aggregation), projected to 3 stable dimensions."""
+    from lswms_forage_etl_spark.operators.similarity import label_centroids
+    emb = _t(spark, sf, "embeddings")
+    c = label_centroids(emb)
+    return c.select("label",
+                    F.col("centroid")[0].alias("c0"),
+                    F.col("centroid")[7].alias("c7"),
+                    F.col("centroid")[63].alias("c63"))
+
+
 def q_dedup_embedding(spark, sf):
     """Embedding-cosine near-dup pairs: banded multi-table hyperplane LSH
     (4 independent 8-plane tables — recall ~0.89 at s=0.95 vs ~0.43 for one
@@ -1072,6 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_norms": q_ann_embedding_norms,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_topk_join": q_ann_topk_join,
+        "ann_label_centroids": q_ann_label_centroids,
         "ann_ivf_topk": q_ann_ivf_topk,
         "dedup_embedding": q_dedup_embedding,
         # multimodal
@@ -1892,6 +1906,28 @@ def oracle_sql() -> dict[str, str]:
                    WHERE a.cent_id IN (SELECT cent_id FROM probe))
         SELECT vec_id, cosine_sim FROM scored
         ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    # per-label centroids: exact scaled-integer per-dimension sums
+    sql["ann_label_centroids"] = """
+        WITH e AS (SELECT label,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        x AS (SELECT label, j, v[j + 1] AS x
+              FROM e, (SELECT unnest(range(0, 64)) AS j)
+              WHERE j IN (0, 7, 63)),
+        a AS (SELECT label, j,
+                     sum(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS sx,
+                     count(*) AS n
+              FROM x GROUP BY 1, 2),
+        c AS (SELECT label, j,
+                     floor(sx / 1000000.0 / n * 1000000 + 0.5) / 1000000.0 AS c
+              FROM a)
+        SELECT label,
+               max(CASE WHEN j = 0 THEN c END) AS c0,
+               max(CASE WHEN j = 7 THEN c END) AS c7,
+               max(CASE WHEN j = 63 THEN c END) AS c63
+        FROM c GROUP BY label
     """
 
     sql["ann_topk_join"] = f"""

@@ -248,6 +248,38 @@ def topk_join(queries: DataFrame, corpus: DataFrame, k: int = 3,
             .where(F.col("_rk") <= k).drop("_rk"))
 
 
+def label_centroids(embeddings: DataFrame, label_col: str = "label",
+                    vec_col: str = "embedding", dim: int = 64,
+                    round_dp: int = 6) -> DataFrame:
+    """Per-label mean vector (class centroids / cluster summaries).
+
+    Distributed element-wise aggregation WITHOUT exploding to (row, dim)
+    pairs: per-dimension scaled-integer sums (exact, order-independent —
+    float summation order would differ between partial aggregates and the
+    oracle) via one posexplode bounded by dim, then rebuilt into an
+    array. Map-side partial aggregation applies; shuffle volume is
+    |labels| x dim tiny rows."""
+    scale = 10 ** round_dp
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    exploded = embeddings.select(
+        F.col(label_col),
+        F.posexplode(vec_d).alias("d", "x"))
+    agg = (exploded.groupBy(label_col, "d")
+           .agg(F.sum(F.floor(F.col("x") * scale + 0.5).cast("long"))
+                .alias("sx"),
+                F.count(F.lit(1)).alias("n")))
+    per_dim = agg.select(
+        label_col, "d",
+        (F.col("sx") / F.lit(float(scale)) / F.col("n")).alias("mx"))
+    return (per_dim.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("d", "mx")))
+                 .alias("_s"))
+            .select(label_col,
+                    F.transform(F.col("_s"),
+                                lambda s: portable_round(s["mx"], round_dp))
+                    .alias("centroid")))
+
+
 def ivf_centroid_rows(embeddings: DataFrame, num_centroids: int = 16,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> list[tuple[int, list[float]]]:

@@ -34,6 +34,7 @@ from lswms_forage_etl_spark.sources.sinks import (
     geotiff_export,
     read_manifest,
     rest_post_sink,
+    write_bucketed,
     write_legacy_csv,
     write_manifest,
     write_partitioned,
@@ -43,6 +44,7 @@ __all__ = [
     "read_csv_strict", "read_points_csv", "read_raster_cells",
     "scan_raster_filenames", "write_partitioned", "write_legacy_csv",
     "write_manifest", "read_manifest", "rest_post_sink", "geotiff_export",
+    "write_bucketed",
     "zone_coverage_from_wkt", "zone_coverage_tables",
     "daily_fetch_plan", "run_fetches", "Notifier",
     "read_geotiff", "geotiff_to_cells", "geotiff_to_cells_distributed",

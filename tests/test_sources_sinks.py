@@ -146,6 +146,32 @@ def test_geotiff_export_real_roundtrip(spark, tmp_path):
     assert np.isnan(arr).sum() == 300 * 260 - 3
 
 
+def test_bucketed_join_no_shuffle(spark):
+    """Two tables bucketed+sorted on the join key must sort-merge-join
+    with ZERO Exchange operators — the co-location contract that removes
+    the dominant shuffle from fact-to-fact joins at scale."""
+    from lswms_forage_etl_spark.sources import write_bucketed
+
+    a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+    write_bucketed(a, "bt_a", ["k"], num_buckets=8, sort_cols=["k"])
+    write_bucketed(b, "bt_b", ["k"], num_buckets=8, sort_cols=["k"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bt_a").join(spark.table("bt_b"), "k")
+            assert j.count() == 1000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan          # co-located: no shuffle
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_geoserver_publisher_call_sequence(tmp_path):
     """S16 (tools.py:70-139, import_biomass.py:55-76): create-on-first-
     contact then harvest, zip = raster + exactly 2 properties files,
