@@ -72,6 +72,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        # queries that persist() stage tables (dedup family) must not leak
+        # cached blocks into the next query's measurement
+        spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
