@@ -72,12 +72,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # queries that persist() stage tables (dedup family) must not leak
-        # cached blocks into the next query's measurement
-        spark.catalog.clearCache()
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):   # best-of-2: damp ambient host noise
+            # queries that persist() stage tables (dedup family) must not
+            # leak cached blocks into the next measurement
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({

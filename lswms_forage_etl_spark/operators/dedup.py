@@ -261,22 +261,25 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
              .distinct().persist())
     labels = (edges.groupBy(F.col("src").alias("id"))
               .agg(F.min("dst").alias("lbl")).persist())
+    # convergence probe: labels only ever DECREASE, so sum(labels) is
+    # strictly monotone until the fixpoint — an unchanged sum means an
+    # unchanged assignment. One full-scan agg per round (materializes the
+    # round's cache; a short-circuiting isEmpty would leave it partial and
+    # recompute prior rounds) and no extra compare-join/shuffle.
+    lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev = labels.agg(lbl_sum).collect()[0][0]
     for _ in range(max_rounds):
         # new label(v) = min label among v and its neighbors
         prop = (edges.join(labels.withColumnRenamed("id", "dst")
                            .withColumnRenamed("lbl", "nlbl"), "dst")
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.min("nlbl").alias("lbl")).persist())
-        changed = (prop.join(labels.withColumnRenamed("lbl", "old"), "id")
-                   .where(F.col("lbl") != F.col("old")))
-        # count() (not isEmpty) so prop's cache fully materializes every
-        # round — a short-circuiting probe would leave partial caches and
-        # each round's lineage would recompute the previous rounds' joins
-        n_changed = changed.count()
+        cur = prop.agg(lbl_sum).collect()[0][0]
         labels.unpersist()
         labels = prop
-        if n_changed == 0:
+        if cur == prev:
             break
+        prev = cur
     else:
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} rounds")
