@@ -154,6 +154,27 @@ def test_lsh_candidates_no_job_on_plan_build(spark):
     assert raised_static
 
 
+def test_ivf_materialized_index_partition_pruned(spark, tmp_path):
+    """The materialized IVF path: probing reads ONLY the probed cent_id
+    partitions (PartitionFilters in the scan) and returns the same top-k
+    as the in-memory ivf_topk."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+    )
+    emb, base = _embeddings(spark)
+    q = [float(x) for x in base[0]]
+    path = str(tmp_path / "ivf")
+    cents = ivf_build_index(emb, path, num_centroids=8)
+    got = ivf_probe_index(spark, path, cents, q, k=5, probes=4)
+    mem = ivf_topk(emb, q, k=5, num_centroids=8, probes=4)
+    assert [(r["vec_id"], r["cosine_sim"]) for r in got.collect()] == \
+           [(r["vec_id"], r["cosine_sim"]) for r in mem.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cent_id" in plan.replace("#", " #") or \
+           "cent_id" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
 def test_embedding_near_dups(spark):
     emb, _ = _embeddings(spark)
     pairs = {(r["id_a"], r["id_b"]) for r in
