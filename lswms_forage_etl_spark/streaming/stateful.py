@@ -89,24 +89,39 @@ DEDUP_SCHEMA = StructType([
 ])
 
 
-def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
-              state: GroupState) -> Iterator[pd.DataFrame]:
-    seen = state.get[0] if state.exists else 0
-    keeper = None
-    n = 0
-    for pdf in pdfs:
-        n += len(pdf)
-        if seen == 0 and len(pdf) > 0:
-            first = int(pdf["doc_id"].min())
-            keeper = first if keeper is None else min(keeper, first)
-    state.update((seen + n,))
-    if seen == 0 and keeper is not None:
-        yield pd.DataFrame({"fp": [str(key[0])], "doc_id": [keeper],
-                            "dup_in_batch": [n]})
+def _make_dedup_fn(ttl_ms: int | None):
+    def _dedup_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()       # fingerprint forgotten after the TTL
+            return
+        seen = state.get[0] if state.exists else 0
+        keeper = None
+        n = 0
+        max_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf) > 0:
+                if seen == 0:
+                    first = int(pdf["doc_id"].min())
+                    keeper = first if keeper is None else min(keeper, first)
+                if ttl_ms is not None:
+                    t = pdf["ts"].max()
+                    max_ts = t if max_ts is None else max(max_ts, t)
+        state.update((seen + n,))
+        if ttl_ms is not None and max_ts is not None:
+            state.setTimeoutTimestamp(
+                int(pd.Timestamp(max_ts).value // 1_000_000) + ttl_ms)
+        if seen == 0 and keeper is not None:
+            yield pd.DataFrame({"fp": [str(key[0])], "doc_id": [keeper],
+                                "dup_in_batch": [n]})
+    return _dedup_fn
 
 
 def stream_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id", ts_col: str | None = None,
+                       ttl_minutes: int | None = None,
+                       watermark_delay: str = "10 minutes") -> DataFrame:
     """Streaming exact dedup: the first document ever seen per normalized-
     text fingerprint is emitted (min id inside its arrival batch); every
     later arrival of the same fingerprint — same batch or any future
@@ -114,18 +129,36 @@ def stream_exact_dedup(docs_stream: DataFrame, text_col: str = "text",
     of `operators/dedup.exact_dedup`: an ingest pipeline runs this in
     front of the corpus sink so replays/backfills cannot re-admit dups.
     State is one counter per fingerprint, sharded with the shuffle
-    partition — no driver state, no global set."""
+    partition — no driver state, no global set.
+
+    Unbounded keys mean unbounded state; pass `ts_col` + `ttl_minutes` to
+    bound it: a fingerprint not re-seen for the TTL (event time, advanced
+    by the watermark) is dropped and a much-later duplicate would be
+    re-admitted — the standard state-size/recall trade every streaming
+    dedup at 100 TB makes explicit."""
     from lswms_forage_etl_spark.functions.text import fingerprint
 
-    src = docs_stream.select(fingerprint(text_col).alias("fp"),
-                             F.col(id_col).cast("long").alias("doc_id"))
+    if ttl_minutes is not None and ts_col is None:
+        raise ValueError("ttl_minutes requires ts_col (event-time TTL)")
+    if ttl_minutes is None:
+        src = docs_stream.select(fingerprint(text_col).alias("fp"),
+                                 F.col(id_col).cast("long").alias("doc_id"))
+        timeout = GroupStateTimeout.NoTimeout
+        ttl_ms = None
+    else:
+        src = (docs_stream.withWatermark(ts_col, watermark_delay)
+               .select(fingerprint(text_col).alias("fp"),
+                       F.col(id_col).cast("long").alias("doc_id"),
+                       F.col(ts_col).alias("ts")))
+        timeout = GroupStateTimeout.EventTimeTimeout
+        ttl_ms = ttl_minutes * 60_000
     return (src.groupBy("fp")
             .applyInPandasWithState(
-                _dedup_fn,
+                _make_dedup_fn(ttl_ms),
                 outputStructType=DEDUP_SCHEMA,
                 stateStructType=DEDUP_STATE,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))
 
 
 def running_composite_state(events_stream: DataFrame,

@@ -99,3 +99,45 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
         .write.mode("append").parquet(src)
     got2 = run_batch()
     assert set(got2) == {7}
+
+
+def test_stream_dedup_ttl_state_expiry(spark, tmp_path):
+    """Event-time TTL bounds dedup state: a fingerprint unseen past the
+    TTL (watermark-advanced) is forgotten, so a much-later replay is
+    re-admitted — the explicit state-size/recall trade."""
+    from lswms_forage_etl_spark.streaming.stateful import stream_exact_dedup
+
+    src = str(tmp_path / "docs3")
+    ckpt = str(tmp_path / "tckpt")
+    schema = "doc_id long, text string, ts timestamp"
+
+    def run_batch():
+        rows = []
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_exact_dedup(stream, ts_col="ts", ttl_minutes=30,
+                                 watermark_delay="0 seconds")
+        q = (out.writeStream
+             .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["doc_id"] for r in rows}
+
+    def add(doc_id, text, minutes):
+        spark.createDataFrame(
+            [(doc_id, text, T0 + dt.timedelta(minutes=minutes))],
+            schema).write.mode("append").parquet(src)
+
+    add(1, "ephemeral doc", 0)
+    assert run_batch() == {1}
+    # within TTL: replay suppressed; watermark advances to t+10
+    add(2, "ephemeral doc", 10)
+    assert run_batch() == set()
+    # batch at t+120 advances the watermark far past the t+10+30min
+    # timeout -> state expires during this batch
+    add(3, "unrelated fresh doc", 120)
+    assert run_batch() == {3}
+    # replay after expiry is re-admitted (state was dropped)
+    add(4, "ephemeral doc", 125)
+    assert run_batch() == {4}
