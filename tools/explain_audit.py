@@ -56,10 +56,17 @@ def main() -> None:
         pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
         flags = []
         if "BroadcastNestedLoopJoin" in joins or "CartesianProduct" in joins:
-            flags.append("BNLJ")
+            # bounded broadcast cross products are the INTENT for these:
+            # every pair must be scored and one side is catalog-scale
+            # (<=50 vectors / <=8 query rows), so nested-loop over a
+            # broadcast IS the right plan, not a missed equi-join
+            if name in ("ann_pairwise_label_sim", "ann_topk_join"):
+                flags.append("BNLJ-intentional-bounded")
+            else:
+                flags.append("BNLJ")
         if any(w > 12 for w in scan_widths):
             flags.append("WIDE-SCAN")
-        flags_total += len(flags)
+        flags_total += len([f for f in flags if "intentional" not in f])
         jsum = ",".join(f"{j.replace('Join','')}" for j in joins) or "-"
         print(f"{name:28s} joins={jsum:<40s} shuffles={n_exchange} "
               f"py={n_python} scans={scan_widths} pushed={pushed} "
