@@ -101,3 +101,51 @@ def test_bandwidth_search_prefers_signal_scale(spark):
     y = 0.5 * x[:, 0] + rng.normal(0, 0.01, n)
     bw = select_bandwidth(coords, x, y, lo=16)
     assert 16 <= bw <= n - 1                 # in-range, converged
+
+
+def test_round2_operators_on_degenerate_inputs(spark):
+    """Empty / unicode / single-row inputs through the round-2 operators:
+    no crashes, sane results."""
+    from lswms_forage_etl_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_containment,
+        simhash,
+    )
+    from lswms_forage_etl_spark.operators.sampling import (
+        group_cap,
+        stratified_sample,
+    )
+    from lswms_forage_etl_spark.operators.similarity import (
+        embedding_near_dups,
+        label_centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "naïve café 模型 🚀"), (3, "solo")],
+        "doc_id long, text string")
+    # simhash: empty/whitespace docs fold to signature 0, no crash
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[0] == 0 and sigs[1] == 0 and sigs[2] != 0
+
+    # clusters of an empty pair set: no rows, no non-convergence error
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(empty_pairs).count() == 0
+
+    # containment on a pair with an empty side: defined (0.0), not NaN
+    pair = spark.createDataFrame([(0, 3)], "id_a long, id_b long")
+    r = ngram_containment(docs, pair).collect()[0]
+    assert r["containment_b_in_a"] == 0.0 and r["containment_a_in_b"] == 0.0
+
+    # sampling on empty input and unknown strata
+    empty_docs = docs.where("doc_id < 0")
+    assert group_cap(empty_docs, ["text"], 5, "doc_id").count() == 0
+    assert stratified_sample(docs, "text", {"missing": 1.0},
+                             "doc_id").count() == 0
+
+    # single embedding: no self-pairs; centroid equals the vector
+    one = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0], 7)],
+                                "vec_id long, embedding array<float>, label int")
+    assert embedding_near_dups(one, threshold=0.0, dim=4,
+                               num_bands=2).count() == 0
+    c = label_centroids(one, dim=4).collect()[0]
+    assert c["label"] == 7 and c["centroid"][0] == 1.0
