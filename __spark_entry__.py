@@ -715,6 +715,40 @@ def q_text_fingerprint(spark, sf):
     return d.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
+def q_text_pii_scrub(spark, sf):
+    """PII redaction pass: emails / SSNs / phones / IPv4s -> typed
+    placeholders. The synthetic corpus carries no PII, so the query splices
+    a deterministic doc_id-derived specimen of each category into every
+    document first — the oracle builds the identical augmented text, so the
+    scrub itself (not a no-op) is what hash-matches. Counts are measured
+    pre-redaction; red_fp fingerprints the scrubbed text."""
+    d = _t(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" u"), F.col("doc_id").cast("string"), F.lit("@ex.com"),
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call 555-123-4567 ssn 987-65-4320"))
+    return d.select(
+        "doc_id",
+        T.pii_count(aug, "email").alias("n_email"),
+        T.pii_count(aug, "ssn").alias("n_ssn"),
+        T.pii_count(aug, "phone").alias("n_phone"),
+        T.pii_count(aug, "ip").alias("n_ip"),
+        F.md5(T.redact_pii(aug)).alias("red_fp"))
+
+
+def q_text_repeated_ngrams(spark, sf):
+    """Gopher-style repetition signal: fraction of word 2-grams / 3-grams
+    that repeat an earlier gram in the same document. Scan-side array
+    expressions — no shuffle at any corpus size."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        pround(T.dup_ngram_frac("text", 2), 6).alias("dup2_frac"),
+        pround(T.dup_ngram_frac("text", 3), 6).alias("dup3_frac"))
+
+
 # --- dedup -------------------------------------------------------------------
 
 def q_dedup_exact(spark, sf):
@@ -1067,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_tokens": q_text_tokens,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_repeated_ngrams": q_text_repeated_ngrams,
         "window_lag_pivot": q_window_lag_pivot,
         # dedup
         "dedup_exact": q_dedup_exact,
@@ -1584,6 +1620,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
         FROM documents
+    """
+
+    # PII scrub: the same RE2-class pattern strings drive both engines
+    # (DuckDB regexp_replace needs the 'g' flag to match Spark's
+    # replace-all). The augmented text is rebuilt identically in SQL.
+    _pii = {name: pat for name, pat, _ in T.PII_PATTERNS}
+    _aug = ("text || ' u' || doc_id || '@ex.com ip 10.0.' || (doc_id % 256)"
+            " || '.' || (doc_id % 100) || ' call 555-123-4567 ssn "
+            "987-65-4320'")
+    _red = "aug"
+    for _n, _p, _r in T.PII_PATTERNS:
+        _red = f"regexp_replace({_red}, '{_p}', '{_r}', 'g')"
+    sql["text_pii_scrub"] = f"""
+        WITH t AS (SELECT doc_id, {_aug} AS aug FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '{_pii["email"]}')) AS INT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(aug, '{_pii["ssn"]}')) AS INT)
+                 AS n_ssn,
+               CAST(len(regexp_extract_all(aug, '{_pii["phone"]}')) AS INT)
+                 AS n_phone,
+               CAST(len(regexp_extract_all(aug, '{_pii["ip"]}')) AS INT)
+                 AS n_ip,
+               md5({_red}) AS red_fp
+        FROM t
+    """
+
+    sql["text_repeated_ngrams"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+                 list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                                i -> toks[i] || ' ' || toks[i + 1] || ' '
+                                     || toks[i + 2]) AS g3
+          FROM t)
+        SELECT doc_id,
+               {_pr("(len(g2) - len(list_distinct(g2)))"
+                    " / greatest(len(g2), 1)", 6)} AS dup2_frac,
+               {_pr("(len(g3) - len(list_distinct(g3)))"
+                    " / greatest(len(g3), 1)", 6)} AS dup3_frac
+        FROM g
     """
 
     sql["dedup_exact"] = """

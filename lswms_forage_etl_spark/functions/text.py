@@ -96,3 +96,51 @@ def fingerprint(col: Column | str) -> Column:
     computable by any engine.)"""
     norm = F.lower(F.regexp_replace(F.trim(_c(col)), r"\s+", " "))
     return F.md5(norm)
+
+
+# PII patterns: RE2-class regexes (no lookarounds/backrefs) so the same
+# pattern string runs identically under Spark's Java regex and any
+# RE2-based engine. Order matters: EMAIL first (its domain dots must not
+# be half-eaten by the IP rule), SSN before PHONE (disjoint shapes, but a
+# fixed order keeps the chain deterministic), IP last.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails / SSNs / phone numbers / IPv4s to typed placeholder
+    tokens — the standard pre-training privacy pass. A fixed chain of
+    scan-side regexp_replace calls: no shuffle, no Python, and at 100 TB it
+    fuses into the same whole-stage-codegen projection as the rest of the
+    cleaning pipeline."""
+    out = _c(col)
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Number of matches of one PII category (pre-redaction)."""
+    pat = {name: p for name, p, _ in PII_PATTERNS}[kind]
+    return F.size(F.regexp_extract_all(_c(col), F.lit(pat), 0))
+
+
+def dup_ngram_frac(col: Column | str, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document — the Gopher-style repetition quality signal
+    (1 - distinct/total). Pure array expressions over the scan: the n-gram
+    list never leaves the row, so cost is O(doc_len) per document with no
+    shuffle regardless of corpus size."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]))
+    # sequence(1, k) with k < 1 counts DOWN in Spark — guard short docs
+    grams = F.when(F.size(toks) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
+    return ((F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
+            / F.greatest(F.size(grams), F.lit(1)).cast("double"))

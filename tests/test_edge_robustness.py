@@ -149,3 +149,33 @@ def test_round2_operators_on_degenerate_inputs(spark):
                                num_bands=2).count() == 0
     c = label_centroids(one, dim=4).collect()[0]
     assert c["label"] == 7 and c["centroid"][0] == 1.0
+
+def test_pii_redaction_and_repetition_metrics(spark):
+    df = _docs(spark, [
+        "mail bob.smith+x@corp.example.org now",
+        "call +1 415-555-0199 or 415.555.0199",
+        "host 10.0.0.1 ssn 123-45-6789",
+        "clean text with no pii at all",
+        "a b a b a b",           # every 2-gram after the first two repeats
+    ])
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        T.redact_pii("text").alias("red"),
+        T.pii_count("text", "email").alias("ne"),
+        T.pii_count("text", "phone").alias("np"),
+        T.pii_count("text", "ip").alias("ni"),
+        T.pii_count("text", "ssn").alias("ns"),
+        F.round(T.dup_ngram_frac("text", 2), 4).alias("d2"),
+    ).collect()}
+    assert out[0]["red"] == "mail <EMAIL> now" and out[0]["ne"] == 1
+    assert out[1]["red"] == "call +1 <PHONE> or <PHONE>" and out[1]["np"] == 2
+    assert out[2]["red"] == "host <IP> ssn <SSN>"
+    assert out[2]["ni"] == 1 and out[2]["ns"] == 1
+    assert out[3]["red"] == "clean text with no pii at all"
+    assert out[3]["ne"] == out[3]["np"] == out[3]["ni"] == out[3]["ns"] == 0
+    # "a b a b a b": 5 2-grams, 2 distinct -> 3/5 repeated
+    assert out[4]["d2"] == 0.6
+    # sub-n docs: zero grams -> frac 0, no negative-sequence crash
+    short = _docs(spark, ["one", ""]).select(
+        T.dup_ngram_frac("text", 3).alias("d3")).collect()
+    assert [r["d3"] for r in short] == [0.0, 0.0]
