@@ -246,14 +246,17 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     cluster_size), rep_id = min doc id in the component (the canonical
     keeper a dedup pipeline retains).
 
-    Iterative min-label propagation: every node starts at its own id and
-    each round takes the min of its neighbors' labels (edges used in both
-    directions + self-loop). Label values only fall, so the loop converges
-    in O(diameter) rounds <= O(log n) for the short chains near-dup graphs
-    form; the driver loop only counts rounds — all data movement is one
-    shuffled join + one aggregation per round, the standard large-graph CC
-    shape (no collect of edges). Raises if max_rounds is hit without a
-    fixpoint rather than returning half-merged clusters."""
+    Iterative min-label propagation with pointer doubling: each round
+    first takes the min of the neighbors' labels (edges both directions +
+    self-loop), then shortcuts every label one extra hop through the fresh
+    assignment (lbl := lbl(lbl)). The shortcut squares the propagation
+    distance per round, so the loop converges in O(log diameter) rounds
+    instead of O(diameter) — fewer Spark jobs, which dominates wall time on
+    the sparse graphs near-dup pairs form. Label values only fall; the
+    driver loop only counts rounds — all data movement is one edge join +
+    one label self-join + one aggregation per round (no collect of edges).
+    Raises if max_rounds is hit without a fixpoint rather than returning
+    half-merged clusters."""
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b), F.col(id_a)))
              .union(pairs.select(F.col(id_a), F.col(id_a)))
@@ -270,10 +273,15 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     prev = labels.agg(lbl_sum).collect()[0][0]
     for _ in range(max_rounds):
         # new label(v) = min label among v and its neighbors
-        prop = (edges.join(labels.withColumnRenamed("id", "dst")
-                           .withColumnRenamed("lbl", "nlbl"), "dst")
-                .groupBy(F.col("src").alias("id"))
-                .agg(F.min("nlbl").alias("lbl")).persist())
+        one = (edges.join(labels.withColumnRenamed("id", "dst")
+                          .withColumnRenamed("lbl", "nlbl"), "dst")
+               .groupBy(F.col("src").alias("id"))
+               .agg(F.min("nlbl").alias("lbl")))
+        # pointer doubling: lbl := lbl(lbl). Every label value is itself
+        # an id in `one` (self-loops guarantee totality), so inner join.
+        prop = (one.join(one.select(F.col("id").alias("lbl"),
+                                    F.col("lbl").alias("plbl")), "lbl")
+                .select("id", F.col("plbl").alias("lbl")).persist())
         cur = prop.agg(lbl_sum).collect()[0][0]
         labels.unpersist()
         labels = prop

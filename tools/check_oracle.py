@@ -72,6 +72,10 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # queries may persist() stage tables (LSH shingles/signatures,
+            # CC labels); the harness owns the session-wide lifecycle
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
