@@ -57,6 +57,11 @@ from lswms_forage_etl_spark.operators.periods import (
     assign_period,
     composite_periods,
 )
+from lswms_forage_etl_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+    token_budget_sample,
+)
 from lswms_forage_etl_spark.operators.sessions import sessionize
 from lswms_forage_etl_spark.operators.skew import salted_agg_count
 from lswms_forage_etl_spark.operators.similarity import (
@@ -883,6 +888,107 @@ def q_dedup_simhash(spark, sf):
     return simhash_near_dups(sigs, max_hamming=3)
 
 
+# --- corpus build: packing / budgets / chunking / representatives ------------
+
+def q_pack_sequences(spark, sf):
+    """Concat-and-split sequence packing: documents land in 4 hash-shard
+    streams, each cut into 256-token packs. Pure integer window math —
+    the layout is reproducible on any engine, and the only shuffle is the
+    per-shard window (n_shards parallel linear scans, never a global
+    sort)."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", T.bpe_ish_token_count("text").alias("n_tok"))
+    return pack_sequences(d, "n_tok", budget=256, key_col="doc_id",
+                          n_shards=4)
+
+
+def q_sample_token_budget(spark, sf):
+    """Per-language token budgets ('so many en tokens, so many de'),
+    filled in deterministic hash order; each stratum budget splits across
+    4 shards so the window partition for a dominant language stays
+    bounded at web scale."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", T.bpe_ish_token_count("text").alias("n_tok"))
+    out = token_budget_sample(d, "lang", "n_tok",
+                              budgets={"en": 20000, "de": 8000},
+                              key_col="doc_id", default_budget=4000,
+                              n_shards=4)
+    return out.select("doc_id", "lang", "shard", "n_tokens")
+
+
+def q_text_chunks(spark, sf):
+    """Context-window chunking: 64-token windows every 48 tokens, one row
+    per chunk with a chunk fingerprint — map-side explode, no shuffle."""
+    d = _t(spark, sf, "documents")
+    return chunk_documents(d, "text", "doc_id", size=64, stride=48)
+
+
+def q_dedup_representatives(spark, sf):
+    """Cluster-representative selection: resolve LSH near-dup clusters,
+    then keep the best document per cluster — highest quality score, ties
+    to the smallest doc_id (NOT simply the min id: dedup pipelines keep
+    the best copy, which the rep_id label doesn't know). Emits every
+    clustered doc with its keeper and a keep flag."""
+    docs = _t(spark, sf, "documents")
+    sh = shingle_table(docs).persist()
+    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh).persist()
+    pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
+    dups = ngram_jaccard(docs, pairs, shingles=sh).where(
+        F.col("jaccard") >= 0.5)
+    clusters = duplicate_clusters(dups)
+    q = docs.select("doc_id", T.quality_score("text").alias("quality"))
+    w = Window.partitionBy("rep_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    return (clusters.join(q, "doc_id")
+            .withColumn("keeper_id", F.first("doc_id").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)))
+            .select("doc_id", "rep_id", "cluster_size", "keeper_id",
+                    (F.col("doc_id") == F.col("keeper_id")).alias("keep")))
+
+
+def q_corpus_stats(spark, sf):
+    """Corpus report card: ROLLUP(lang, source) totals — docs, BPE-ish
+    tokens, scaled-integer mean quality, distinct fingerprints. The
+    nightly sanity dashboard for a corpus build; one shuffle, partials
+    combine map-side."""
+    d = _t(spark, sf, "documents").select(
+        "lang", "source",
+        T.bpe_ish_token_count("text").alias("n_tok"),
+        T.quality_score("text").alias("quality"),
+        T.fingerprint("text").alias("fp"))
+    return (d.rollup("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 scaled_mean(F.col("quality"), 6).alias("mean_quality"),
+                 F.countDistinct("fp").alias("n_uniq")))
+
+
+def q_ann_quantize(spark, sf):
+    """Symmetric int8 embedding quantization: per-vector scale =
+    max|x|/127, q_i = round(x_i/scale) — the 4x storage cut before an
+    ANN index ships to object storage. Outputs are order-independent
+    exact checks (int sum of codes, max |reconstruction error|) so the
+    oracle matches bit-for-bit. Scan-side higher-order functions; zero
+    shuffle, zero Python."""
+    emb = _t(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform(v, lambda x: F.when(
+        scale == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+        F.greatest(F.lit(-127).cast("long"),
+                   F.least(F.lit(127).cast("long"),
+                           F.floor(x / scale + F.lit(0.5))))))
+    err = F.zip_with(v, q, lambda x, c: F.abs(x - c.cast("double") * scale))
+    return emb.select(
+        "vec_id",
+        pround(scale, 9).alias("qscale"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("qsum"),
+        pround(F.array_max(err), 9).alias("qmax_err"))
+
+
 # --- model operators (M1/M2 — rows-only: iterative numeric fits are not
 # SQL-expressible; SURVEY §5 prescribes shape/determinism checks) ------------
 
@@ -1115,6 +1221,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_pipeline": q_text_clean_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_representatives": q_dedup_representatives,
+        # corpus build
+        "pack_sequences": q_pack_sequences,
+        "sample_token_budget": q_sample_token_budget,
+        "text_chunks": q_text_chunks,
+        "corpus_stats": q_corpus_stats,
+        "ann_quantize": q_ann_quantize,
         # similarity
         "ann_bruteforce_topk": q_ann_bruteforce_topk,
         "ann_pairwise_label_sim": q_ann_pairwise_label_sim,
@@ -1757,6 +1870,95 @@ def oracle_sql() -> dict[str, str]:
         WHERE rn <= 12
     """
 
+    # corpus build: packing / budgets / chunking (same md5-u32 stream
+    # order as the sampling oracles; all-integer window math)
+    _bpe = ("CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)")
+    sql["pack_sequences"] = f"""
+        WITH d AS (
+          SELECT doc_id, {_bpe} AS n_tokens, {_u32} AS u
+          FROM documents),
+        s AS (SELECT doc_id, n_tokens, u, CAST(u % 4 AS INT) AS shard
+              FROM d),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS st
+          FROM s)
+        SELECT doc_id, shard,
+               CAST(floor(st / 256.0) AS BIGINT) AS pack_id,
+               st % 256 AS pack_offset,
+               n_tokens,
+               CAST(floor((st + greatest(n_tokens, 1) - 1) / 256.0)
+                    - floor(st / 256.0) + 1 AS INT) AS packs_spanned
+        FROM c
+    """
+
+    sql["sample_token_budget"] = f"""
+        WITH d AS (
+          SELECT doc_id, lang, {_bpe} AS n_tokens, {_u32} AS u
+          FROM documents),
+        s AS (SELECT doc_id, lang, n_tokens, u, CAST(u % 4 AS INT) AS shard
+              FROM d),
+        c AS (
+          SELECT doc_id, lang, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY lang, shard
+                   ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM s)
+        SELECT doc_id, lang, shard, n_tokens FROM c
+        WHERE cum <= CASE lang WHEN 'en' THEN {20000 // 4}
+                               WHEN 'de' THEN {8000 // 4}
+                               ELSE {4000 // 4} END
+    """
+
+    sql["text_chunks"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS cs
+          FROM t WHERE len(toks) > 0)
+        SELECT doc_id,
+               CAST(cs // 48 AS INT) AS chunk_idx,
+               CAST(cs AS INT) AS chunk_start,
+               CAST(len(toks[CAST(cs + 1 AS INT):CAST(cs + 64 AS INT)])
+                    AS INT) AS n_chunk_tokens,
+               md5(array_to_string(
+                 toks[CAST(cs + 1 AS INT):CAST(cs + 64 AS INT)], ' '))
+                 AS chunk_fp
+        FROM c
+    """
+
+    # quality-score fragment shared by the corpus oracles (the same
+    # formula text_clean_pipeline inlines; kept textually identical)
+    _quality = (
+        "floor(((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.3 END)"
+        " + (CASE WHEN (length(text) - length(regexp_replace(text,"
+        " '[^\\p{L}\\p{N}\\s]', '', 'g'))) / greatest(length(text), 1) < 0.2"
+        " THEN 1.0 ELSE 0.4 END)"
+        " + (CASE WHEN length(text) / greatest(len(list_filter("
+        "string_split_regex(trim(text), '\\s+'), x -> x <> '')), 1.0)"
+        " BETWEEN 2.5 AND 12 THEN 1.0 ELSE 0.5 END)) / 3.0 * 10000 + 0.5)"
+        " / 10000.0")
+
+    sql["corpus_stats"] = f"""
+        WITH d AS (
+          SELECT lang, source, {_bpe} AS n_tok, {_quality} AS quality,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fp
+          FROM documents)
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               {_sm("quality", 6)} AS mean_quality,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq
+        FROM d GROUP BY ROLLUP(lang, source)
+    """
+
     # C4-style cleaning pass: quality gate + lang-id + exact-dedup keep-min
     sql["text_clean_pipeline"] = f"""
         WITH t AS (
@@ -1828,6 +2030,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, rep_id,
                count(*) OVER (PARTITION BY rep_id) AS cluster_size
         FROM lbl
+    """
+
+    # cluster-representative selection: same closure, then keep the
+    # highest-quality member (ties -> min doc_id) per component
+    sql["dedup_representatives"] = f"""
+        WITH RECURSIVE {_lsh_ctes},
+        p AS (SELECT id_a, id_b FROM v WHERE jaccard >= 0.5),
+        e AS (SELECT id_a AS src, id_b AS dst FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (
+          SELECT src, src FROM e
+          UNION
+          SELECT e2.src, reach.r FROM e e2 JOIN reach ON e2.dst = reach.id),
+        lbl AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY 1),
+        cl AS (SELECT doc_id, rep_id,
+                      count(*) OVER (PARTITION BY rep_id) AS cluster_size
+               FROM lbl),
+        q AS (SELECT doc_id, {_quality} AS quality FROM documents),
+        k AS (SELECT cl.doc_id, cl.rep_id, cl.cluster_size,
+                     first_value(cl.doc_id) OVER (
+                       PARTITION BY cl.rep_id
+                       ORDER BY q.quality DESC, cl.doc_id) AS keeper_id
+              FROM cl JOIN q ON q.doc_id = cl.doc_id)
+        SELECT doc_id, rep_id, cluster_size, keeper_id,
+               doc_id = keeper_id AS keep
+        FROM k
     """
 
     # SimHash: replay the md5-derived 64-bit signature bit-for-bit. Bit b
@@ -1902,6 +2130,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(embedding) AS INT) AS dim,
                {_pr("sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))", 4)} AS l2_norm
         FROM embeddings
+    """
+
+    # int8 symmetric quantization: per-vector scale, exact integer code
+    # sum, max reconstruction error (both order-independent checks)
+    sql["ann_quantize"] = f"""
+        WITH v AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+          FROM embeddings),
+        m AS (
+          SELECT vec_id, xs,
+                 list_max(list_transform(xs, x -> abs(x))) / 127.0 AS sc
+          FROM v),
+        q AS (
+          SELECT vec_id, xs, sc,
+                 list_transform(xs, x -> CASE WHEN sc = 0 THEN 0
+                   ELSE greatest(-127, least(127,
+                        CAST(floor(x / sc + 0.5) AS BIGINT))) END) AS qs
+          FROM m)
+        SELECT vec_id,
+               {_pr("sc", 9)} AS qscale,
+               CAST(list_aggregate(qs, 'sum') AS BIGINT) AS qsum,
+               {_pr("list_max(list_transform(range(1, len(xs) + 1), "
+                    "i -> abs(xs[i] - qs[i] * sc)))", 9)} AS qmax_err
+        FROM q
     """
 
     bf_cos = ("list_dot_product("

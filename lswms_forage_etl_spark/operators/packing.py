@@ -1,0 +1,155 @@
+"""Sequence packing and token-budget selection for training-data builds.
+
+Two operators a pre-training corpus pipeline runs after cleaning/dedup:
+
+  pack_sequences      concat-and-split packing: documents are laid out in
+                      a deterministic stream and cut into fixed token-
+                      budget packs (the layout step before tokenized
+                      examples are written). Real pipelines pack
+                      per-worker, not globally — this operator does the
+                      same: documents are first assigned to `n_shards`
+                      independent streams by key hash, and the running
+                      offset is computed per shard. That makes the only
+                      shuffle a window over (shard), i.e. n_shards
+                      parallel linear scans — never a global sort. At
+                      100 TB, n_shards is set to O(cores) and each shard's
+                      window partition stays executor-sized.
+
+  token_budget_sample per-stratum token budgets (e.g. "2B tokens of 'de',
+                      1B of 'fr'"): documents are taken in deterministic
+                      hash order within each (stratum, shard) until the
+                      shard's slice of the stratum budget is filled.
+                      Budget-splitting across shards keeps the window
+                      partitions bounded for dominant languages — the
+                      stratum skew at web scale — at the price of an
+                      O(n_shards × max_doc_tokens) rounding slack that is
+                      negligible against any real budget.
+
+Both are pure window + scan expressions (no Python, no collect); every
+ordering decision is the md5-derived u32 of the row key (see
+operators/sampling.py), so retries, re-partitionings and the DuckDB
+oracle reproduce the identical layout bit-for-bit.
+
+Reference parity note: the reference ETL has no packing stage (it emits
+per-date rasters, e.g. rasterize.py:63); these operators are part of the
+beyond-reference LLM-pipeline surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import sample_u32
+
+
+def pack_sequences(df: DataFrame, token_col: Column | str, budget: int,
+                   key_col: str, n_shards: int = 4,
+                   seed: int = 0) -> DataFrame:
+    """Assign each document a position in a concat-and-split packing
+    layout: (shard, pack_id, pack_offset, n_tokens, packs_spanned).
+
+    Documents stream through shard `u32(key) % n_shards` in (u32, key)
+    order; a pack holds `budget` tokens. A document "belongs" to the pack
+    its first token lands in (`pack_id`), at offset `pack_offset`;
+    `packs_spanned` counts how many packs it crosses (a document longer
+    than the tail of its pack spills into the next — the standard
+    concat-then-chunk layout, nothing is discarded).
+
+    All integer arithmetic → portable to any SQL engine for oracle
+    replay. One shuffle (the per-shard window); the cumulative sum is a
+    linear scan per shard.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    u = sample_u32(key_col, seed)
+    out = df.withColumn("_u32", u) \
+            .withColumn("shard", F.pmod(F.col("_u32"), F.lit(n_shards))
+                        .cast("int")) \
+            .withColumn("n_tokens", tok.cast("long"))
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("_u32"), F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    b = F.lit(int(budget)).cast("long")
+    end_tok = start + F.greatest(F.col("n_tokens"), F.lit(1)) - F.lit(1)
+    return (out.withColumn("_start", start)
+            .select(F.col(key_col),
+                    "shard",
+                    F.floor(F.col("_start") / b).alias("pack_id"),
+                    F.pmod(F.col("_start"), b).alias("pack_offset"),
+                    "n_tokens",
+                    (F.floor(end_tok / b)
+                     - F.floor(F.col("_start") / b) + F.lit(1))
+                    .cast("int").alias("packs_spanned")))
+
+
+def token_budget_sample(df: DataFrame, strata_col: str,
+                        token_col: Column | str,
+                        budgets: dict[str, int], key_col: str,
+                        default_budget: int = 0, n_shards: int = 4,
+                        seed: int = 0) -> DataFrame:
+    """Keep documents, in deterministic hash order, until each stratum's
+    token budget is filled. The budget is split evenly across `n_shards`
+    hash shards and filled independently per (stratum, shard): the
+    inclusive running token sum must stay within the shard budget.
+
+    Tokens are non-negative, so the running sum is monotone within a
+    shard stream and the filter is a prefix — exactly "take docs until
+    the budget is hit", shard-parallel. Strata not listed in `budgets`
+    get `default_budget` (0 = drop).
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    shard_budget = F.lit(int(default_budget // n_shards)).cast("long")
+    for value, budget in sorted(budgets.items()):
+        shard_budget = F.when(F.col(strata_col) == value,
+                              F.lit(int(budget // n_shards)).cast("long")) \
+            .otherwise(shard_budget)
+    u = sample_u32(key_col, seed)
+    out = df.withColumn("_u32", u) \
+            .withColumn("shard", F.pmod(F.col("_u32"), F.lit(n_shards))
+                        .cast("int")) \
+            .withColumn("n_tokens", tok.cast("long"))
+    w = (Window.partitionBy(strata_col, "shard")
+         .orderBy(F.col("_u32"), F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (out.withColumn("_cum", F.sum("n_tokens").over(w))
+            .where(F.col("_cum") <= shard_budget)
+            .drop("_u32", "_cum"))
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    size: int, stride: int) -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    windows (`size` tokens every `stride`) — the context-window chunking
+    step ahead of embedding or training-example generation.
+
+    Emits (id, chunk_idx, chunk_start, n_chunk_tokens, chunk_fp) where
+    chunk_fp is the md5 of the space-joined chunk tokens. Chunk starts
+    are 0, stride, 2·stride, … while start < n_tokens (every token is
+    covered; the final chunk may be short). Empty documents emit no
+    chunks.
+
+    Pure JVM array expressions: tokenize once, `sequence` the start
+    offsets, `slice` each window, explode. The fan-out per row is
+    ceil(n/stride) — a constant multiple of the data, computed map-side
+    with no shuffle at any corpus size.
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(
+        F.lit(0), n - F.lit(1), F.lit(int(stride)))) \
+        .otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            s.alias("chunk_start"),
+            F.slice(toks, s + F.lit(1), F.lit(int(size))).alias("ctoks")))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(F.col(id_col),
+                    F.col("c.chunk_idx").alias("chunk_idx"),
+                    F.col("c.chunk_start").alias("chunk_start"),
+                    F.size("c.ctoks").alias("n_chunk_tokens"),
+                    F.md5(F.concat_ws(" ", F.col("c.ctoks")))
+                    .alias("chunk_fp")))

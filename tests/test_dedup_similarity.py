@@ -220,3 +220,34 @@ def test_embedding_lsh_bucket_cap_under_skew(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            pairs.where("id_a < 10 AND id_b < 10").collect()}
     assert len(got) > 0
+
+
+def test_int8_quantization_invariants(spark):
+    """Symmetric int8 quantization (ann_quantize query shape): codes stay
+    in [-127, 127], the max element reconstructs exactly to |max|, the
+    all-zero vector quantizes to zeros with scale 0, and max
+    reconstruction error is bounded by scale/2."""
+    rows = [
+        (0, [1.0, -2.0, 0.5, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-0.003, 0.001, 0.002, -0.001]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    q = F.transform(v, lambda x: F.when(
+        scale == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+        F.greatest(F.lit(-127).cast("long"),
+                   F.least(F.lit(127).cast("long"),
+                           F.floor(x / scale + F.lit(0.5))))))
+    err = F.zip_with(v, q, lambda x, c: F.abs(x - c.cast("double") * scale))
+    out = {r["vec_id"]: r for r in emb.select(
+        "vec_id", scale.alias("sc"), q.alias("q"),
+        F.array_max(err).alias("max_err")).collect()}
+    assert out[0]["q"] == [1, -2, 1, 127]          # max maps to ±127 exactly
+    assert all(-127 <= c <= 127 for r in out.values() for c in r["q"])
+    assert out[1]["sc"] == 0.0 and out[1]["q"] == [0, 0, 0, 0]
+    assert out[1]["max_err"] == 0.0
+    for r in out.values():
+        assert r["max_err"] <= r["sc"] / 2 + 1e-12
