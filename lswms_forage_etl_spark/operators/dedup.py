@@ -256,12 +256,21 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     driver loop only counts rounds — all data movement is one edge join +
     one label self-join + one aggregation per round (no collect of edges).
     Raises if max_rounds is hit without a fixpoint rather than returning
-    half-merged clusters."""
+    half-merged clusters.
+
+    Lineage is TRUNCATED at the loop boundary and each round
+    (localCheckpoint): with plain persist() every round's logical plan
+    still embeds the full upstream pipeline (LSH shingles/signatures/
+    verify) plus all prior rounds, and Catalyst re-optimizes that
+    ever-growing tree per round — measured ~4.7s of pure planning at
+    sf0.1 vs ~0.5s truncated. On a cluster, swap localCheckpoint for
+    checkpoint(reliable storage) if executor loss during the loop must
+    be survivable; the cut lineage is the point either way."""
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b), F.col(id_a)))
              .union(pairs.select(F.col(id_a), F.col(id_a)))
              .union(pairs.select(F.col(id_b), F.col(id_b)))
-             .distinct().persist())
+             .distinct().localCheckpoint(eager=True))
     labels = (edges.groupBy(F.col("src").alias("id"))
               .agg(F.min("dst").alias("lbl")).persist())
     # convergence probe: labels only ever DECREASE, so sum(labels) is
@@ -281,7 +290,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         # an id in `one` (self-loops guarantee totality), so inner join.
         prop = (one.join(one.select(F.col("id").alias("lbl"),
                                     F.col("lbl").alias("plbl")), "lbl")
-                .select("id", F.col("plbl").alias("lbl")).persist())
+                .select("id", F.col("plbl").alias("lbl"))
+                .localCheckpoint(eager=True))
         cur = prop.agg(lbl_sum).collect()[0][0]
         labels.unpersist()
         labels = prop
