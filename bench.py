@@ -45,6 +45,10 @@ HEADLINE = [
     "text_clean_pipeline",
     "sample_group_cap",
     "mm_byte_histogram",
+    # round-2 additions with no timing evidence until now
+    "pack_sequences",
+    "text_contamination",
+    "dedup_simhash",
 ]
 
 
@@ -70,28 +74,42 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort
 
-    timings: dict[str, float] = {}
+    # Failure isolation: one broken query must never abort the whole bench
+    # (round-2 lesson — a partial bench beats no bench). Errors are recorded
+    # as string entries and excluded from the total.
+    timings: dict[str, object] = {}
+    errors = 0
     for name in HEADLINE:
         best = None
-        for _ in range(2):   # best-of-2: damp ambient host noise
-            # queries that persist() stage tables (dedup family) must not
-            # leak cached blocks into the next measurement
-            spark.catalog.clearCache()
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop") \
-                .mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):   # best-of-2: damp ambient host noise
+                # queries that persist() stage tables (dedup family) must not
+                # leak cached blocks into the next measurement
+                spark.catalog.clearCache()
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 - isolate per query
+            errors += 1
+            msg = str(exc).split("\n", 1)[0][:200]
+            timings[name] = f"ERROR: {type(exc).__name__}: {msg}"
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    total = round(sum(v for v in timings.values()
+                      if isinstance(v, (int, float))), 3)
+    out = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
