@@ -1071,6 +1071,35 @@ def q_mm_byte_histogram(spark, sf):
                     F.col("features")[15].alias("bin_15"))
 
 
+def q_text_gopher(spark, sf):
+    """Gopher-style quality gate (Rae et al. 2021): word-count band,
+    mean-word-length band, symbol-to-word ratio cap, minimum distinct
+    stopword hits — per-rule int verdicts + conjunction, all scan-side
+    JVM expressions (functions/text.py::gopher_rules)."""
+    d = _t(spark, sf, "documents")
+    g = T.gopher_rules("text")
+    return (d.select("doc_id", g.alias("g"))
+            .select("doc_id",
+                    F.col("g.n_words").alias("n_words"),
+                    pround(F.col("g.mean_word_len"), 4)
+                    .alias("mean_word_len"),
+                    F.col("g.stop_hits").alias("stop_hits"),
+                    F.col("g.words_ok").alias("words_ok"),
+                    F.col("g.mwl_ok").alias("mwl_ok"),
+                    F.col("g.sym_ok").alias("sym_ok"),
+                    F.col("g.stop_ok").alias("stop_ok"),
+                    F.col("g.keep").alias("keep")))
+
+
+def q_dedup_chunks(spark, sf):
+    """Sub-document chunk-level dedup statistic (RefinedWeb/FineWeb
+    line-dedup shape): non-overlapping 32-token chunks, md5 fingerprints,
+    per-doc fraction of chunks shared with any other document
+    (operators/dedup.py::chunk_dedup_stats)."""
+    from lswms_forage_etl_spark.operators.dedup import chunk_dedup_stats
+    return chunk_dedup_stats(_t(spark, sf, "documents"), size=32)
+
+
 # --- embeddings / similarity -------------------------------------------------
 
 def _query_vec(spark, sf) -> list[float]:
@@ -1256,6 +1285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_join": q_ann_topk_join,
         "ann_label_centroids": q_ann_label_centroids,
         "mm_frame_sample": q_mm_frame_sample,
+        "text_gopher": q_text_gopher,
+        "dedup_chunks": q_dedup_chunks,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2362,6 +2393,65 @@ def oracle_sql() -> dict[str, str]:
               JOIN e ea ON ea.vec_id = c.id_a
               JOIN e eb ON eb.vec_id = c.id_b)
         SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.3
+    """
+
+    sql["text_gopher"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks,
+                 len(regexp_extract_all(text, '[#$%&@~]')) AS n_sym
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                   / greatest(len(toks), 1) AS mwl,
+                 CAST(len(list_intersect(
+                   list_transform(toks, x -> lower(x)),
+                   ['the','a','and','of','to','in','is','it'])) AS INT)
+                   AS stop_hits,
+                 CAST(n_sym AS DOUBLE) / greatest(len(toks), 1) AS symr
+          FROM t)
+        SELECT doc_id, n_words,
+               floor(mwl * 10000 + 0.5) / 10000.0 AS mean_word_len,
+               stop_hits,
+               CAST(n_words BETWEEN 50 AND 100000 AS INT) AS words_ok,
+               CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT) AS mwl_ok,
+               CAST(symr < 0.1 AS INT) AS sym_ok,
+               CAST(stop_hits >= 2 AS INT) AS stop_ok,
+               CAST(n_words BETWEEN 50 AND 100000
+                    AND mwl >= 3.0 AND mwl <= 10.0
+                    AND symr < 0.1 AND stop_hits >= 2 AS INT) AS keep
+        FROM m
+    """
+
+    sql["dedup_chunks"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS cs
+          FROM t WHERE len(toks) > 0),
+        ch AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                   toks[CAST(cs + 1 AS INT):CAST(cs + 32 AS INT)], ' '))
+                   AS chunk_fp
+          FROM c),
+        pc AS (
+          SELECT chunk_fp, count(DISTINCT doc_id) AS nd
+          FROM ch GROUP BY chunk_fp)
+        SELECT ch.doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared_chunks,
+               floor(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) * 10000 + 0.5) / 10000.0 AS dup_chunk_frac
+        FROM ch JOIN pc USING (chunk_fp)
+        GROUP BY ch.doc_id
     """
 
     return sql

@@ -144,3 +144,48 @@ def dup_ngram_frac(col: Column | str, n: int = 3) -> Column:
         .otherwise(F.array().cast("array<string>"))
     return ((F.size(grams) - F.size(F.array_distinct(grams))).cast("double")
             / F.greatest(F.size(grams), F.lit(1)).cast("double"))
+
+
+GOPHER_SYMBOLS = r"[#$%&@~]"
+
+
+def gopher_rules(col: Column | str, lang: str = "en",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mwl: float = 3.0, max_mwl: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_stop_hits: int = 2) -> Column:
+    """Gopher-style document quality gate (Rae et al. 2021, published
+    rule set; reference repo has no equivalent — LLM-pipeline addition):
+    word-count band, mean-word-length band, symbol-to-word ratio cap,
+    and a minimum number of distinct stopwords present. Returns a struct
+    of int verdict flags plus the derived measurements; `keep` is the
+    conjunction.
+
+    All pure scan-side JVM expressions — mean word length uses
+    length(concat_ws('', toks)) (total in-token chars) rather than a
+    per-token higher-order fold, so the whole gate stays inside
+    whole-stage codegen at any corpus size."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    tok_chars = F.length(F.concat_ws("", toks))
+    mean_wl = tok_chars.cast("double") / F.greatest(
+        n_words, F.lit(1)).cast("double")
+    n_sym = F.size(F.regexp_extract_all(_c(col), F.lit(GOPHER_SYMBOLS), 0))
+    sym_ratio = n_sym.cast("double") / F.greatest(
+        n_words, F.lit(1)).cast("double")
+    stop_hits = F.size(F.array_intersect(
+        F.transform(toks, lambda t: F.lower(t)),
+        F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+    words_ok = ((n_words >= min_words) & (n_words <= max_words)).cast("int")
+    mwl_ok = ((mean_wl >= min_mwl) & (mean_wl <= max_mwl)).cast("int")
+    sym_ok = (sym_ratio < max_symbol_ratio).cast("int")
+    stop_ok = (stop_hits >= min_stop_hits).cast("int")
+    keep = (words_ok.cast("boolean") & mwl_ok.cast("boolean")
+            & sym_ok.cast("boolean") & stop_ok.cast("boolean")).cast("int")
+    return F.struct(
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+        words_ok.alias("words_ok"), mwl_ok.alias("mwl_ok"),
+        sym_ok.alias("sym_ok"), stop_ok.alias("stop_ok"),
+        keep.alias("keep"))
