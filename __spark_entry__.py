@@ -1157,6 +1157,16 @@ def q_ann_topk_join(spark, sf):
     return topk_join(emb.where(F.col("vec_id") < 8), emb, k=3)
 
 
+def q_ann_topk_join_lsh(spark, sf):
+    """Bucketed batched retrieval — the large-|Q| scale path for
+    ann_topk_join: hyperplane buckets on both sides, multiprobe (hamming
+    <= 1) equi-join on the bucket key, exact cosine re-rank, per-query
+    top-3 (operators/similarity.py::topk_join_lsh)."""
+    from lswms_forage_etl_spark.operators.similarity import topk_join_lsh
+    emb = _t(spark, sf, "embeddings")
+    return topk_join_lsh(emb.where(F.col("vec_id") < 8), emb, k=3)
+
+
 def q_ann_label_centroids(spark, sf):
     """Per-label class centroids: distributed element-wise vector mean
     with exact scaled-integer sums (order-independent under partial
@@ -1283,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pairwise_label_sim": q_ann_pairwise_label_sim,
         "ann_embedding_norms": q_ann_embedding_norms,
         "ann_topk_join": q_ann_topk_join,
+        "ann_topk_join_lsh": q_ann_topk_join_lsh,
         "ann_label_centroids": q_ann_label_centroids,
         "mm_frame_sample": q_mm_frame_sample,
         "text_gopher": q_text_gopher,
@@ -2320,6 +2331,25 @@ def oracle_sql() -> dict[str, str]:
         sc AS (SELECT q.query_id, e.vec_id,
                       {_pr(_cos('e.v', 'q.qv'), 6)} AS cosine_sim
                FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, vec_id) AS rk FROM sc)
+        SELECT query_id, vec_id, cosine_sim FROM r WHERE rk <= 3
+    """
+
+    sql["ann_topk_join_lsh"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        cb AS (SELECT vec_id, v, {_sig('v')} AS bucket FROM e),
+        qb AS (SELECT query_id, qv, {_sig('qv')} AS qbucket FROM q),
+        cand AS (SELECT query_id, vec_id, v, qv FROM cb, qb
+                 WHERE bit_count(xor(CAST(bucket AS BIGINT),
+                                     CAST(qbucket AS BIGINT))) <= 1
+                   AND vec_id <> query_id),
+        sc AS (SELECT query_id, vec_id,
+                      {_pr(_cos('v', 'qv'), 6)} AS cosine_sim
+               FROM cand),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine_sim DESC, vec_id) AS rk FROM sc)
         SELECT query_id, vec_id, cosine_sim FROM r WHERE rk <= 3

@@ -375,3 +375,59 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     probe_ids = _ivf_probe_ids(cents, query_vec, probes)
     return brute_force_topk(assigned.where(F.col("cent_id").isin(probe_ids)),
                             query_vec, k, id_col, vec_col)
+
+
+def topk_join_lsh(queries: DataFrame, corpus: DataFrame, k: int = 3,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  query_id: str = "query_id", num_planes: int = 8,
+                  dim: int = 64, multiprobe_hamming: int = 1,
+                  seed: int = 1234) -> DataFrame:
+    """Bucketed batched ANN join — the large-|Q| replacement topk_join's
+    docstring promises. Both sides get deterministic hyperplane
+    signatures; each query row explodes into its multiprobe bucket set
+    (its own bucket plus every signature within `multiprobe_hamming`
+    bit-flips), and candidates come from an EQUI-join probe = corpus
+    bucket. A corpus row lives in exactly one bucket and probe buckets
+    are distinct, so the join emits no duplicate (query, corpus) pairs —
+    no distinct pass needed. Exact cosine re-rank + per-query window
+    top-k on the candidates only.
+
+    Scale shape: one shuffle on the bucket key for each side (or a
+    broadcast of the exploded query side when it is small — Catalyst/AQE
+    picks), candidate volume ~ |Q| * probes * avg bucket size instead of
+    topk_join's |Q| * |corpus|. Recall is the standard multiprobe LSH
+    trade-off: raise num_planes for smaller buckets, multiprobe_hamming
+    for recall."""
+    import itertools
+
+    from pyspark.sql import Window
+
+    masks = [0]
+    for h in range(1, min(multiprobe_hamming, num_planes) + 1):
+        for bits in itertools.combinations(range(num_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+
+    c = (corpus.select(F.col(id_col), F.col(vec_col))
+         .withColumn("_bkt",
+                     hyperplane_signature(vec_col, num_planes, dim, seed)))
+    q = (queries.select(F.col(id_col).alias(query_id),
+                        F.col(vec_col).alias("_qv"))
+         .withColumn("_qbkt", hyperplane_signature(
+             F.col("_qv"), num_planes, dim, seed))
+         .withColumn("_probe", F.explode(F.array(*[
+             F.col("_qbkt").bitwiseXOR(F.lit(m)) for m in masks]))))
+
+    cand = c.join(q, (F.col("_bkt") == F.col("_probe"))
+                  & (F.col(id_col) != F.col(query_id)))
+    qd = F.transform(F.col("_qv"), lambda x: x.cast("double"))
+    cd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = cand.select(
+        query_id, id_col,
+        portable_round(cosine(cd, qd), 6).alias("cosine_sim"))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))

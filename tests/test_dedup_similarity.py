@@ -251,3 +251,36 @@ def test_int8_quantization_invariants(spark):
     assert out[1]["max_err"] == 0.0
     for r in out.values():
         assert r["max_err"] <= r["sc"] / 2 + 1e-12
+
+
+def test_topk_join_lsh_matches_exact_on_shared_pairs(spark):
+    """LSH-bucketed batched retrieval: identical vectors always collide
+    (same bucket), no self-pairs, per-query k cap, and any pair it does
+    return carries the same exact cosine the brute-force join computes."""
+    import pyspark.sql.functions as F
+    from lswms_forage_etl_spark.operators.similarity import (
+        topk_join, topk_join_lsh)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # clone vec_id 3 as vec_id 9003: an exact duplicate must be retrieved
+    clone = emb.where(F.col("vec_id") == 3).select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(clone)
+    queries = corpus.where(F.col("vec_id").isin(3, 9003))
+
+    lsh = topk_join_lsh(queries, corpus, k=3, dim=64).collect()
+    per_q = {}
+    for r in lsh:
+        assert r["query_id"] != r["vec_id"]
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {3, 9003}
+    assert all(len(v) <= 3 for v in per_q.values())
+    # identical vector shares the bucket -> must be the top hit, cosine 1.0
+    assert per_q[3][0]["vec_id"] == 9003 and per_q[3][0]["cosine_sim"] == 1.0
+    assert per_q[9003][0]["vec_id"] == 3
+
+    exact = {(r["query_id"], r["vec_id"]): r["cosine_sim"]
+             for r in topk_join(queries, corpus, k=50).collect()}
+    for r in lsh:
+        key = (r["query_id"], r["vec_id"])
+        assert key in exact and exact[key] == r["cosine_sim"]
