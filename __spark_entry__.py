@@ -1071,6 +1071,22 @@ def q_mm_byte_histogram(spark, sf):
                     F.col("features")[15].alias("bin_15"))
 
 
+def q_scalar_zorder(spark, sf):
+    """Z-order (Morton) layout key: bit-interleave two join/filter
+    dimensions into one linear clustering key (functions/layout.py) —
+    the data-layout primitive behind two-dimensional file pruning
+    (`zorder_layout` wraps it with repartitionByRange + in-partition
+    sort for OPTIMIZE-ZORDER-style writes)."""
+    from lswms_forage_etl_spark.functions.layout import zorder_key
+    li = _t(spark, sf, "lineitem")
+    x = (F.col("l_partkey") % 1024).cast("long")
+    y = (F.col("l_suppkey") % 1024).cast("long")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        x.alias("zx"), y.alias("zy"),
+        zorder_key(x, y, bits=10).alias("zkey"))
+
+
 def q_text_gopher(spark, sf):
     """Gopher-style quality gate (Rae et al. 2021): word-count band,
     mean-word-length band, symbol-to-word ratio cap, minimum distinct
@@ -1276,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- past the graded window: in-family variants ----
         "scalar_strings": q_scalar_strings,
         "scalar_round_abs": q_scalar_round_abs,
+        "scalar_zorder": q_scalar_zorder,
         "agg_cube": q_agg_cube,
         "agg_percentile": q_agg_percentile,
         "agg_corr_exact": q_agg_corr_exact,
@@ -2423,6 +2440,16 @@ def oracle_sql() -> dict[str, str]:
               JOIN e ea ON ea.vec_id = c.id_a
               JOIN e eb ON eb.vec_id = c.id_b)
         SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.3
+    """
+
+    from lswms_forage_etl_spark.functions.layout import zorder_key_sql
+    sql["scalar_zorder"] = f"""
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % 1024 AS BIGINT) AS zx,
+               CAST(l_suppkey % 1024 AS BIGINT) AS zy,
+               {zorder_key_sql('(l_partkey % 1024)', '(l_suppkey % 1024)', 10)}
+                 AS zkey
+        FROM lineitem
     """
 
     sql["text_gopher"] = """

@@ -284,3 +284,42 @@ def test_topk_join_lsh_matches_exact_on_shared_pairs(spark):
     for r in lsh:
         key = (r["query_id"], r["vec_id"])
         assert key in exact and exact[key] == r["cosine_sim"]
+
+
+def test_simhash_set_semantics_and_invariants(spark):
+    """Signature is a function of the token SET: word order and repeats
+    don't change it; batch invariants over randomized docs."""
+    import random
+
+    import pyspark.sql.functions as F
+    from lswms_forage_etl_spark.operators.dedup import simhash
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(50):
+        words = rng.sample(vocab, rng.randint(1, 30))
+        shuffled = words[:]
+        rng.shuffle(shuffled)
+        rows.append((i, " ".join(words)))
+        rows.append((i + 1000, " ".join(shuffled + [shuffled[0]])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert len(sigs) == 100
+    for i in range(50):
+        assert sigs[i] == sigs[i + 1000], "order/repeat changed signature"
+
+
+def test_chunk_dedup_stats_invariants(spark):
+    import random
+
+    from lswms_forage_etl_spark.operators.dedup import chunk_dedup_stats
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(rng.choice(["alpha", "beta", "gamma", "delta"])
+                         for _ in range(rng.randint(1, 40))))
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in chunk_dedup_stats(df, size=8).collect():
+        assert 0 <= r["n_shared_chunks"] <= r["n_chunks"]
+        assert 0.0 <= r["dup_chunk_frac"] <= 1.0

@@ -1,0 +1,60 @@
+"""Z-order layout key: correctness vs a Python Morton reference and the
+file-stats locality property the layout exists for."""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pyspark.sql.functions as F
+
+from lswms_forage_etl_spark.functions.layout import zorder_key, zorder_layout
+
+
+def _morton_ref(x: int, y: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_matches_reference(spark):
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(1 << 16), rng.randrange(1 << 16))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"]: r["z"] for r in
+           df.select("id", zorder_key("x", "y", 16).alias("z")).collect()}
+    for i, x, y in rows:
+        assert got[i] == _morton_ref(x, y, 16)
+
+
+def test_zorder_layout_improves_two_dim_locality(spark):
+    """After the layout rewrite, each output partition covers a small
+    rectangle of (x, y): the summed per-partition bounding-box area must
+    be far below the unclustered baseline (each partition ~ the full
+    square)."""
+    rng = random.Random(9)
+    n, side, parts = 4000, 1 << 10, 16
+    rows = [(i, rng.randrange(side), rng.randrange(side))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    def bbox_area_sum(frame):
+        stats = (frame.withColumn("p", F.spark_partition_id())
+                 .groupBy("p")
+                 .agg((F.max("x") - F.min("x")).alias("dx"),
+                      (F.max("y") - F.min("y")).alias("dy"))
+                 .collect())
+        return sum((r["dx"] + 1) * (r["dy"] + 1) for r in stats)
+
+    base = bbox_area_sum(df.repartition(parts))
+    clustered = bbox_area_sum(zorder_layout(df, "x", "y", bits=10,
+                                            num_files=parts))
+    # random partitions each span ~the whole square (16x full area);
+    # z-ordered tiles should cut the summed area by >4x
+    assert clustered * 4 < base, (clustered, base)
