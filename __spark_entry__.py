@@ -1554,7 +1554,8 @@ def oracle_sql() -> dict[str, str]:
                    'biomass_' || strftime(CAST(o_orderdate AS DATE), '%Y%m%d') || '.tif',
                    '(\\d{8})', 1), '%Y%m%d') AS DATE) AS d
           FROM orders)
-        SELECT max(d) AS max_date, max(d) + INTERVAL 1 DAY AS next_start FROM d
+        SELECT max(d) AS max_date,
+               CAST(max(d) + INTERVAL 1 DAY AS DATE) AS next_start FROM d
     """
 
     sql["agg_distinct_dates"] = """
@@ -1962,7 +1963,7 @@ def oracle_sql() -> dict[str, str]:
           FROM s)
         SELECT doc_id, shard,
                CAST(floor(st / 256.0) AS BIGINT) AS pack_id,
-               st % 256 AS pack_offset,
+               CAST(st % 256 AS BIGINT) AS pack_offset,
                n_tokens,
                CAST(floor((st + greatest(n_tokens, 1) - 1) / 256.0)
                     - floor(st / 256.0) + 1 AS INT) AS packs_spanned

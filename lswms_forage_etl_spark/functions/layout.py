@@ -23,14 +23,20 @@ from pyspark.sql import functions as F
 
 
 def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
-    """Morton interleave of the low `bits` bits of two non-negative int
-    columns -> one long key (x in even bit positions, y in odd). A flat
-    sum of 2*bits shift/mask terms — whole-stage codegen, no loops, no
-    Python."""
+    """Morton interleave of the low `bits` bits of two int columns -> one
+    long key (x in even bit positions, y in odd). A flat sum of 2*bits
+    shift/mask terms — whole-stage codegen, no loops, no Python.
+
+    Inputs are masked to the low `bits` bits up front, so the key is
+    well-defined for ANY input (negative values wrap to their two's-
+    complement low bits, identically in Spark and the SQL twin — an
+    unmasked arithmetic shift on negatives would let engines diverge,
+    ADVICE r3)."""
     if not 1 <= bits <= 31:
         raise ValueError(f"bits={bits} out of range [1, 31]")
-    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
-    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    mask = F.lit((1 << bits) - 1).cast("long")
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long").bitwiseAND(mask)
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long").bitwiseAND(mask)
     acc = F.lit(0).cast("long")
     for b in range(bits):
         acc = acc + F.shiftleft(F.shiftright(xc, b).bitwiseAND(F.lit(1)),
@@ -43,10 +49,12 @@ def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
 def zorder_key_sql(x: str, y: str, bits: int = 16) -> str:
     """The DuckDB/ANSI twin of zorder_key — textually generated from the
     same bit positions so both engines compute identical keys."""
+    m = (1 << bits) - 1
+    xm, ym = f"(CAST({x} AS BIGINT) & {m})", f"(CAST({y} AS BIGINT) & {m})"
     terms = []
     for b in range(bits):
-        terms.append(f"(({x} >> {b}) & 1) * {1 << (2 * b)}")
-        terms.append(f"(({y} >> {b}) & 1) * {1 << (2 * b + 1)}")
+        terms.append(f"(({xm} >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"(({ym} >> {b}) & 1) * {1 << (2 * b + 1)}")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 

@@ -328,7 +328,13 @@ def simhash(docs: DataFrame, text_col: str = "text",
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""))
 
     if fast:
-        h64 = F.xxhash64(F.col("_tok"))
+        # xxhash64(NULL) returns the seed (42), not NULL — an unguarded
+        # fast path would give empty/whitespace-only docs signature 42
+        # while the md5 path gives 0 (ADVICE r3). NULL-guard so both
+        # paths agree: NULL votes -> all-zero signature.
+        h64 = F.when(F.col("_tok").isNull(),
+                     F.lit(None).cast("long")).otherwise(
+            F.xxhash64(F.col("_tok")))
     else:
         h16 = F.substring(F.md5(F.col("_tok")), 1, 16)
         hi = F.conv(F.substring(h16, 1, 8), 16, 10).cast("long")

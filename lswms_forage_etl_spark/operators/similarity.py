@@ -198,6 +198,11 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                              / F.lit(max_bucket_size)))
     else:
         b = b.withColumn("chunk", F.lit(0))
+    # Materialize before the self-join: without it both join sides
+    # re-evaluate the Arrow signature UDF (plan shows py=4 Arrow stages,
+    # observed +33% wall). Same rationale as dedup.shingle_table — at
+    # real scale this is a parquet stage table.
+    b = b.persist()
 
     keys = ["band", "bucket", "chunk"]
     cand = (b.alias("a").join(b.alias("b"), keys)

@@ -43,6 +43,64 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
+# Engine-fragile DuckDB types: canonicalized differently by fetchall()
+# vs Arrow/pandas fetch paths, so a local pass does not guarantee a
+# driver pass. DuckDB's windowed sum() yields HUGEINT; sum(DECIMAL)
+# widens precision. Oracles must CAST these before output.
+_FRAGILE = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+_DUCK_FAMILY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
+    "UBIGINT": "int", "HUGEINT": "int", "UHUGEINT": "int",
+    "FLOAT": "float", "REAL": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts", "BLOB": "bin",
+}
+
+_SPARK_FAMILY = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float", "string": "str",
+    "boolean": "bool", "date": "date", "timestamp": "ts",
+    "timestamp_ntz": "ts", "binary": "bin",
+}
+
+
+def _family(mapping, t):
+    t = t.upper() if mapping is _DUCK_FAMILY else t.lower()
+    if t.upper().startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]") or t.lower().startswith("array"):
+        return "array"
+    if t.upper().startswith(("STRUCT", "MAP")):
+        return "struct"
+    return mapping.get(t, t)
+
+
+def type_problems(con, sql, spark_dtypes):
+    """DESCRIBE the oracle; flag fragile duck types and family
+    mismatches vs the Spark schema. Returns a list of problem strings."""
+    out = []
+    try:
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+    except Exception as e:  # DESCRIBE unsupported for this statement shape
+        return [f"describe-error: {e}"]
+    duck = {r[0]: r[1] for r in desc}
+    sparkt = dict(spark_dtypes)
+    for col, dt in duck.items():
+        up = dt.upper()
+        if any(up.startswith(f) for f in _FRAGILE):
+            out.append(f"fragile duck type {col}:{dt} (add a CAST)")
+        elif col in sparkt:
+            df, sf = _family(_DUCK_FAMILY, dt), _family(
+                _SPARK_FAMILY, sparkt[col])
+            if df != sf:
+                out.append(
+                    f"type family mismatch {col}: duck {dt} vs "
+                    f"spark {sparkt[col]}")
+    return out
+
+
 def main():
     import duckdb
     import __spark_entry__ as entrymod
@@ -67,6 +125,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -89,7 +148,7 @@ def main():
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = []
+        problems = type_problems(con, oracles[name], sdtypes)
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
