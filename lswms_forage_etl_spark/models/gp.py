@@ -8,8 +8,13 @@ Engine form: an EXACT GP posterior mean with the same kernel/noise
 hyperparameters, computed in closed form with numpy (pyro is not a public
 dependency of this engine; 10 SVI steps barely move the reference's
 hyperparameters, so the fixed-hyperparameter exact posterior is the cleaner,
-deterministic statistical equivalent — documented tolerance, rows-only
-oracle per SURVEY §5).
+deterministic statistical equivalent — rows-only oracle per SURVEY §5).
+MEASURED deviation vs an SVI-drift replay (10 Adam steps on the exact lml,
+which is what SVI does for an exact GPR) on the reference's own 151-zone
+woredas.csv series: hyperparameters drift ~10%, posterior means differ by
+0.0155 mean / 0.018 max at the last in-sample point (biomass scale 0.434),
+growing to 0.16 max at the +48-day extrapolation horizon — see
+tests/test_model_parity.py.
 
 Distribution: one independent GP per zone -> `groupBy('zone_id')
 .applyInPandas(...)`. 151 zones in the reference; at scale, millions of

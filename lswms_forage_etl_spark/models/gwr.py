@@ -17,9 +17,12 @@ distance to the bw-th nearest calibration neighbor. The engine therefore:
      vectorized in numpy — embarrassingly parallel over the full table.
 
 Bandwidth selection is a golden-section search over leave-one-out CV RMSE
-(mgwr optimizes AICc; same shape, documented tolerance — bit-exact parity
-with mgwr's iterative search is impractical and not attempted, SURVEY §7
-risks). Rows-only oracle.
+(mgwr optimizes AICc; same shape — bit-exact parity with mgwr's iterative
+search is impractical and not attempted, SURVEY §7 risks). MEASURED parity
+on the reference's own combined.csv vs its committed mgwr predictions
+(results.csv, all 19,125 points): corr 0.99892, rmse 0.00258, and
+fit-vs-actual-NDVI RMSE within 0.0002 of mgwr's (0.03357 vs 0.03338) —
+see tests/test_model_parity.py. Rows-only oracle.
 """
 
 from __future__ import annotations

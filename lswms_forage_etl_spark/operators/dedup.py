@@ -341,31 +341,59 @@ def simhash(docs: DataFrame, text_col: str = "text",
         lo = F.conv(F.substring(h16, 9, 8), 16, 10).cast("long")
         h64 = F.shiftleft(hi, 32).bitwiseOR(lo)
 
-    # Explode tokens -> one hash row per token -> 64 codegen'd SUM buffers.
+    # Explode tokens -> one hash row per token -> packed-lane SUM buffers.
     # A previous cut folded 64 votes per token inside F.aggregate/zip_with;
     # higher-order functions run on Spark's *interpreted* expression path
-    # per element, measuring 5x slower than this whole-stage-codegen'd
-    # hash aggregate (4.6s -> 0.8s on 5k docs / local[32]). The shuffle it
-    # adds is one 64-long row per doc after map-side combine (~0.5 KB/doc,
-    # far below the doc text itself) — scale-safe at 100 TB.
+    # per element, measuring 5x slower than whole-stage-codegen'd hash
+    # aggregation (4.6s -> 0.8s on 5k docs / local[32]). The shuffle is
+    # one packed row per doc after map-side combine — scale-safe at 100 TB.
     # explode_outer keeps empty-token docs (NULL votes -> signature 0,
     # matching the fold semantics).
+    #
+    # Vote packing (VERDICT r3 item 7): instead of 64 per-bit vote SUMs,
+    # pack 4 bit-COUNTS into 16-bit lanes of one long -> 16 SUM buffers
+    # (4x fewer aggregate-buffer updates per token row; the per-bit
+    # extraction work is unchanged). Lane l of group j counts bit 4j+l
+    # over the doc's tokens; the per-bit vote is then 2*count - n_tokens,
+    # bit-identical to summing +/-1 votes. A 16-bit lane overflows at
+    # 65536 DISTINCT tokens per doc; the guard lives POST-aggregation on
+    # the materialized token count _n (a pre-explode size() check would
+    # reference `toks` twice and CollapseProject would duplicate the whole
+    # tokenize+distinct expression — the shingle_table hazard), raising
+    # loudly instead of emitting a corrupted signature. A >65k-distinct-
+    # token doc should be chunked upstream — see chunk_documents.
+    _LANES, _W = 4, 16
     ex = (_spread(docs)
           .select(F.col(id_col), F.explode_outer(toks).alias("_tok"))
           .select(id_col, h64.alias("_h")))
-    votes = [
-        F.sum((F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
-              .cast("long")).alias(f"_v{b}")
-        for b in range(bits)]
-    agg = ex.groupBy(id_col).agg(*votes)
+    packed = []
+    for j in range(bits // _LANES):
+        term = F.lit(0).cast("long")
+        for lane in range(_LANES):
+            b = j * _LANES + lane
+            term = term + F.shiftleft(
+                F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))
+                .cast("long"), _W * lane)
+        packed.append(F.sum(term).alias(f"_p{j}"))
+    agg = ex.groupBy(id_col).agg(
+        F.count(F.col("_h")).alias("_n"), *packed)
 
     bitvals = [(1 << b) if b < bits - 1 else -(1 << (bits - 1))
                for b in range(bits)]
-    sig_terms = [
-        F.when(F.col(f"_v{b}") > 0, F.lit(bitvals[b]).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        for b in range(bits)]
-    sig = sum(sig_terms[1:], sig_terms[0])
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        j, lane = b // _LANES, b % _LANES
+        cnt = F.shiftrightunsigned(F.col(f"_p{j}"), _W * lane) \
+            .bitwiseAND(F.lit((1 << _W) - 1))
+        # vote_b = 2*cnt - n > 0  (NULL packed sums -> empty doc -> 0)
+        sig = sig + F.when(cnt * 2 > F.col("_n"),
+                           F.lit(bitvals[b]).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+    sig = F.when(F.col("_n") < F.lit(1 << _W), sig).otherwise(F.raise_error(
+        F.concat(F.lit(
+            f"simhash vote lanes overflow: >{(1 << _W) - 1} distinct "
+            f"tokens in doc; chunk the document first: "),
+            F.col("_n").cast("string"))).cast("long"))
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
