@@ -74,19 +74,24 @@ def conditional_zero_jitter(df: DataFrame, value_col: str, key_cols: list,
     add uniform(0.001, 0.01) jitter to a deterministic ~10% subset of the
     zero rows (reference gwr_model.py:42-59, seeded there by row count).
 
-    The aggregate precheck is a scalar subquery-style two-pass: one global
-    agg (map-side combinable, no full shuffle of the data), then a
-    column-expression rewrite — no driver loop, scales to any row count.
+    The global precheck stays IN the plan (VERDICT r3): the one-row
+    aggregate (map-side combinable, column-pruned to `value_col` only) is
+    broadcast back and gates the rewrite as a plain column predicate — no
+    eager driver collect()/job at call time, and the caller's
+    cache/stage-table decisions apply to the whole pipeline uniformly.
+    An empty input aggregates to NULL pct -> no jitter (same as before).
     """
     v = F.col(value_col)
-    frac = df.agg(
-        (F.avg((v != 0).cast("double")) * 100.0).alias("pct")).collect()[0]["pct"]
-    if frac is None or frac >= nonzero_threshold_pct:
-        return df
+    pct_df = df.select(
+        (F.avg((v != 0).cast("double")) * 100.0).alias("_nz_pct"))
     u_pick = hash_uniform(*key_cols, seed=seed)
     u_mag = hash_uniform(*key_cols, seed=seed + 1)
     jitter = F.lit(0.001) + u_mag * F.lit(0.009)
-    return df.withColumn(
-        value_col,
-        F.when((v == 0) & (u_pick < F.lit(jitter_fraction)), v + jitter).otherwise(v),
-    )
+    low = F.col("_nz_pct").isNotNull() & \
+        (F.col("_nz_pct") < F.lit(nonzero_threshold_pct))
+    return (df.crossJoin(F.broadcast(pct_df))
+            .withColumn(
+                value_col,
+                F.when(low & (v == 0) & (u_pick < F.lit(jitter_fraction)),
+                       v + jitter).otherwise(v))
+            .drop("_nz_pct"))
