@@ -273,7 +273,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
              .union(pairs.select(F.col(id_b), F.col(id_a)))
              .union(pairs.select(F.col(id_a), F.col(id_a)))
              .union(pairs.select(F.col(id_b), F.col(id_b)))
-             .distinct().localCheckpoint(eager=True))
+             .distinct().localCheckpoint(eager=False))
     labels = (edges.groupBy(F.col("src").alias("id"))
               .agg(F.min("dst").alias("lbl")).persist())
     # convergence probe: labels only ever DECREASE, so sum(labels) is
@@ -281,21 +281,27 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # unchanged assignment. One full-scan agg per round (materializes the
     # round's cache; a short-circuiting isEmpty would leave it partial and
     # recompute prior rounds) and no extra compare-join/shuffle.
+    # Checkpoints are LAZY (eager=False): the probe agg on the next line
+    # materializes them inside its own job, so each round runs ONE Spark
+    # job instead of two — at small data the loop is job-latency-bound.
     lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev = labels.agg(lbl_sum).collect()[0][0]
     for _ in range(max_rounds):
-        # new label(v) = min label among v and its neighbors
+        # new label(v) = min label among v and its neighbors; persisted
+        # (lazily) because the pointer-doubling self-join below references
+        # it twice — unpersisted it would compute the edges-join twice
         one = (edges.join(labels.withColumnRenamed("id", "dst")
                           .withColumnRenamed("lbl", "nlbl"), "dst")
                .groupBy(F.col("src").alias("id"))
-               .agg(F.min("nlbl").alias("lbl")))
+               .agg(F.min("nlbl").alias("lbl")).persist())
         # pointer doubling: lbl := lbl(lbl). Every label value is itself
         # an id in `one` (self-loops guarantee totality), so inner join.
         prop = (one.join(one.select(F.col("id").alias("lbl"),
                                     F.col("lbl").alias("plbl")), "lbl")
                 .select("id", F.col("plbl").alias("lbl"))
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
         cur = prop.agg(lbl_sum).collect()[0][0]
+        one.unpersist()
         labels.unpersist()
         labels = prop
         if cur == prev:
