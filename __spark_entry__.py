@@ -1221,6 +1221,16 @@ def q_ann_embedding_norms(spark, sf):
                       pround(norm, 4).alias("l2_norm"))
 
 
+def q_dedup_semantic(spark, sf):
+    """SemDeDup-style semantic dedup: coarse IVF clustering, then flag
+    members redundant with their cluster's lowest-id representative
+    (cosine >= 0.5). No within-cluster pairwise join — O(n·C) assign +
+    O(n) verify, skew-immune (contrast dedup_embedding's pair listing)."""
+    from lswms_forage_etl_spark.operators.similarity import semantic_dedup
+    emb = _t(spark, sf, "embeddings")
+    return semantic_dedup(emb, threshold=0.5, num_centroids=16)
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1320,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "text_gopher": q_text_gopher,
         "dedup_chunks": q_dedup_chunks,
+        "dedup_semantic": q_dedup_semantic,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2381,6 +2392,35 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine_sim DESC, vec_id) AS rk FROM sc)
         SELECT query_id, vec_id, cosine_sim FROM r WHERE rk <= 3
+    """
+
+    sql["dedup_semantic"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (
+          SELECT (row_number() OVER (
+                    ORDER BY (vec_id * 2654435761) % 1000003, vec_id)) - 1
+                   AS cent_id, v AS cv
+          FROM e ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 16),
+        sims AS (SELECT e.vec_id, e.v, c.cent_id,
+                        {_pr(_cos('e.v', 'c.cv'), 9)} AS sim
+                 FROM e CROSS JOIN cents c),
+        asg AS (SELECT vec_id, v, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rn FROM sims)
+                WHERE rn = 1),
+        reps AS (SELECT cent_id, min(vec_id) AS rep_id FROM asg GROUP BY 1),
+        rv AS (SELECT r.cent_id, r.rep_id, a.v AS rvv
+               FROM reps r JOIN asg a ON a.vec_id = r.rep_id),
+        o AS (SELECT a.vec_id, a.cent_id, rv.rep_id,
+                     CASE WHEN a.vec_id = rv.rep_id THEN CAST(1.0 AS DOUBLE)
+                          ELSE {_pr(_cos('a.v', 'rv.rvv'), 6)} END
+                       AS rep_cosine
+              FROM asg a JOIN rv ON a.cent_id = rv.cent_id)
+        SELECT vec_id, cent_id, rep_id, rep_cosine,
+               (vec_id <> rep_id AND rep_cosine >= 0.5) AS is_semantic_dup
+        FROM o
     """
 
     kind_expr = "(['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1]"

@@ -500,3 +500,51 @@ def topk_join_lsh(queries: DataFrame, corpus: DataFrame, k: int = 3,
         F.col("cosine_sim").desc(), F.col(id_col))
     return (scored.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k).drop("_rk"))
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   num_centroids: int = 16) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster the embedding space coarsely, then inside each cluster flag
+    every member whose cosine to the cluster REPRESENTATIVE (its lowest-id
+    member — deterministic, engine-portable) exceeds `threshold`.
+
+    Output: (id, cent_id, rep_id, rep_cosine, is_semantic_dup) for every
+    vector — keep `NOT is_semantic_dup` rows (plus representatives) as the
+    deduplicated corpus.
+
+    Scale shape — contrast with the pairwise `embedding_near_dups`: NO
+    within-cluster pairwise join at all. One Arrow centroid-assignment
+    pass (bit-exact with the SQL oracle, see _ivf_assign), one tiny
+    aggregation for per-cluster representatives (min id), one broadcast-
+    eligible join of the representative VECTORS back (C rows — catalog
+    scale), and one scan-side cosine per member. Cost is O(n·C) assign +
+    O(n) verify at any corpus size; cluster-size skew is irrelevant
+    because no operator is quadratic in cluster occupancy. Recall differs
+    from pairwise near-dup listing by design: SemDeDup asks "is this
+    point redundant with its cluster's exemplar", not "list all close
+    pairs" — the former is the corpus-pruning primitive."""
+    cents = ivf_centroid_rows(embeddings, num_centroids, id_col, vec_col)
+    # persisted: referenced by reps, the rep-vector lookup, AND the main
+    # join — unpersisted, the Arrow assignment would run three times
+    # (at real scale this is the materialized IVF index table)
+    assigned = _ivf_assign(embeddings, cents, id_col, vec_col).persist()
+
+    reps = (assigned.groupBy("cent_id")
+            .agg(F.min(id_col).alias("rep_id")))
+    rep_vecs = (assigned.select(F.col(id_col).alias("rep_id"),
+                                F.col(vec_col).alias("_rv"))
+                .join(F.broadcast(reps), "rep_id"))
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    rd = F.transform(F.col("_rv"), lambda x: x.cast("double"))
+    out = (assigned.join(F.broadcast(rep_vecs), "cent_id")
+           .withColumn("rep_cosine",
+                       F.when(F.col(id_col) == F.col("rep_id"), F.lit(1.0))
+                       .otherwise(portable_round(cosine(vd, rd), 6)))
+           .withColumn("is_semantic_dup",
+                       (F.col(id_col) != F.col("rep_id"))
+                       & (F.col("rep_cosine") >= F.lit(threshold))))
+    return out.select(id_col, "cent_id", "rep_id", "rep_cosine",
+                      "is_semantic_dup")

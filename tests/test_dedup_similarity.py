@@ -323,3 +323,25 @@ def test_chunk_dedup_stats_invariants(spark):
     for r in chunk_dedup_stats(df, size=8).collect():
         assert 0 <= r["n_shared_chunks"] <= r["n_chunks"]
         assert 0.0 <= r["dup_chunk_frac"] <= 1.0
+
+
+def test_semantic_dedup_flags_planted_redundancy(spark):
+    """SemDeDup shape: the planted near-copy (vec 7 ~ vec 0) must land in
+    vec 0's cluster and be flagged redundant against its representative;
+    every vector gets exactly one row; representatives are never dups."""
+    from lswms_forage_etl_spark.operators.similarity import semantic_dedup
+
+    emb, _ = _embeddings(spark, n=60, dim=16)
+    out = semantic_dedup(emb, threshold=0.99, num_centroids=4).collect()
+    rows = {r["vec_id"]: r for r in out}
+    assert len(rows) == 60
+    r0, r7 = rows[0], rows[7]
+    assert r7["cent_id"] == r0["cent_id"]
+    # 0 is the global min id, so it must be its cluster's representative,
+    # and the planted near-copy must be flagged redundant against it
+    assert r0["rep_id"] == 0 and r7["rep_id"] == 0
+    assert r7["rep_cosine"] >= 0.99 and r7["is_semantic_dup"]
+    for r in out:
+        if r["vec_id"] == r["rep_id"]:
+            assert not r["is_semantic_dup"] and r["rep_cosine"] == 1.0
+        assert rows[r["rep_id"]]["cent_id"] == r["cent_id"]
