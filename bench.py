@@ -49,6 +49,8 @@ HEADLINE = [
     "pack_sequences",
     "text_contamination",
     "dedup_simhash",
+    # round-4 addition
+    "dedup_semantic",
 ]
 
 
