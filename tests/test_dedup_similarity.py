@@ -345,3 +345,27 @@ def test_semantic_dedup_flags_planted_redundancy(spark):
         if r["vec_id"] == r["rep_id"]:
             assert not r["is_semantic_dup"] and r["rep_cosine"] == 1.0
         assert rows[r["rep_id"]]["cent_id"] == r["cent_id"]
+
+
+def test_signature_partition_invariance(spark):
+    """The scaled-integer dot convention's core claim: signatures are
+    identical under ANY partitioning / evaluation order (exact int64
+    sums are associative — no float fold-order contract). Repartitioning
+    must not flip a single bucket, and the Arrow UDF must agree with the
+    JVM expression fold (hyperplane_signature) bit-for-bit."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        band_buckets, band_signatures_udf, hyperplane_signature)
+
+    emb, _ = _embeddings(spark, n=80, dim=16)
+    b1 = set(map(tuple, band_buckets(emb.repartition(1), dim=16).collect()))
+    b32 = set(map(tuple, band_buckets(emb.repartition(32), dim=16).collect()))
+    assert b1 == b32 and len(b1) == 80 * 4
+
+    sigs = band_signatures_udf(num_planes=8, dim=16, num_bands=1)
+    udf_vals = {r["vec_id"]: r["s"] for r in emb.select(
+        "vec_id", F.element_at(sigs(F.col("embedding")), 1).alias("s")
+    ).collect()}
+    expr_vals = {r["vec_id"]: r["s"] for r in emb.select(
+        "vec_id", hyperplane_signature("embedding", 8, 16).alias("s")
+    ).collect()}
+    assert udf_vals == {k: int(v) for k, v in expr_vals.items()}
