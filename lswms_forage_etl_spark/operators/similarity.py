@@ -398,13 +398,21 @@ def _ivf_assign(embeddings: DataFrame,
     @pandas_udf("int")
     def assign(col):
         import pandas as pd
-        v = np.asarray(col.tolist(), dtype=np.float64)        # n x D
+        # NULL / wrong-length vectors are zero-filled: their cosine is
+        # NaN (0-norm), argmax then deterministically yields list 0 —
+        # defined, crash-free behavior for dirty rows (the previous
+        # expression form fed NULL sims to array_max, which was
+        # engine-ambiguous; a ragged tolist() would crash np.asarray)
+        vals = [x if x is not None and len(x) == dim else [0.0] * dim
+                for x in col.tolist()]
+        v = np.asarray(vals, dtype=np.float64)                # n x D
         dots = np.zeros((v.shape[0], cent_mat.shape[0]))
         nrm = np.zeros(v.shape[0])
         for i in range(dim):                                  # fold order!
             dots += v[:, i:i + 1] * cent_mat[None, :, i]
             nrm += v[:, i] * v[:, i]
-        sims = dots / (np.sqrt(nrm)[:, None] * cent_norms[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / (np.sqrt(nrm)[:, None] * cent_norms[None, :])
         sims = np.floor(sims * 1e9 + 0.5) / 1e9               # pround(.., 9)
         return pd.Series(np.argmax(sims, axis=1).astype("int32"))
 

@@ -179,3 +179,27 @@ def test_pii_redaction_and_repetition_metrics(spark):
     short = _docs(spark, ["one", ""]).select(
         T.dup_ngram_frac("text", 3).alias("d3")).collect()
     assert [r["d3"] for r in short] == [0.0, 0.0]
+
+
+def test_ivf_assign_null_embedding_is_defined(spark):
+    """A NULL embedding row must not crash the Arrow assignment pass and
+    must land deterministically in list 0 (zero-fill -> NaN cosine ->
+    first-index argmax). Valid rows are unaffected."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from lswms_forage_etl_spark.operators.similarity import (
+        _ivf_assign, ivf_centroid_rows)
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)])
+            for i in range(20)]
+    rows.append((20, None))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    cents = ivf_centroid_rows(emb.where(F.col("embedding").isNotNull()),
+                              num_centroids=4)
+    got = {r["vec_id"]: r["cent_id"]
+           for r in _ivf_assign(emb, cents, "vec_id", "embedding").collect()}
+    assert len(got) == 21
+    assert got[20] == 0
+    assert all(0 <= c < 4 for c in got.values())
