@@ -176,7 +176,13 @@ def band_signatures_udf(num_planes: int = 8, dim: int = 64,
     @pandas_udf("array<long>")
     def sigs(col):
         import pandas as pd
-        v = np.asarray(col.tolist(), dtype=np.float64)        # n x D
+        # NULL / wrong-length vectors zero-fill (crash-free, deterministic
+        # all-ones signature since floor(0.5)=0 >= 0); downstream cosine
+        # verification yields NULL for them and the threshold filter drops
+        # the pair, so dirty rows can never produce a false near-dup
+        vals = [x if x is not None and len(x) == dim else [0.0] * dim
+                for x in col.tolist()]
+        v = np.asarray(vals, dtype=np.float64)                # n x D
         acc = np.floor(v[:, None, :] * flat[None, :, :] * float(DOT_SCALE)
                        + 0.5).astype(np.int64).sum(axis=2)    # n x B*R
         bits = (acc >= 0).reshape(len(v), num_bands, num_planes)
