@@ -1221,6 +1221,16 @@ def q_ann_embedding_norms(spark, sf):
                       pround(norm, 4).alias("l2_norm"))
 
 
+def q_corpus_order(spark, sf):
+    """Epoch-seeded deterministic training order: every document gets a
+    (shard, pos_in_shard) dataloader address from a reproducible hash
+    shuffle (epoch 1). One per-shard window — n_shards linear scans,
+    never a global sort."""
+    from lswms_forage_etl_spark.operators.packing import training_order
+    docs = _t(spark, sf, "documents")
+    return training_order(docs, "doc_id", n_shards=8, seed=0, epoch=1)
+
+
 def q_dedup_semantic(spark, sf):
     """SemDeDup-style semantic dedup: coarse IVF clustering, then flag
     members redundant with their cluster's lowest-id representative
@@ -1331,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "dedup_chunks": q_dedup_chunks,
         "dedup_semantic": q_dedup_semantic,
+        "corpus_order": q_corpus_order,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2392,6 +2403,21 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cosine_sim DESC, vec_id) AS rk FROM sc)
         SELECT query_id, vec_id, cosine_sim FROM r WHERE rk <= 3
+    """
+
+    sql["corpus_order"] = """
+        WITH o AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5('7919|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::BIGINT AS order_key
+          FROM documents)
+        SELECT doc_id,
+               CAST(order_key % 8 AS INT) AS shard,
+               order_key,
+               row_number() OVER (PARTITION BY order_key % 8
+                                  ORDER BY order_key, doc_id) - 1
+                 AS pos_in_shard
+        FROM o
     """
 
     sql["dedup_semantic"] = f"""

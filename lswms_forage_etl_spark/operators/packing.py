@@ -153,3 +153,29 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                     F.size("c.ctoks").alias("n_chunk_tokens"),
                     F.md5(F.concat_ws(" ", F.col("c.ctoks")))
                     .alias("chunk_fp")))
+
+
+def training_order(df: DataFrame, key_col: str, n_shards: int = 8,
+                   seed: int = 0, epoch: int = 0) -> DataFrame:
+    """Deterministic global training order: (shard, pos_in_shard) is the
+    dataloader address of every example after an epoch-seeded hash
+    shuffle — the "shuffle the corpus between epochs" primitive, made
+    reproducible on any engine, partitioning, or retry.
+
+    Each example's order key is the md5-derived u32 of (seed', key) with
+    seed' = seed + epoch * 7919, so epochs are independent pseudo-random
+    permutations and epoch 0 with the default seed matches the other
+    corpus operators' stream. Shard = u32 % n_shards; position = dense
+    rank within the shard stream. Same scale shape as pack_sequences:
+    ONE shuffle (the per-shard window), n_shards parallel linear scans,
+    never a global sort — at 100 TB, n_shards is O(total cores) and a
+    writer partitioned by `shard` emits every stream as its own file
+    sequence.
+    """
+    u = sample_u32(key_col, seed + epoch * 7919)
+    out = (df.withColumn("order_key", u)
+           .withColumn("shard", F.pmod(F.col("order_key"),
+                                       F.lit(n_shards)).cast("int")))
+    w = Window.partitionBy("shard").orderBy("order_key", key_col)
+    return out.select(F.col(key_col), "shard", "order_key",
+                      (F.row_number().over(w) - 1).alias("pos_in_shard"))

@@ -119,3 +119,32 @@ def test_chunk_coverage_and_fingerprints(spark):
     c2 = by_doc[2]
     assert len(c2) == 1 and c2[0]["n_chunk_tokens"] == 3
     assert c2[0]["chunk_fp"] == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_training_order_epochs_and_invariance(spark):
+    """Epoch-seeded shuffle: per-shard positions are dense 0..n-1,
+    different epochs give different permutations, and the layout is
+    identical under any input partitioning (hash-derived, not
+    partition-derived)."""
+    from lswms_forage_etl_spark.operators.packing import training_order
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(300)], "doc_id long, text string")
+    e0 = training_order(docs, "doc_id", n_shards=4, epoch=0).collect()
+    e1 = training_order(docs, "doc_id", n_shards=4, epoch=1).collect()
+
+    by_shard = {}
+    for r in e0:
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    assert len(e0) == 300 and 1 <= len(by_shard) <= 4
+
+    o0 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in e0}
+    o1 = {r["doc_id"]: (r["shard"], r["pos_in_shard"]) for r in e1}
+    assert o0 != o1                      # epochs permute independently
+
+    rep = training_order(docs.repartition(13), "doc_id",
+                         n_shards=4, epoch=0).collect()
+    assert {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+            for r in rep} == o0          # partitioning-invariant
