@@ -364,13 +364,19 @@ def simhash(docs: DataFrame, text_col: str = "text",
     # (4x fewer aggregate-buffer updates per token row; the per-bit
     # extraction work is unchanged). Lane l of group j counts bit 4j+l
     # over the doc's tokens; the per-bit vote is then 2*count - n_tokens,
-    # bit-identical to summing +/-1 votes. A 16-bit lane overflows at
-    # 65536 DISTINCT tokens per doc; the guard lives POST-aggregation on
-    # the materialized token count _n (a pre-explode size() check would
-    # reference `toks` twice and CollapseProject would duplicate the whole
-    # tokenize+distinct expression — the shingle_table hazard), raising
-    # loudly instead of emitting a corrupted signature. A >65k-distinct-
-    # token doc should be chunked upstream — see chunk_documents.
+    # bit-identical to summing +/-1 votes.
+    #
+    # Overflow budget: the packed partial sum is bounded by
+    # n * (2^48 + 2^32 + 2^16 + 1), which crosses 2^63 at n = 32768 —
+    # and under Spark's default ANSI mode a long SUM overflow THROWS
+    # *during aggregation*, before any post-agg guard can run. So the
+    # sums are try_sum (overflow -> NULL, never an opaque crash) and the
+    # guard raises a clear error for docs with >= 2^15 distinct tokens
+    # (chunk them upstream — see chunk_documents). The guard lives
+    # POST-aggregation on the materialized count _n because a pre-explode
+    # size() check would reference `toks` twice and CollapseProject would
+    # duplicate the whole tokenize+distinct expression (the shingle_table
+    # hazard).
     _LANES, _W = 4, 16
     # bit-deposit: nibble n of the hash spreads to the 4 lane-bottom bits
     # in TWO arithmetic ops — n * (1 + 2^15 + 2^30 + 2^45) places bit l at
@@ -385,8 +391,9 @@ def simhash(docs: DataFrame, text_col: str = "text",
           .select(F.col(id_col), F.explode_outer(toks).alias("_tok"))
           .select(id_col, h64.alias("_h")))
     packed = [
-        F.sum((F.shiftright(F.col("_h"), j * _LANES).bitwiseAND(F.lit(15))
-               .cast("long") * F.lit(_DEPOSIT)).bitwiseAND(F.lit(_LANE_LSB)))
+        F.try_sum((F.shiftright(F.col("_h"), j * _LANES).bitwiseAND(F.lit(15))
+                   .cast("long") * F.lit(_DEPOSIT))
+                  .bitwiseAND(F.lit(_LANE_LSB)))
         .alias(f"_p{j}")
         for j in range(bits // _LANES)]
     agg = ex.groupBy(id_col).agg(
@@ -404,9 +411,9 @@ def simhash(docs: DataFrame, text_col: str = "text",
         sig = sig + F.coalesce(
             F.shiftleft((cnt * 2 > F.col("_n")).cast("long"), b),
             F.lit(0).cast("long"))
-    sig = F.when(F.col("_n") < F.lit(1 << _W), sig).otherwise(F.raise_error(
-        F.concat(F.lit(
-            f"simhash vote lanes overflow: >{(1 << _W) - 1} distinct "
+    sig = F.when(F.col("_n") < F.lit(1 << (_W - 1)), sig).otherwise(
+        F.raise_error(F.concat(F.lit(
+            f"simhash vote lanes overflow: >= {1 << (_W - 1)} distinct "
             f"tokens in doc; chunk the document first: "),
             F.col("_n").cast("string"))).cast("long"))
     return agg.select(F.col(id_col), sig.alias("simhash"))

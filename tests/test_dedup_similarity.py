@@ -369,3 +369,19 @@ def test_signature_partition_invariance(spark):
         "vec_id", hyperplane_signature("embedding", 8, 16).alias("s")
     ).collect()}
     assert udf_vals == {k: int(v) for k, v in expr_vals.items()}
+
+
+def test_simhash_wide_doc_raises_clear_guard(spark):
+    """A doc with >= 2^15 distinct tokens must fail with the engine's own
+    'vote lanes overflow' message — NOT Spark's opaque ANSI
+    ARITHMETIC_OVERFLOW, which would otherwise fire during aggregation
+    (packed lane sums cross 2^63 at n=32768) before any guard runs.
+    try_sum keeps the aggregation itself crash-free."""
+    import pytest
+
+    wide = " ".join(f"t{i}" for i in range(40_000))
+    docs = spark.createDataFrame(
+        [(0, wide), (1, "small doc here")], "doc_id long, text string")
+    with pytest.raises(Exception, match="vote lanes overflow"):
+        simhash(docs).collect()
+    assert simhash(docs.where("doc_id = 1")).count() == 1
