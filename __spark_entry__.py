@@ -837,7 +837,7 @@ def q_text_contamination(spark, sf):
     # separate parity table 3 more times (6 joins -> 3, VERDICT r3 item 6).
     par = docs.select(
         "doc_id",
-        (F.substring("source", 4, 10).cast("int") % 2).alias("split"))
+        (F.expr("substring(source, 4)").cast("int") % 2).alias("split"))
     sh = shingle_table(docs).join(par, "doc_id").persist()
     sigs = minhash_signatures(docs, num_hashes=16, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)

@@ -387,6 +387,10 @@ def simhash(docs: DataFrame, text_col: str = "text",
     # per-bit form).
     _DEPOSIT = 1 + (1 << 15) + (1 << 30) + (1 << 45)
     _LANE_LSB = sum(1 << (_W * lane) for lane in range(_LANES))
+    # `toks` is array_distinct'd above, so the exploded rows — and hence
+    # the guard's _n count — are DISTINCT tokens per doc, matching the
+    # "distinct tokens" wording in the overflow message (ADVICE r4
+    # queried this; the dedup happens at tokenization, not aggregation).
     ex = (_spread(docs)
           .select(F.col(id_col), F.explode_outer(toks).alias("_tok"))
           .select(id_col, h64.alias("_h")))

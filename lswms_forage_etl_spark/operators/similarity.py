@@ -176,17 +176,22 @@ def band_signatures_udf(num_planes: int = 8, dim: int = 64,
     @pandas_udf("array<long>")
     def sigs(col):
         import pandas as pd
-        # NULL / wrong-length vectors zero-fill (crash-free, deterministic
-        # all-ones signature since floor(0.5)=0 >= 0); downstream cosine
-        # verification yields NULL for them and the threshold filter drops
-        # the pair, so dirty rows can never produce a false near-dup
+        # NULL / wrong-length vectors get signature 0 in every band — the
+        # same value the JVM hyperplane_signature and the DuckDB oracle
+        # _sig produce (NULL dot -> ELSE 0 per bit), so all three forms
+        # bucket dirty rows identically. Downstream cosine verification
+        # yields NULL for them and the threshold filter drops the pair,
+        # so dirty rows can never produce a false near-dup either way.
+        raw = col.tolist()
+        dirty = np.array([x is None or len(x) != dim for x in raw])
         vals = [x if x is not None and len(x) == dim else [0.0] * dim
-                for x in col.tolist()]
+                for x in raw]
         v = np.asarray(vals, dtype=np.float64)                # n x D
         acc = np.floor(v[:, None, :] * flat[None, :, :] * float(DOT_SCALE)
                        + 0.5).astype(np.int64).sum(axis=2)    # n x B*R
         bits = (acc >= 0).reshape(len(v), num_bands, num_planes)
         sig = (bits * weights).sum(axis=2)
+        sig[dirty] = 0
         return pd.Series(list(sig))
 
     return sigs

@@ -370,6 +370,20 @@ def test_signature_partition_invariance(spark):
     ).collect()}
     assert udf_vals == {k: int(v) for k, v in expr_vals.items()}
 
+    # NULL / ragged vectors must bucket IDENTICALLY in all three forms
+    # (ADVICE r4): the JVM fold's NULL dot hits the ELSE 0 branch per bit
+    # -> signature 0, and the oracle _sig replays that; the Arrow UDF
+    # must not zero-fill dirty rows into all-ones signatures.
+    dirty = spark.createDataFrame(
+        [(1000, None), (1001, [0.5] * 7), (1002, [0.25] * 16)],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["u"], r["j"]) for r in dirty.select(
+        "vec_id",
+        F.element_at(sigs(F.col("embedding")), 1).alias("u"),
+        hyperplane_signature("embedding", 8, 16).alias("j")).collect()}
+    assert got[1000] == (0, 0) and got[1001] == (0, 0)
+    assert got[1002][0] == int(got[1002][1])  # clean row still agrees
+
 
 def test_simhash_wide_doc_raises_clear_guard(spark):
     """A doc with >= 2^15 distinct tokens must fail with the engine's own
