@@ -35,6 +35,7 @@ from lswms_forage_etl_spark.functions.grid import (
     lon_to_col,
 )
 from lswms_forage_etl_spark.functions import text as T
+from lswms_forage_etl_spark.lifecycle import track
 from lswms_forage_etl_spark.operators.dedup import (
     MINHASH_PRIME,
     duplicate_clusters,
@@ -783,10 +784,12 @@ def q_dedup_lsh_pairs(spark, sf):
     materialization points — without them Catalyst inlines the shingle
     expression into every hash branch and join side (60x slowdown)."""
     docs = _t(spark, sf, "documents")
-    sh = shingle_table(docs).persist()
-    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh).persist()
+    sh = track(shingle_table(docs).persist())
+    sigs = track(minhash_signatures(docs, num_hashes=16,
+                                    shingles=sh).persist())
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
-    return ngram_jaccard(docs, pairs, shingles=sh).where(F.col("jaccard") >= 0.5)
+    return ngram_jaccard(docs, pairs, shingles=sh).where(
+        F.col("jaccard") >= 0.5)
 
 
 def q_sample_stratified(spark, sf):
@@ -838,7 +841,7 @@ def q_text_contamination(spark, sf):
     par = docs.select(
         "doc_id",
         (F.expr("substring(source, 4)").cast("int") % 2).alias("split"))
-    sh = shingle_table(docs).join(par, "doc_id").persist()
+    sh = track(shingle_table(docs).join(par, "doc_id").persist())
     sigs = minhash_signatures(docs, num_hashes=16, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
     out = (pairs
@@ -864,8 +867,9 @@ def q_dedup_clusters(spark, sf):
     (doc_id, canonical rep_id, cluster_size). The oracle replays the
     closure with a recursive CTE — same fixpoint, different algorithm."""
     docs = _t(spark, sf, "documents")
-    sh = shingle_table(docs).persist()
-    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh).persist()
+    sh = track(shingle_table(docs).persist())
+    sigs = track(minhash_signatures(docs, num_hashes=16,
+                                    shingles=sh).persist())
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
     dups = ngram_jaccard(docs, pairs, shingles=sh).where(
         F.col("jaccard") >= 0.5)
@@ -884,7 +888,7 @@ def q_dedup_ngram_jaccard(spark, sf):
                                      (F.col("doc_id") + 100).alias("id_b")))
              .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
              .select("id_a", "id_b"))
-    sh = shingle_table(docs).persist()
+    sh = track(shingle_table(docs).persist())
     return ngram_jaccard(docs, pairs, shingles=sh)
 
 
@@ -941,8 +945,9 @@ def q_dedup_representatives(spark, sf):
     the best copy, which the rep_id label doesn't know). Emits every
     clustered doc with its keeper and a keep flag."""
     docs = _t(spark, sf, "documents")
-    sh = shingle_table(docs).persist()
-    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh).persist()
+    sh = track(shingle_table(docs).persist())
+    sigs = track(minhash_signatures(docs, num_hashes=16,
+                                    shingles=sh).persist())
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
     dups = ngram_jaccard(docs, pairs, shingles=sh).where(
         F.col("jaccard") >= 0.5)

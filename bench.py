@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
-from lswms_forage_etl_spark import get_spark
+from lswms_forage_etl_spark import get_spark, lifecycle
 
 # Headline set: one per operator family, weighted toward shuffle/join/agg
 # heavy paths that dominate at scale.
@@ -80,23 +80,36 @@ def main() -> None:
     # (round-2 lesson — a partial bench beats no bench). Errors are recorded
     # as string entries and excluded from the total.
     timings: dict[str, object] = {}
+    spreads: dict[str, dict[str, float]] = {}
     errors = 0
     for name in HEADLINE:
-        best = None
+        runs: list[float] = []
         try:
             # best-of-3 (was best-of-2 through round 3): identical code
             # measured 13.9s-18.4s across runs on this host — ambient
             # noise, not the engine; min-of-3 converges much tighter
             for _ in range(3):
                 # queries that persist() stage tables (dedup family) must not
-                # leak cached blocks into the next measurement
+                # leak cached blocks into the next measurement — tracked
+                # handles released first (covers localCheckpoint storage,
+                # which clearCache cannot free), clearCache as backstop
+                lifecycle.release_tracked()
                 spark.catalog.clearCache()
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop") \
                     .mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.time() - t0)
+            runs.sort()
+            timings[name] = round(runs[0], 3)
+            # per-query spread (VERDICT r4 item 7): min is the headline
+            # number; median and max make round-over-round regressions
+            # decidable without re-running (a +30% min inside last round's
+            # min..max band is noise; outside it is real)
+            spreads[name] = {
+                "min": round(runs[0], 3),
+                "median": round(runs[len(runs) // 2], 3),
+                "max": round(runs[-1], 3),
+            }
         except Exception as exc:  # noqa: BLE001 - isolate per query
             errors += 1
             msg = str(exc).split("\n", 1)[0][:200]
@@ -110,6 +123,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

@@ -167,8 +167,10 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     # materialize: the banded table is self-joined, and unpersisted each
     # side would re-derive the minhash signatures (and their band md5s)
     # from scratch — the same double-evaluation hazard as shingle_table
-    sig = signatures.select(
-        id_col, F.posexplode(band_arr).alias("band_id", "band_hash")).persist()
+    from lswms_forage_etl_spark.lifecycle import track
+    sig = track(signatures.select(
+        id_col, F.posexplode(band_arr).alias("band_id", "band_hash"))
+        .persist())
     a = sig.alias("a")
     b = sig.alias("b")
     return (a.join(b, ["band_id", "band_hash"])
@@ -234,7 +236,8 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     signatures -> banded candidates -> exact jaccard verify -> near-dup
     pairs above threshold. At production scale the shingle/signature
     tables are written to parquet stage tables instead of persist()."""
-    sh = shingle_table(docs, text_col, id_col, k).persist()
+    from lswms_forage_etl_spark.lifecycle import track
+    sh = track(shingle_table(docs, text_col, id_col, k).persist())
     sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes,
                               shingles=sh)
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
@@ -268,7 +271,18 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     ever-growing tree per round — measured ~4.7s of pure planning at
     sf0.1 vs ~0.5s truncated. On a cluster, swap localCheckpoint for
     checkpoint(reliable storage) if executor loss during the loop must
-    be survivable; the cut lineage is the point either way."""
+    be survivable; the cut lineage is the point either way.
+
+    Storage lifecycle (VERDICT r4 item 6): localCheckpoint blocks are
+    RDD-level — DataFrame.unpersist() and spark.catalog.clearCache() do
+    NOT free them — so superseded rounds are freed explicitly by RDD id
+    inside the loop, and the FINAL label table's blocks (which must
+    outlive this call) are registered as a lifecycle cleanup for the
+    caller's release_tracked()."""
+    from lswms_forage_etl_spark import lifecycle
+
+    spark = pairs.sparkSession
+    ids0 = lifecycle.persistent_rdd_ids(spark)
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .union(pairs.select(F.col(id_b), F.col(id_a)))
              .union(pairs.select(F.col(id_a), F.col(id_a)))
@@ -286,6 +300,8 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # job instead of two — at small data the loop is job-latency-bound.
     lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
     prev = labels.agg(lbl_sum).collect()[0][0]
+    edge_ids = lifecycle.persistent_rdd_ids(spark) - ids0
+    kept: set[int] = set()   # previous round's checkpoint RDD ids
     for _ in range(max_rounds):
         # new label(v) = min label among v and its neighbors; persisted
         # (lazily) because the pointer-doubling self-join below references
@@ -302,7 +318,11 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                 .localCheckpoint(eager=False))
         cur = prop.agg(lbl_sum).collect()[0][0]
         one.unpersist()
-        labels.unpersist()
+        labels.unpersist()   # frees the round-0 persist; no-op afterwards
+        fresh = (lifecycle.persistent_rdd_ids(spark)
+                 - ids0 - edge_ids - kept)   # == this round's ckpt blocks
+        lifecycle.unpersist_rdd_ids(spark, kept)   # superseded round
+        kept = fresh
         labels = prop
         if cur == prev:
             break
@@ -310,9 +330,12 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     else:
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} rounds")
-    edges.unpersist()
+    # the final labels table is checkpoint-backed, so the edge table's
+    # blocks are no longer reachable from the result plan — free them now
+    lifecycle.unpersist_rdd_ids(spark, edge_ids)
     sizes = labels.groupBy(F.col("lbl").alias("rep_id")) \
         .agg(F.count(F.lit(1)).alias("cluster_size"))
+    lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, kept))
     return (labels.select(F.col("id").alias("doc_id"),
                           F.col("lbl").alias("rep_id"))
             .join(sizes, "rep_id")
@@ -462,6 +485,8 @@ def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
     # ~1.6k docs makes candidates quadratic; survivors are the real
     # near-dup pairs, which any exact pair-listing must emit)
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    from lswms_forage_etl_spark.lifecycle import track
+    track(chunks)
     return (a.join(b, ["chunk_id", "chunk"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .where(hamming <= max_hamming)

@@ -250,7 +250,8 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     # re-evaluate the Arrow signature UDF (plan shows py=4 Arrow stages,
     # observed +33% wall). Same rationale as dedup.shingle_table — at
     # real scale this is a parquet stage table.
-    b = b.persist()
+    from lswms_forage_etl_spark.lifecycle import track
+    b = track(b.persist())
 
     keys = ["band", "bucket", "chunk"]
     cand = (b.alias("a").join(b.alias("b"), keys)
@@ -493,20 +494,22 @@ def topk_join_lsh(queries: DataFrame, corpus: DataFrame, k: int = 3,
                 m |= 1 << b
             masks.append(m)
 
+    from lswms_forage_etl_spark.lifecycle import track
+
     sigs = band_signatures_udf(num_planes, dim, seed, num_bands=1)
     # materialize both bucketed sides so the Arrow signature pass runs
     # exactly once per side (unpersisted, the join re-evaluates the UDF
     # wherever the bucket column is referenced — plan showed py=6);
     # at real scale these are the pre-built signature stage tables
-    c = (corpus.select(F.col(id_col), F.col(vec_col))
-         .withColumn("_bkt", F.element_at(sigs(F.col(vec_col)), 1))
-         .persist())
-    q = (queries.select(F.col(id_col).alias(query_id),
-                        F.col(vec_col).alias("_qv"))
-         .withColumn("_qbkt", F.element_at(sigs(F.col("_qv")), 1))
-         .persist()
-         .withColumn("_probe", F.explode(F.array(*[
-             F.col("_qbkt").bitwiseXOR(F.lit(m)) for m in masks]))))
+    c = track((corpus.select(F.col(id_col), F.col(vec_col))
+               .withColumn("_bkt", F.element_at(sigs(F.col(vec_col)), 1))
+               .persist()))
+    qb = track((queries.select(F.col(id_col).alias(query_id),
+                               F.col(vec_col).alias("_qv"))
+                .withColumn("_qbkt", F.element_at(sigs(F.col("_qv")), 1))
+                .persist()))
+    q = qb.withColumn("_probe", F.explode(F.array(*[
+        F.col("_qbkt").bitwiseXOR(F.lit(m)) for m in masks])))
 
     cand = c.join(q, (F.col("_bkt") == F.col("_probe"))
                   & (F.col(id_col) != F.col(query_id)))
@@ -548,7 +551,9 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
     # persisted: referenced by reps, the rep-vector lookup, AND the main
     # join — unpersisted, the Arrow assignment would run three times
     # (at real scale this is the materialized IVF index table)
-    assigned = _ivf_assign(embeddings, cents, id_col, vec_col).persist()
+    from lswms_forage_etl_spark.lifecycle import track
+    assigned = track(_ivf_assign(embeddings, cents, id_col, vec_col)
+                     .persist())
 
     reps = (assigned.groupBy("cent_id")
             .agg(F.min(id_col).alias("rep_id")))

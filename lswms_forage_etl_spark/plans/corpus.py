@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from lswms_forage_etl_spark.lifecycle import track
+
 from lswms_forage_etl_spark.functions import text as T
 from lswms_forage_etl_spark.operators.dedup import (
     duplicate_clusters,
@@ -44,11 +46,11 @@ def corpus_pipeline(quality_min: float = 0.8,
         d = ctx["docs"].where(
             (T.quality_score("text") >= quality_min)
             & (T.lang_id("text") != "und"))
-        return {"clean": d.persist()}
+        return {"clean": track(d.persist())}
 
     def st_dedup(spark, ctx):
         d = ctx["clean"]
-        sh = shingle_table(d).persist()
+        sh = track(shingle_table(d).persist())
         sigs = minhash_signatures(d, num_hashes=16, shingles=sh)
         pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
         dups = ngram_jaccard(d, pairs, shingles=sh).where(
@@ -59,13 +61,13 @@ def corpus_pipeline(quality_min: float = 0.8,
         losers = clusters.where(F.col("doc_id") != F.col("rep_id")) \
             .select("doc_id")
         return {"shingles": sh, "clusters": clusters,
-                "deduped": d.join(losers, "doc_id", "left_anti").persist()}
+                "deduped": track(d.join(losers, "doc_id", "left_anti").persist())}
 
     def st_decontam(spark, ctx):
         train = ctx["deduped"]
         ev = ctx["eval_docs"].select(
             F.col("doc_id").alias("eval_id"), "text")
-        esh = shingle_table(ev, id_col="eval_id").persist()
+        esh = track(shingle_table(ev, id_col="eval_id").persist())
         tsigs = minhash_signatures(train, num_hashes=16,
                                    shingles=ctx["shingles"])
         esigs = minhash_signatures(ev, id_col="eval_id", num_hashes=16,

@@ -51,6 +51,8 @@ from lswms_forage_etl_spark.operators.zonal import zone_series
 
 from pyspark.sql import functions as F
 
+from lswms_forage_etl_spark.lifecycle import track
+
 
 @dataclass
 class Stage:
@@ -142,12 +144,12 @@ def forage_pipeline(series_start: dt.date, current_date: dt.date,
         # and multiple consumers of ctx — never recompute the upstream
         # (GWR scoring in particular must run once, not per consumer).
         # At real scale these become parquet/Delta stage tables.
-        return {"combined": combined.persist()}
+        return {"combined": track(combined.persist())}
 
     def st_gwr(spark, ctx):
         scored = gwr_fit_score(ctx["combined"], bandwidth=gwr_bandwidth)
-        return {"results": scored.withColumn(
-            "biom", biomass_calibration("pred")).persist()}
+        return {"results": track(scored.withColumn(
+            "biom", biomass_calibration("pred")).persist())}
 
     def st_rasterize(spark, ctx):
         cells = rasterize_points(ctx["results"], spark, dense=False)
@@ -157,8 +159,8 @@ def forage_pipeline(series_start: dt.date, current_date: dt.date,
         cells = ctx["raster_cells"].withColumn(
             "value", F.when(F.col("value") <= -1000.0, None)
             .otherwise(F.col("value")))
-        return {"zone_series": zone_series(
-            cells, ctx["coverage"], ctx.get("centroids")).persist()}
+        return {"zone_series": track(zone_series(
+            cells, ctx["coverage"], ctx.get("centroids")).persist())}
 
     def st_hindcast(spark, ctx):
         tall = hindcast_tall(ctx["zone_series"])

@@ -1,0 +1,67 @@
+"""Stage-table lifecycle contract (VERDICT r4 item 6): operators register
+every persist()/localCheckpoint via lifecycle.track(), callers release
+after their consuming action, and assert_no_cached_rdds catches anything
+that slipped through — including RDD-level localCheckpoint storage that
+spark.catalog.clearCache() cannot free."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark import lifecycle
+from lswms_forage_etl_spark.operators.dedup import (
+    duplicate_clusters,
+    minhash_dedup,
+)
+
+
+def _docs(spark, n=60):
+    rows = [(i, f"tok{i % 7} common words here doc {i} " * 3)
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_release_after_minhash_dedup_leaves_no_cache(spark):
+    lifecycle.release_tracked()
+    spark.catalog.clearCache()
+    out = minhash_dedup(_docs(spark), threshold=0.5)
+    out.write.format("noop").mode("overwrite").save()
+    assert lifecycle.persistent_rdd_ids(spark)  # persists were live
+    assert lifecycle.release_tracked() > 0
+    lifecycle.assert_no_cached_rdds(spark, context="minhash_dedup")
+
+
+def test_release_frees_cc_checkpoint_storage(spark):
+    """duplicate_clusters is checkpoint-backed: DataFrame.unpersist and
+    clearCache cannot free its blocks, only the tracked cleanup can —
+    and superseded rounds must already be freed inside the loop."""
+    lifecycle.release_tracked()
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    out = duplicate_clusters(pairs)
+    rows = {r["doc_id"]: r["rep_id"] for r in out.collect()}
+    assert rows[3] == 1 and rows[23] == 20
+    live = lifecycle.persistent_rdd_ids(spark)
+    # only the final label table's checkpoint storage may remain live —
+    # superseded rounds were freed in-loop (at most a couple of RDD ids,
+    # never one per round)
+    assert 0 < len(live) <= 2
+    spark.catalog.clearCache()          # must NOT free checkpoint blocks
+    assert lifecycle.persistent_rdd_ids(spark) == live
+    lifecycle.release_tracked()
+    lifecycle.assert_no_cached_rdds(spark, context="duplicate_clusters")
+
+
+def test_untracked_persist_trips_the_gate(spark):
+    """A persist that skips track() must fail assert_no_cached_rdds —
+    the property that makes the oracle gate a real lifecycle check."""
+    lifecycle.release_tracked()
+    spark.catalog.clearCache()
+    leak = spark.range(100).select(F.col("id") * 2).persist()
+    leak.write.format("noop").mode("overwrite").save()
+    lifecycle.release_tracked()          # knows nothing about `leak`
+    with pytest.raises(AssertionError, match="cached RDDs leaked"):
+        lifecycle.assert_no_cached_rdds(spark, context="leak-test")
+    leak.unpersist()
+    lifecycle.assert_no_cached_rdds(spark, context="leak-test-cleaned")

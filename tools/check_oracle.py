@@ -105,6 +105,7 @@ def main():
     import duckdb
     import __spark_entry__ as entrymod
     from lswms_forage_etl_spark import get_spark
+    from lswms_forage_etl_spark import lifecycle
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -132,9 +133,13 @@ def main():
             n_fail += 1
             continue
         finally:
-            # queries may persist() stage tables (LSH shingles/signatures,
-            # CC labels); the harness owns the session-wide lifecycle
-            spark.catalog.clearCache()
+            # lifecycle gate (VERDICT r4 item 6): every operator persist /
+            # localCheckpoint must have been registered via lifecycle.track;
+            # release them and then assert NOTHING still holds cached
+            # blocks (clearCache would mask DF-level leaks, and cannot
+            # free RDD-level localCheckpoint blocks at all)
+            lifecycle.release_tracked()
+            lifecycle.assert_no_cached_rdds(spark, context=name)
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
