@@ -78,8 +78,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Table reader with session-scoped metadata caching: re-reading the
+    same parquet path re-lists files and re-infers the schema (~0.15s per
+    call — a fixed driver-side tax per query instance). A catalog-backed
+    engine caches table metadata; this is the spark.read equivalent. The
+    cached object is a lazy DataFrame — no data is cached, and a new
+    SparkSession invalidates the entry."""
+    key = (sf_dir, name)
+    hit = _T_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _T_CACHE[key] = (spark, df)
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
