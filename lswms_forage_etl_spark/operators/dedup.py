@@ -156,9 +156,25 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         _minhash_sig(word_shingles(text_col, k), num_hashes).alias("minhash"))
 
 
+def _has_materialized_ancestor(df: DataFrame) -> bool:
+    """True if the plan reads from a cache/checkpoint (InMemoryRelation /
+    LogicalRDD) or is itself persisted — i.e. re-evaluating it twice is
+    bounded by a re-scan of a materialized table, not an unbounded
+    recompute of the upstream pipeline."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return True
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — conservative: assume not cached
+        return False
+    return "InMemoryRelation" in plan or "LogicalRDD" in plan
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 4,
-                        num_hashes: int | None = None) -> DataFrame:
+                        num_hashes: int | None = None,
+                        materialize: bool | None = None) -> DataFrame:
     """Band the signature, bucket-join on (band_id, band_hash) -> distinct
     candidate pairs (a < b). The only shuffle is on the band buckets.
 
@@ -185,13 +201,22 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             .otherwise(F.raise_error(F.concat(
                 F.lit(f"signature width not a positive multiple of "
                       f"bands={bands}: "), n.cast("string"))))
-    # materialize: the banded table is self-joined, and unpersisted each
-    # side would re-derive the minhash signatures (and their band md5s)
-    # from scratch — the same double-evaluation hazard as shingle_table
-    from lswms_forage_etl_spark.lifecycle import track
-    sig = track(signatures.select(
+    # The banded table is self-joined; unpersisted, each side re-derives
+    # it. Whether that re-derivation is cheap depends on what feeds it
+    # (VERDICT r4 item 3, measured at sf0.1): when `signatures` already
+    # reads from a materialization point (the callers here persist sigs
+    # or shingles), re-deriving is one cache scan + band md5s and the
+    # persist costs MORE than it saves (1.11s -> 0.95s without); when
+    # signatures is a raw pipeline, skipping the persist re-runs the
+    # whole minhash build per join side — the shingle_table 60x class of
+    # hazard. `materialize=None` applies exactly that rule.
+    if materialize is None:
+        materialize = not _has_materialized_ancestor(signatures)
+    sig = signatures.select(
         id_col, F.posexplode(band_arr).alias("band_id", "band_hash"))
-        .persist())
+    if materialize:
+        from lswms_forage_etl_spark.lifecycle import track
+        sig = track(sig.persist())
     a = sig.alias("a")
     b = sig.alias("b")
     return (a.join(b, ["band_id", "band_hash"])
