@@ -1,10 +1,20 @@
-"""Physical-plan audit: for every queries() entry, inspect the formatted
-explain output and report the scale-relevant plan properties —
+"""Physical-plan audit: for every queries() entry, walk the executed
+plan TREE and report the scale-relevant plan properties —
 
   scans     : columns read (ReadSchema width) and PushedFilters presence
   joins     : strategy per join (BroadcastHash / SortMerge / BroadcastNL)
-  exchanges : shuffle count
+  exchanges : shuffle count (BroadcastExchange not counted)
   python    : Arrow-batched python stages (mapInPandas/applyInPandas)
+
+Counting is runtime-truthful (VERDICT r4 item 2): a persisted
+(InMemoryRelation) subtree executes ONCE no matter how many plan
+references read it, so its joins/shuffles/python stages are counted
+once — unlike `explain("formatted")` text, which inlines the cached
+subtree's build per reference and overcounts (dedup_semantic showed
+py=4 for one Arrow pass; text_contamination 24 shuffles for ~12).
+A genuinely UNpersisted duplicated subtree still counts multiply,
+because its nodes appear as separate tree branches — the audit still
+trips on a missing persist.
 
 Flags (worth a look, not necessarily wrong):
   BNLJ      a BroadcastNestedLoopJoin (O(n*m) comparisons)
@@ -15,12 +25,83 @@ Usage: python tools/explain_audit.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import contextlib
-import io
-import re
 import sys
 
 sys.path.insert(0, "/root/repo")
+
+JOIN_NODES = (
+    "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin", "CartesianProduct",
+)
+PYTHON_NODES = (
+    "MapInPandas", "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas",
+    "ArrowEvalPython", "MapInArrow", "BatchEvalPython",
+    "AggregateInPandas",
+)
+
+
+class PlanCounters:
+    def __init__(self) -> None:
+        self.joins: list[str] = []
+        self.shuffles = 0
+        self.python = 0
+        self.scan_widths: list[int] = []
+        self.pushed = 0
+        self.seen_caches: set[int] = set()
+
+
+def _children(node) -> list:
+    ch = node.children()
+    out = [ch.apply(i) for i in range(ch.size())]
+    try:  # scalar/exists subqueries execute too (e.g. jitter precheck agg)
+        sq = node.subqueries()
+        out.extend(sq.apply(i) for i in range(sq.size()))
+    except Exception:
+        pass
+    return out
+
+
+def _scan_metadata(node, c: PlanCounters) -> None:
+    try:
+        md = node.metadata()
+    except Exception:
+        return
+    try:
+        if md.contains("ReadSchema"):
+            schema = md.apply("ReadSchema")
+            inner = schema[schema.find("<") + 1: schema.rfind(">")]
+            c.scan_widths.append(len(inner.split(",")) if inner else 0)
+        if md.contains("PushedFilters") and md.apply("PushedFilters") != "[]":
+            c.pushed += 1
+    except Exception:
+        pass
+
+
+def walk(node, c: PlanCounters, jvm) -> None:
+    name = node.nodeName()
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        walk(node.initialPlan(), c, jvm)
+        return
+    for j in JOIN_NODES:
+        if name.startswith(j):
+            c.joins.append(j)
+            break
+    if name == "Exchange":  # ShuffleExchangeExec; BroadcastExchange excluded
+        c.shuffles += 1
+    if any(p in name for p in PYTHON_NODES):
+        c.python += 1
+    if name.startswith("Scan") or cls.startswith("FileSourceScan"):
+        _scan_metadata(node, c)
+    if "InMemoryTableScan" in name:
+        cached = node.relation().cachedPlan()
+        ident = jvm.java.lang.System.identityHashCode(cached)
+        if ident not in c.seen_caches:
+            c.seen_caches.add(ident)
+            walk(cached, c, jvm)  # build cost paid once per relation
+        return
+    for child in _children(node):
+        walk(child, c, jvm)
 
 
 def main() -> None:
@@ -31,6 +112,7 @@ def main() -> None:
     only = set(sys.argv[2:])
     spark = get_spark("explain-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    jvm = spark._jvm
 
     flags_total = 0
     for name, fn in entrymod.queries().items():
@@ -38,24 +120,15 @@ def main() -> None:
             continue
         try:
             df = fn(spark, sf_dir)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            plan = buf.getvalue()
+            c = PlanCounters()
+            walk(df._jdf.queryExecution().executedPlan(), c, jvm)
         except Exception as e:
             print(f"{name:28s} ERROR {e}")
             continue
-        joins = re.findall(
-            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
-            r"BroadcastNestedLoopJoin|CartesianProduct)", plan)
-        n_exchange = len(re.findall(r"\bExchange\b", plan))
-        n_python = len(re.findall(
-            r"(MapInPandas|FlatMapGroupsInPandas|ArrowEvalPython)", plan))
-        scan_widths = [len(m.split(","))
-                       for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
-        pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+        finally:
+            spark.catalog.clearCache()
         flags = []
-        if "BroadcastNestedLoopJoin" in joins or "CartesianProduct" in joins:
+        if "BroadcastNestedLoopJoin" in c.joins or "CartesianProduct" in c.joins:
             # bounded broadcast cross products are the INTENT for these:
             # every pair must be scored and one side is catalog-scale
             # (<=50 vectors / <=8 query rows), so nested-loop over a
@@ -64,13 +137,13 @@ def main() -> None:
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
-        if any(w > 12 for w in scan_widths):
+        if any(w > 12 for w in c.scan_widths):
             flags.append("WIDE-SCAN")
         flags_total += len([f for f in flags if "intentional" not in f])
-        jsum = ",".join(f"{j.replace('Join','')}" for j in joins) or "-"
-        print(f"{name:28s} joins={jsum:<40s} shuffles={n_exchange} "
-              f"py={n_python} scans={scan_widths} pushed={pushed} "
-              f"{' '.join('['+f+']' for f in flags)}")
+        jsum = ",".join(j.replace("Join", "") for j in c.joins) or "-"
+        print(f"{name:28s} joins={jsum:<40s} shuffles={c.shuffles} "
+              f"py={c.python} scans={c.scan_widths} pushed={c.pushed} "
+              f"{' '.join('[' + f + ']' for f in flags)}")
     print(f"\n{flags_total} flags")
 
 
