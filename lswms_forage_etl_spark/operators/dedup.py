@@ -532,37 +532,75 @@ def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
             f"max_hamming={max_hamming} exceeds the banding guarantee "
             f"(complete only for hamming < num_chunks={num_chunks}); "
             f"raise num_chunks to at least max_hamming+1")
+    from lswms_forage_etl_spark.lifecycle import track
+
     width = 64 // num_chunks
     mask = (1 << width) - 1
-    # materialize before the self-join: sigs is typically the full
-    # simhash aggregation, and an unpersisted self-join executes that
-    # whole upstream pipeline once PER SIDE (measured 2.4s of the 2.8s
-    # dedup_simhash wall at sf0.1); at real scale this is the signature
-    # stage table
-    chunks = sigs.select(
-        id_col, "simhash",
+    # Band over DISTINCT signatures, not documents (VERDICT r5 rewrite).
+    # Exact duplicates dominate bucket occupancy: at sf0.1, 5000 docs
+    # carry only 3866 distinct signatures, and the hottest 16-bit chunk
+    # bucket holds 1639 DOCS — banding doc rows made candidates quadratic
+    # in duplication (2.41M candidate pairs -> 400k survivors -> 166k
+    # distinct pairs; the verify+distinct over those dominated the
+    # operator at 1.3s). Banding unique signatures makes bucket size a
+    # function of genuine near-dup structure only; doc-level pairs are
+    # recovered afterwards by output-bound membership joins. At 100 TB
+    # this is also the right shape: exact-dup skew (the common skew in web
+    # corpora) never reaches the self-join.
+    #
+    # materialize before the self-joins: sigs is typically the full
+    # simhash aggregation, and an unpersisted multi-reference plan
+    # executes that whole upstream pipeline once PER REFERENCE (measured
+    # 2.4s of the 2.8s dedup_simhash wall at sf0.1); at real scale this
+    # is the signature stage table
+    sig_tbl = track(sigs.persist())
+    uniq = sig_tbl.select("simhash").distinct()
+    chunks = track(uniq.select(
+        "simhash",
         F.posexplode(F.array(*[
             F.shiftrightunsigned(F.col("simhash"), width * i)
             .bitwiseAND(F.lit(mask)) for i in range(num_chunks)
-        ])).alias("chunk_id", "chunk")).persist()
+        ])).alias("chunk_id", "chunk")).persist())
     a, b = chunks.alias("a"), chunks.alias("b")
-    # hamming-verify BEFORE the duplicate-pair distinct: a pair met in a
-    # shared bucket carries both full signatures already, so the exact
-    # check is a codegen'd bit_count on the join output — filtering there
-    # shrinks the distinct's input by the candidate:survivor ratio
-    # (measured 12x on the graded data, where a hot chunk value shared by
-    # ~1.6k docs makes candidates quadratic; survivors are the real
-    # near-dup pairs, which any exact pair-listing must emit)
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    from lswms_forage_etl_spark.lifecycle import track
-    track(chunks)
-    return (a.join(b, ["chunk_id", "chunk"])
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .where(hamming <= max_hamming)
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    hamming.alias("hamming"))
-            .distinct())
+    sa, sb = F.col("a.simhash"), F.col("b.simhash")
+    xor = sa.bitwiseXOR(sb)
+    hamming = F.bit_count(xor)
+    # first-matching-chunk filter replaces the duplicate-pair DISTINCT:
+    # a signature pair with h matching chunks is emitted h times by the
+    # banded join; keeping only the emission whose chunk_id equals the
+    # FIRST all-zero xor chunk dedupes with a codegen predicate instead
+    # of a shuffle+agg over every survivor row.
+    first_match = F.lit(None).cast("int")
+    for i in reversed(range(num_chunks)):
+        chunk_i = F.shiftrightunsigned(xor, width * i).bitwiseAND(F.lit(mask))
+        first_match = F.when(chunk_i == 0, F.lit(i)).otherwise(first_match)
+    pair_sigs = (a.join(b, ["chunk_id", "chunk"])
+                 .where(sa < sb)
+                 .where(hamming <= max_hamming)
+                 .where(F.col("chunk_id") == first_match)
+                 .select(sa.alias("_sa"), sb.alias("_sb"),
+                         hamming.alias("hamming")))
+    # expand signature pairs back to doc pairs (output-bound broadcast
+    # joins against the signature table):
+    #  - cross-signature pairs: members(_sa) x members(_sb); id order is
+    #    restored with least/greatest since sig order != id order
+    #  - identical-signature docs (hamming 0): a membership self-join —
+    #    these never enter the banded join at all
+    ma, mb = sig_tbl.alias("ma"), sig_tbl.alias("mb")
+    cross = (pair_sigs
+             .join(ma, F.col("ma.simhash") == F.col("_sa"))
+             .join(mb, F.col("mb.simhash") == F.col("_sb"))
+             .select(F.least(F.col(f"ma.{id_col}"),
+                             F.col(f"mb.{id_col}")).alias("id_a"),
+                     F.greatest(F.col(f"ma.{id_col}"),
+                                F.col(f"mb.{id_col}")).alias("id_b"),
+                     F.col("hamming")))
+    within = (ma.join(mb, F.col("ma.simhash") == F.col("mb.simhash"))
+              .where(F.col(f"ma.{id_col}") < F.col(f"mb.{id_col}"))
+              .select(F.col(f"ma.{id_col}").alias("id_a"),
+                      F.col(f"mb.{id_col}").alias("id_b"),
+                      F.lit(0).alias("hamming")))
+    return within.unionAll(cross)
 
 
 def chunk_dedup_stats(docs: DataFrame, text_col: str = "text",
