@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lswms_forage_etl_spark.functions.cleansing import portable_round
 from lswms_forage_etl_spark.functions.text import fingerprint
@@ -293,10 +294,26 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b",
-                       max_rounds: int = 25) -> DataFrame:
+                       max_rounds: int = 25,
+                       small_graph_edges: int = 2_000_000) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, rep_id,
     cluster_size), rep_id = min doc id in the component (the canonical
     keeper a dedup pipeline retains).
+
+    Small-graph fast path (VERDICT r4 item 1): the input here is the
+    VERIFIED near-dup pair list — already shrunk by LSH banding plus
+    jaccard/hamming verification to a small fraction of the corpus (256
+    pairs / 477 nodes for 5000 docs at sf0.1). When the distinct pair
+    count is at most `small_graph_edges`, a driver-side union-find over
+    the collected pairs replaces the iterative Spark loop: the loop is
+    job-count-bound at this size (three joins + two aggregations PER
+    ROUND over a few hundred rows), while union-find is microseconds and
+    one createDataFrame. The collect is explicitly bounded by the gate
+    (2M edges ~ tens of MB — same bounded-collect convention as the GWR
+    fit cap), the gating count itself is one cheap job over the deduped
+    edge list, and the distributed pointer-doubling loop below remains
+    the path for at-scale graphs (set small_graph_edges=0 to force it;
+    tests exercise both and assert identical output).
 
     Iterative min-label propagation with pointer doubling: each round
     takes the min of the neighbors' labels (edges both directions +
@@ -332,21 +349,62 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
 
     spark = pairs.sparkSession
     ids0 = lifecycle.persistent_rdd_ids(spark)
-    # one explode, ONE reference to `pairs`: the previous 4-way union
-    # embedded the upstream pipeline plan (LSH shingles/signatures/
-    # verify) four times, and Catalyst optimized all four copies —
-    # measured ~3s of the 4.3s sf0.1 wall was planning, not execution
-    # (ReuseExchange deduped the runtime work but not the plan walk).
-    # At scale this is also one scan of the pair table instead of four.
+    # ONE reference to `pairs`: embedding the upstream pipeline plan
+    # (LSH shingles/signatures/verify) several times makes Catalyst
+    # optimize every copy — measured ~3s of the 4.3s sf0.1 wall was
+    # planning, not execution (ReuseExchange deduped the runtime work
+    # but not the plan walk). At scale this is also one scan of the
+    # pair table. The normalized distinct pair list is checkpointed:
+    # it is both the gate count's input and the edge source.
     a, b = F.col(id_a), F.col(id_b)
-    edges = (pairs.select(F.explode(F.array(
-        F.struct(a.alias("src"), b.alias("dst")),
-        F.struct(b.alias("src"), a.alias("dst")),
-        F.struct(a.alias("src"), a.alias("dst")),
-        F.struct(b.alias("src"), b.alias("dst")))).alias("e"))
+    upairs = (pairs.select(F.least(a, b).alias("_pa"),
+                           F.greatest(a, b).alias("_pb"))
+              .distinct().localCheckpoint(eager=False))
+    upair_ids = lifecycle.persistent_rdd_ids(spark) - ids0
+
+    if small_graph_edges and upairs.count() <= small_graph_edges:
+        rows = upairs.collect()   # bounded by the small_graph_edges gate
+        lifecycle.unpersist_rdd_ids(spark, upair_ids)
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:      # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            pa, pb = r["_pa"], r["_pb"]
+            parent.setdefault(pa, pa)
+            parent.setdefault(pb, pb)
+            ra, rb = find(pa), find(pb)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps: dict = {}
+        for node in parent:
+            comps.setdefault(find(node), []).append(node)
+        out = []
+        for members in comps.values():
+            rep, n = min(members), len(members)
+            out.extend((m, rep, n) for m in members)
+        id_type = pairs.schema[id_a].dataType
+        schema = T.StructType([
+            T.StructField("doc_id", id_type),
+            T.StructField("rep_id", id_type),
+            T.StructField("cluster_size", T.LongType())])
+        return spark.createDataFrame(out, schema)
+
+    edges = (upairs.select(F.explode(F.array(
+        F.struct(F.col("_pa").alias("src"), F.col("_pb").alias("dst")),
+        F.struct(F.col("_pb").alias("src"), F.col("_pa").alias("dst")),
+        F.struct(F.col("_pa").alias("src"), F.col("_pa").alias("dst")),
+        F.struct(F.col("_pb").alias("src"), F.col("_pb").alias("dst"))))
+        .alias("e"))
         .select("e.src", "e.dst")
         .distinct().localCheckpoint(eager=False))
-    edge_ids = lifecycle.persistent_rdd_ids(spark) - ids0
+    edge_ids = lifecycle.persistent_rdd_ids(spark) - ids0 - upair_ids
     lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
 
     def min_step(lbls: DataFrame) -> DataFrame:
@@ -401,7 +459,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
             f"connected components did not converge in {max_rounds} rounds")
     # the final labels table is checkpoint-backed, so the edge table's
     # blocks are no longer reachable from the result plan — free them now
-    lifecycle.unpersist_rdd_ids(spark, edge_ids)
+    lifecycle.unpersist_rdd_ids(spark, edge_ids | upair_ids)
     sizes = labels.groupBy(F.col("lbl").alias("rep_id")) \
         .agg(F.count(F.lit(1)).alias("cluster_size"))
     lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, kept))

@@ -123,6 +123,23 @@ def test_duplicate_clusters_components(spark):
     assert len(got) == 10
 
 
+def test_duplicate_clusters_paths_agree(spark):
+    """The size-gated driver union-find and the distributed
+    pointer-doubling loop must produce identical components."""
+    from lswms_forage_etl_spark.operators.dedup import duplicate_clusters
+
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10),
+             (20, 21), (21, 22), (22, 23), (23, 24), (5, 5)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    fast = {(r["doc_id"], r["rep_id"], r["cluster_size"])
+            for r in duplicate_clusters(df).collect()}
+    dist = {(r["doc_id"], r["rep_id"], r["cluster_size"])
+            for r in duplicate_clusters(
+                df, small_graph_edges=0).collect()}
+    assert fast == dist
+    assert (5, 5, 1) in fast   # self-loop pair -> singleton cluster
+
+
 def test_lsh_candidates_no_job_on_plan_build(spark):
     # VERDICT r1: building the candidate plan must not launch a Spark job
     # (the old .first() width probe did). The width guard now lives either

@@ -39,7 +39,9 @@ def test_release_frees_cc_checkpoint_storage(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "id_a long, id_b long")
-    out = duplicate_clusters(pairs)
+    # the size-gated union-find path frees everything before returning;
+    # this test pins the DISTRIBUTED loop's storage lifecycle
+    out = duplicate_clusters(pairs, small_graph_edges=0)
     rows = {r["doc_id"]: r["rep_id"] for r in out.collect()}
     assert rows[3] == 1 and rows[23] == 20
     live = lifecycle.persistent_rdd_ids(spark)
