@@ -200,8 +200,11 @@ def band_signatures_udf(num_planes: int = 8, dim: int = 64,
 def band_buckets(embeddings: DataFrame, id_col: str = "vec_id",
                  vec_col: str = "embedding", num_planes: int = 8,
                  dim: int = 64, seed: int = 1234,
-                 num_bands: int = 4) -> DataFrame:
+                 num_bands: int = 4, keep_sigs: bool = False) -> DataFrame:
     """(id, band, bucket) membership for banded multi-table hyperplane LSH.
+    With keep_sigs=True each row also carries the full `_sigs` array (all
+    band buckets) so a banded self-join can dedupe multi-band collisions
+    with a first-matching-band predicate instead of a distinct.
 
     Each band is an independent table of `num_planes` hyperplanes (seeded
     seed + band*BAND_SEED_STRIDE). For cosine similarity s the per-band
@@ -212,10 +215,11 @@ def band_buckets(embeddings: DataFrame, id_col: str = "vec_id",
     from lswms_forage_etl_spark.operators.dedup import _spread
 
     sigs = band_signatures_udf(num_planes, dim, seed, num_bands)
-    return (_spread(embeddings)   # b*r dots/row must use every core
-            .select(F.col(id_col),
-                    F.posexplode(sigs(F.col(vec_col)))
-                    .alias("band", "bucket")))
+    base = (_spread(embeddings)   # b*r dots/row must use every core
+            .select(F.col(id_col), sigs(F.col(vec_col)).alias("_sigs")))
+    extra = [F.col("_sigs")] if keep_sigs else []
+    return base.select(F.col(id_col), *extra,
+                       F.posexplode(F.col("_sigs")).alias("band", "bucket"))
 
 
 def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
@@ -237,7 +241,7 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     by the other bands' chunkings, which cut differently).
     """
     b = band_buckets(embeddings, id_col, vec_col, num_planes, dim, seed,
-                     num_bands)
+                     num_bands, keep_sigs=max_bucket_size is None)
     if max_bucket_size is not None:
         from pyspark.sql import Window
         w = Window.partitionBy("band", "bucket").orderBy(id_col)
@@ -254,11 +258,31 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     b = track(b.persist())
 
     keys = ["band", "bucket", "chunk"]
-    cand = (b.alias("a").join(b.alias("b"), keys)
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())  # a pair may collide in several bands — verify once
+    joined = (b.alias("a").join(b.alias("b"), keys)
+              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    if max_bucket_size is None:
+        # a pair may collide in several bands; keep only the emission
+        # from the FIRST band whose buckets match — a codegen predicate
+        # over the carried signature arrays, replacing a shuffle+agg
+        # distinct over the whole candidate list (measured 37k candidates
+        # with only 1% multi-band dups at sf0.1: the distinct was a pure
+        # overhead shuffle, -0.4s removing it)
+        first_band = F.lit(None).cast("int")
+        for i in reversed(range(num_bands)):
+            first_band = F.when(
+                F.col("a._sigs")[i] == F.col("b._sigs")[i],
+                F.lit(i)).otherwise(first_band)
+        cand = (joined.where(F.col("band") == first_band)
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b")))
+    else:
+        # salted chunk boundaries differ per band, so signature equality
+        # alone cannot prove an earlier-band emission existed — fall back
+        # to the distinct for capped buckets
+        cand = (joined
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+                .distinct())
 
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     pairs = (cand
