@@ -1,0 +1,89 @@
+"""Build a 10x scaling slice for the empirical-scaling measurement
+(VERDICT r4 item 8) at /root/scale10x/ (NOT under the read-only
+/root/testdata).
+
+Construction is BLOCK-DIAGONAL so true operator output grows linearly
+and wall-clock scaling is interpretable:
+
+  documents   block k (k=0..9): doc_id += k*10_000_000; every token of
+              `text` is prefixed "r{k}x" for k>0. Within a block the
+              shingle/duplication structure is EXACTLY the sf0.1
+              structure (same tokens sharing, just renamed); across
+              blocks no shingle ever collides -> near-dup pairs,
+              clusters, and contamination hits scale exactly 10x.
+  embeddings  block k: vec_id += k*10_000_000; the 64 dims are permuted
+              by a block-seeded permutation and sign-flipped by a
+              block-seeded pattern. Orthogonal transform => within-block
+              inner products (and hyperplane-LSH geometry) are exactly
+              preserved; cross-block cosines are ~random noise.
+
+Every other table is copied verbatim so any queries() entry can run
+against the directory.
+
+Usage: python tools/make_scale10x.py [out_dir] [src_dir]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+BLOCK_STRIDE = 10_000_000
+
+
+def main() -> None:
+    out = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/scale10x")
+    src = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1")
+    out.mkdir(parents=True, exist_ok=True)
+
+    docs = pq.read_table(src / "documents.parquet")
+    blocks = []
+    for k in range(10):
+        ids = pc.add(docs["doc_id"], k * BLOCK_STRIDE)
+        if k == 0:
+            text = docs["text"]
+        else:
+            text = pc.replace_substring_regex(
+                docs["text"], r"(\S+)", rf"r{k}x\1")
+        blocks.append(pa.table({
+            "doc_id": ids, "text": text, "lang": docs["lang"],
+            "source": docs["source"], "n_chars": docs["n_chars"]}))
+    pq.write_table(pa.concat_tables(blocks), out / "documents.parquet")
+    print(f"documents: {docs.num_rows} -> {docs.num_rows * 10}")
+
+    emb = pq.read_table(src / "embeddings.parquet")
+    vecs = np.asarray(emb["embedding"].combine_chunks().flatten(),
+                      dtype=np.float32).reshape(emb.num_rows, -1)
+    dim = vecs.shape[1]
+    eblocks = []
+    for k in range(10):
+        rng = np.random.default_rng(k)
+        if k == 0:
+            tv = vecs
+        else:
+            perm = rng.permutation(dim)
+            signs = rng.choice([-1.0, 1.0], size=dim).astype(np.float32)
+            tv = vecs[:, perm] * signs
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(tv.reshape(-1), type=pa.float32()), dim).cast(
+            pa.list_(pa.float32()))
+        eblocks.append(pa.table({
+            "vec_id": pc.add(emb["vec_id"], k * BLOCK_STRIDE),
+            "embedding": arr, "label": emb["label"]}))
+    pq.write_table(pa.concat_tables(eblocks), out / "embeddings.parquet")
+    print(f"embeddings: {emb.num_rows} -> {emb.num_rows * 10}")
+
+    for p in src.glob("*.parquet"):
+        if p.name not in ("documents.parquet", "embeddings.parquet"):
+            shutil.copy(p, out / p.name)
+    print(f"other tables copied verbatim from {src}")
+
+
+if __name__ == "__main__":
+    main()
