@@ -541,14 +541,19 @@ def simhash(docs: DataFrame, text_col: str = "text",
     # the guard's _n count — are DISTINCT tokens per doc, matching the
     # "distinct tokens" wording in the overflow message (ADVICE r4
     # queried this; the dedup happens at tokenization, not aggregation).
+    # The packed-lane aggregates and the 64-term signature reconstruction
+    # are built as SQL strings (ONE F.expr py4j call each), not as Column
+    # operator chains: the chain form was ~600 py4j round-trips and
+    # measured 1.4s of pure driver-side plan CONSTRUCTION per query
+    # instance at sf0.1 (the server-side parse of the same expressions is
+    # milliseconds). Semantics are identical — the SQL text encodes the
+    # exact arithmetic documented above.
     ex = (_spread(docs)
           .select(F.col(id_col), F.explode_outer(toks).alias("_tok"))
           .select(id_col, h64.alias("_h")))
     packed = [
-        F.try_sum((F.shiftright(F.col("_h"), j * _LANES).bitwiseAND(F.lit(15))
-                   .cast("long") * F.lit(_DEPOSIT))
-                  .bitwiseAND(F.lit(_LANE_LSB)))
-        .alias(f"_p{j}")
+        F.expr(f"try_sum((cast(shiftright(_h, {j * _LANES}) & 15 as bigint)"
+               f" * {_DEPOSIT}L) & {_LANE_LSB}L) as _p{j}")
         for j in range(bits // _LANES)]
     agg = ex.groupBy(id_col).agg(
         F.count(F.col("_h")).alias("_n"), *packed)
@@ -557,19 +562,20 @@ def simhash(docs: DataFrame, text_col: str = "text",
     # into place — shiftleft(1, 63) wraps to Long.MIN_VALUE, which IS the
     # two's-complement value of the sign bit, so no special-casing b=63.
     # NULL packed sums (empty doc) compare NULL -> cast NULL -> coalesce 0.
-    sig = F.lit(0).cast("long")
+    terms = []
     for b in range(bits):
         j, lane = b // _LANES, b % _LANES
-        cnt = F.shiftrightunsigned(F.col(f"_p{j}"), _W * lane) \
-            .bitwiseAND(F.lit((1 << _W) - 1))
-        sig = sig + F.coalesce(
-            F.shiftleft((cnt * 2 > F.col("_n")).cast("long"), b),
-            F.lit(0).cast("long"))
-    sig = F.when(F.col("_n") < F.lit(1 << (_W - 1)), sig).otherwise(
-        F.raise_error(F.concat(F.lit(
-            f"simhash vote lanes overflow: >= {1 << (_W - 1)} distinct "
-            f"tokens in doc; chunk the document first: "),
-            F.col("_n").cast("string"))).cast("long"))
+        cnt = (f"(shiftrightunsigned(_p{j}, {_W * lane})"
+               f" & {(1 << _W) - 1}L)")
+        terms.append(f"coalesce(shiftleft(cast({cnt} * 2 > _n as bigint),"
+                     f" {b}), 0L)")
+    sig_sql = " + ".join(terms)
+    guard_msg = (f"simhash vote lanes overflow: >= {1 << (_W - 1)} distinct "
+                 f"tokens in doc; chunk the document first: ")
+    sig = F.expr(
+        f"case when _n < {1 << (_W - 1)} then {sig_sql} "
+        f"else cast(raise_error(concat('{guard_msg}', cast(_n as string)))"
+        f" as bigint) end")
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
@@ -610,8 +616,24 @@ def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
     # simhash aggregation, and an unpersisted multi-reference plan
     # executes that whole upstream pipeline once PER REFERENCE (measured
     # 2.4s of the 2.8s dedup_simhash wall at sf0.1); at real scale this
-    # is the signature stage table
-    sig_tbl = track(sigs.persist())
+    # is the signature stage table.
+    #
+    # localCheckpoint, not persist: the signature plan is a ~400-node
+    # expression tree (64-bit reconstruction + lane packing), and every
+    # downstream DataFrame op EAGERLY re-analyzes its logical subtree —
+    # with persist() the four consumers below (uniq, cross x2, within x2)
+    # each embed the full tree and query CONSTRUCTION alone measured
+    # 1.85s at sf0.1. The lazy checkpoint truncates lineage to a
+    # LogicalRDD so downstream analysis is O(consumer), not O(tree);
+    # blocks are freed via the tracked RDD-id cleanup (same pattern as
+    # duplicate_clusters).
+    from lswms_forage_etl_spark import lifecycle
+
+    spark = sigs.sparkSession
+    _ids0 = lifecycle.persistent_rdd_ids(spark)
+    sig_tbl = sigs.localCheckpoint(eager=False)
+    _ck_ids = lifecycle.persistent_rdd_ids(spark) - _ids0
+    lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, _ck_ids))
     uniq = sig_tbl.select("simhash").distinct()
     chunks = track(uniq.select(
         "simhash",
