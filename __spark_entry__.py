@@ -1261,6 +1261,47 @@ def q_dedup_semantic(spark, sf):
     return semantic_dedup(emb, threshold=0.5, num_centroids=16)
 
 
+def q_dedup_substrings(spark, sf):
+    """Maximal duplicated-substring spans (Lee et al. 2022 exact-substring
+    dedup, re-expressed as overlapping 4-token window fingerprints + a
+    gaps-and-islands merge — no suffix array, no global sort). One
+    uniform-key aggregation decides duplication; boilerplate shared by
+    millions of docs is one aggregate row, never a pairwise bucket."""
+    from lswms_forage_etl_spark.operators.dedup import duplicate_spans
+    docs = _t(spark, sf, "documents")
+    return duplicate_spans(docs, window=4)
+
+
+def q_corpus_mix(spark, sf):
+    """Pile/Dolma-style source reweighting: deterministic up/down-sampling
+    to hit per-language mix weights (en 1.5x, de 2.25x, fr 0.5x, rest
+    1x). E[copies] = weight exactly; md5-threshold decisions make the
+    copy set reproducible across engines, retries and partitionings."""
+    from lswms_forage_etl_spark.operators.sampling import corpus_mix
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return corpus_mix(docs, "lang", {"en": 1.5, "de": 2.25, "fr": 0.5},
+                      "doc_id")
+
+
+def q_corpus_vocab(spark, sf):
+    """Corpus vocabulary report: top-100 tokens by document frequency
+    (ties broken by token). Two-phase aggregation is the skew story: the
+    first shuffle keys on (doc_id, token) — uniform even when one token
+    appears in every document — and the second combines map-side, so
+    'the' never concentrates on one reducer as a count-distinct would."""
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "")
+    per_doc = (docs.select("doc_id", F.explode(toks).alias("token"))
+               .groupBy("doc_id", "token")
+               .agg(F.count(F.lit(1)).alias("_nl")))
+    return (per_doc.groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_nl").cast("long").alias("n_occurrences"))
+            .orderBy(F.desc("n_docs"), F.asc("token"))
+            .limit(100))
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1362,6 +1403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": q_dedup_chunks,
         "dedup_semantic": q_dedup_semantic,
         "corpus_order": q_corpus_order,
+        "dedup_substrings": q_dedup_substrings,
+        "corpus_mix": q_corpus_mix,
+        "corpus_vocab": q_corpus_vocab,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2606,6 +2650,82 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) * 10000 + 0.5) / 10000.0 AS dup_chunk_frac
         FROM ch JOIN pc USING (chunk_fp)
         GROUP BY ch.doc_id
+    """
+
+    # duplicated-substring spans: overlapping 4-token window fps, windows
+    # with corpus count >= 2 are duplicated, consecutive runs merge
+    # (gaps-and-islands) into maximal spans — replays duplicate_spans()
+    sql["dedup_substrings"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 4 THEN
+                   list_transform(range(0, len(toks) - 3),
+                     i -> md5(array_to_string(
+                            toks[CAST(i + 1 AS INT):CAST(i + 4 AS INT)],
+                            ' ')))
+                 ELSE [] END AS wins
+          FROM t),
+        u AS (
+          SELECT doc_id, unnest(wins) AS fp,
+                 generate_subscripts(wins, 1) - 1 AS wpos
+          FROM w),
+        df AS (SELECT fp FROM u GROUP BY fp HAVING count(*) >= 2),
+        m AS (
+          SELECT u.doc_id, u.wpos,
+                 u.wpos - row_number() OVER (PARTITION BY u.doc_id
+                                             ORDER BY u.wpos) AS run
+          FROM u JOIN df USING (fp))
+        SELECT doc_id,
+               CAST(min(wpos) AS BIGINT) AS span_start,
+               CAST(max(wpos) + 3 AS BIGINT) AS span_end,
+               CAST(max(wpos) + 3 - min(wpos) + 1 AS BIGINT) AS span_tokens,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM m GROUP BY doc_id, run
+    """
+
+    # corpus mixing: copies = floor(w) + (u32 < frac(w)*2^32). The integer
+    # thresholds below are exact because the demo weights are binary
+    # fractions — the Spark side computes them in-plan in DOUBLE, which is
+    # bit-identical for .5/.25/.0 fractional parts.
+    sql["corpus_mix"] = f"""
+        WITH d AS (
+          SELECT doc_id, lang, source,
+                 CASE lang WHEN 'en' THEN 1 WHEN 'de' THEN 2
+                           WHEN 'fr' THEN 0 ELSE 1 END
+                 + CASE WHEN {_u32} <
+                     CASE lang WHEN 'en' THEN {int(0.5 * (1 << 32))}
+                               WHEN 'de' THEN {int(0.25 * (1 << 32))}
+                               WHEN 'fr' THEN {int(0.5 * (1 << 32))}
+                               ELSE 0 END
+                   THEN 1 ELSE 0 END AS nc
+          FROM documents)
+        SELECT doc_id, lang, source, CAST(c AS INT) AS copy_idx
+        FROM d, unnest(range(1, nc + 1)) AS t(c)
+        WHERE nc >= 1
+    """
+
+    # vocabulary: two-phase doc-frequency aggregation (sum is HUGEINT in
+    # DuckDB -> CAST)
+    sql["corpus_vocab"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS token
+          FROM documents),
+        g AS (SELECT doc_id, token, count(*) AS nl
+              FROM t GROUP BY doc_id, token)
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nl) AS BIGINT) AS n_occurrences
+        FROM g GROUP BY token
+        ORDER BY n_docs DESC, token
+        LIMIT 100
     """
 
     return sql

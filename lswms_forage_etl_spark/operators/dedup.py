@@ -715,3 +715,70 @@ def chunk_dedup_stats(docs: DataFrame, text_col: str = "text",
                 portable_round(
                     F.col("n_shared_chunks").cast("double")
                     / F.col("n_chunks").cast("double"), 4)))
+
+
+def duplicate_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window: int = 8) -> DataFrame:
+    """Maximal duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", exact-substring dedup —
+    re-expressed with overlapping window fingerprints instead of a suffix
+    array, which Spark cannot build distributed without a global sort):
+
+    every `window`-token sliding window is fingerprinted; a window whose
+    fingerprint occurs >= 2 times in the corpus (any doc, any position)
+    is duplicated; RUNS of consecutive duplicated windows within a doc
+    merge (gaps-and-islands) into maximal spans. A duplicated substring
+    of L >= window tokens produces exactly L - window + 1 consecutive
+    duplicated windows, so span_end - span_start + window tokens cover it.
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_windows) with
+    token positions 0-based inclusive.
+
+    Scale shape: the fingerprint table is one row per token position
+    (same volume class as shingle_table); the duplicate test is ONE
+    aggregation on a uniform 128-bit key with map-side combine; the
+    join back is on the same key; islands-merge is one per-doc window.
+    A boilerplate window shared by millions of docs is a single (fp, n)
+    aggregate row — never a pairwise bucket (contrast LSH pair listing).
+    Reference repo has no equivalent (LLM-pipeline addition)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    # one window fp per start position; docs shorter than `window` tokens
+    # contribute nothing. sequence() must be guarded: Spark's default
+    # step is -1 when start > stop, so sequence(0, -2) would explode
+    # descending positions instead of an empty array.
+    wins = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    ).otherwise(F.array().cast("array<string>"))
+    from lswms_forage_etl_spark.lifecycle import track
+
+    # materialization point: the fp table feeds BOTH the duplicate test
+    # and the join back — unpersisted, each reference re-tokenizes and
+    # re-hashes every window (the shingle_table hazard; at real scale
+    # this is the substring-index stage table)
+    tbl = track((_spread(docs)
+                 .select(F.col(id_col),
+                         F.posexplode(wins).alias("wpos", "fp")))
+                .persist())
+    dup_fps = (tbl.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") >= 2)
+               .select("fp"))
+    marked = tbl.join(dup_fps, "fp")
+    from pyspark.sql import Window as W
+    w = W.partitionBy(id_col).orderBy("wpos")
+    run = (F.col("wpos") - F.row_number().over(w)).alias("_run")
+    return (marked.select(F.col(id_col), F.col("wpos"), run)
+            .groupBy(id_col, "_run")
+            .agg(F.min("wpos").cast("long").alias("span_start"),
+                 (F.max("wpos") + F.lit(window - 1)).cast("long")
+                 .alias("span_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_windows"))
+            .withColumn("span_tokens",
+                        F.col("span_end") - F.col("span_start") + 1)
+            .drop("_run")
+            .select(id_col, "span_start", "span_end", "span_tokens",
+                    "n_windows"))

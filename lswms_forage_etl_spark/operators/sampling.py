@@ -56,6 +56,39 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.where(sample_u32(key_col, seed) < thresh)
 
 
+def corpus_mix(df: DataFrame, strata_col: str, weights: dict[str, float],
+               key_col: str, default_weight: float = 1.0,
+               seed: int = 0) -> DataFrame:
+    """Weighted corpus mixing (Pile/Dolma-style source reweighting):
+    every row is replicated `floor(w)` times plus one more with
+    probability `frac(w)`, where w is its stratum's mix weight — so
+    w < 1 downsamples, w > 1 upsamples, and E[copies] = w exactly.
+
+    Decisions are md5(key)-threshold compares like the samplers above:
+    deterministic, partition-invariant, engine-portable (the DuckDB
+    oracle reproduces the exact copy set). Output rows carry `copy_idx`
+    (1-based) so downstream packing/shuffling can salt per-copy sequence
+    order — epochs see repeated docs at different positions.
+
+    Scale shape: the weight CASE and copy count are scan-side
+    expressions; the explode is map-side fan-out (no shuffle), output
+    volume = sum(w_s * |stratum_s|) by construction.
+    """
+    w_expr = F.lit(float(default_weight))
+    for value, w in sorted(weights.items()):
+        w_expr = F.when(F.col(strata_col) == value,
+                        F.lit(float(w))).otherwise(w_expr)
+    base = F.floor(w_expr).cast("int")
+    frac_thresh = ((w_expr - F.floor(w_expr)) * U32_SPAN).cast("long")
+    n_copies = (base + (sample_u32(key_col, seed) < frac_thresh)
+                .cast("int")).alias("_nc")
+    return (df.withColumn("_nc", n_copies)
+            .where(F.col("_nc") >= 1)
+            .withColumn("copy_idx",
+                        F.explode(F.sequence(F.lit(1), F.col("_nc"))))
+            .drop("_nc"))
+
+
 def group_cap(df: DataFrame, group_cols: list[str], k: int, key_col: str,
               seed: int = 0) -> DataFrame:
     """At most k rows per group, picked by hash order (ties broken by the

@@ -1,0 +1,74 @@
+"""Unit semantics for the round-5 corpus operators: duplicated-substring
+spans (Lee et al.-style) and weighted corpus mixing."""
+
+import pytest
+
+from lswms_forage_etl_spark import get_spark
+from lswms_forage_etl_spark.operators.dedup import duplicate_spans
+from lswms_forage_etl_spark.operators.sampling import corpus_mix
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test-corpus-ops")
+
+
+def test_duplicate_spans_exact_boundaries(spark):
+    # docs 1 and 2 share the 6-token run "a b c d e f" (doc1 tokens 2-7,
+    # doc2 tokens 0-5); no other 4-gram repeats
+    docs = spark.createDataFrame([
+        (1, "x y a b c d e f g h"),
+        (2, "a b c d e f q r s t"),
+        (3, "u v w p o n m l k j"),
+    ], "doc_id long, text string")
+    rows = {(r["doc_id"]): r for r in duplicate_spans(
+        docs, window=4).collect()}
+    assert set(rows) == {1, 2}
+    # a 6-token duplicate with window=4 -> 3 consecutive dup windows
+    assert (rows[1]["span_start"], rows[1]["span_end"],
+            rows[1]["span_tokens"], rows[1]["n_windows"]) == (2, 7, 6, 3)
+    assert (rows[2]["span_start"], rows[2]["span_end"],
+            rows[2]["span_tokens"], rows[2]["n_windows"]) == (0, 5, 6, 3)
+
+
+def test_duplicate_spans_within_doc_repetition(spark):
+    # repetition INSIDE one document also counts (fp occurs twice)
+    docs = spark.createDataFrame(
+        [(1, "a b c d x x a b c d"), (2, "k l m n o p q r s t")],
+        "doc_id long, text string")
+    rows = sorted(duplicate_spans(docs, window=4).collect(),
+                  key=lambda r: r["span_start"])
+    assert [r["doc_id"] for r in rows] == [1, 1]
+    assert (rows[0]["span_start"], rows[0]["span_end"]) == (0, 3)
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (6, 9)
+
+
+def test_duplicate_spans_short_docs_contribute_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")],
+        "doc_id long, text string")
+    assert duplicate_spans(docs, window=4).count() == 0
+
+
+def test_corpus_mix_integer_weights_exact(spark):
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(20)] + [(100 + i, "fr") for i in range(10)],
+        "doc_id long, lang string")
+    out = corpus_mix(docs, "lang", {"en": 2.0, "fr": 0.0}, "doc_id")
+    rows = out.groupBy("lang").count().collect()
+    got = {r["lang"]: r["count"] for r in rows}
+    assert got == {"en": 40}          # exactly 2 copies each, fr dropped
+    idx = {r["copy_idx"] for r in out.collect()}
+    assert idx == {1, 2}
+
+
+def test_corpus_mix_fractional_weight_partition_invariant(spark):
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(400)], "doc_id long, lang string")
+    a = corpus_mix(docs, "lang", {"en": 1.5}, "doc_id")
+    b = corpus_mix(docs.repartition(7), "lang", {"en": 1.5}, "doc_id")
+    sa = {(r["doc_id"], r["copy_idx"]) for r in a.collect()}
+    sb = {(r["doc_id"], r["copy_idx"]) for r in b.collect()}
+    assert sa == sb                   # decisions are key-hash functions
+    n = len(sa)
+    assert 400 * 1.3 < n < 400 * 1.7  # E[copies]=1.5
