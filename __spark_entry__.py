@@ -1272,6 +1272,41 @@ def q_dedup_substrings(spark, sf):
     return duplicate_spans(docs, window=4)
 
 
+def q_ann_pq_codes(spark, sf):
+    """Product-quantization encode: 64-dim float32 vectors (256 bytes)
+    -> 8x4-bit codes packed in one long (4 bytes, 64x compression — the
+    memory-bound ANN scale path). Codebooks are the deterministic
+    hash-order seed vectors sliced per subspace; distances are exact
+    scaled-integer L2 sums, so codes are partition-invariant and
+    engine-portable."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        pq_codebook, pq_encode)
+    emb = _t(spark, sf, "embeddings")
+    return pq_encode(emb, pq_codebook(emb))
+
+
+def q_ann_pq_topk(spark, sf):
+    """PQ asymmetric-distance top-10: the query's m x ks distance table
+    is computed driver-side; the scan touches only 4-byte codes (literal
+    element_at lookups), never a float vector. Approximate by
+    construction — ann_bruteforce_topk is the exact reference."""
+    from lswms_forage_etl_spark.operators.similarity import pq_adc_topk
+    emb = _t(spark, sf, "embeddings")
+    return pq_adc_topk(emb, _query_vec(spark, sf), k=10)
+
+
+def q_dedup_incremental(spark, sf):
+    """Incremental (nightly-batch) dedup: sources src15+ are the new
+    batch, src0-14 the existing corpus; each new doc is LSH-probed
+    against the existing index only (never new-vs-new) and reports its
+    best existing match with jaccard >= 0.5. The existing side's
+    shingle/signature/band tables are the persistent corpus index."""
+    from lswms_forage_etl_spark.operators.dedup import incremental_dedup
+    docs = _t(spark, sf, "documents")
+    return incremental_dedup(
+        docs, F.expr("cast(substring(source, 4) as int) >= 15"))
+
+
 def q_corpus_mix(spark, sf):
     """Pile/Dolma-style source reweighting: deterministic up/down-sampling
     to hit per-language mix weights (en 1.5x, de 2.25x, fr 0.5x, rest
@@ -1406,6 +1441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "corpus_mix": q_corpus_mix,
         "corpus_vocab": q_corpus_vocab,
+        "dedup_incremental": q_dedup_incremental,
+        "ann_pq_codes": q_ann_pq_codes,
+        "ann_pq_topk": q_ann_pq_topk,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2014,6 +2052,43 @@ def oracle_sql() -> dict[str, str]:
     sql["dedup_lsh_pairs"] = f"""
         WITH {_lsh_ctes}
         SELECT id_a, id_b, jaccard FROM v WHERE jaccard >= 0.5
+    """
+
+    # incremental dedup: same LSH machinery, candidates restricted to
+    # new (src15+) x existing (src0-14); best existing match per new doc
+    sql["dedup_incremental"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(substr(source, 4) AS INT) >= 15 AS is_new,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, is_new, {_SHINGLE_FRAG} AS sh FROM t),
+        m AS (SELECT doc_id, is_new, sh, [{mh_list}] AS mh
+              FROM (SELECT doc_id, is_new, sh, {_xs} AS xs FROM s)),
+        b AS (
+          SELECT doc_id, is_new, unnest([{bands_sql}]) AS band_hash,
+                 unnest([0, 1, 2, 3]) AS band_id
+          FROM m),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_existing
+          FROM b n JOIN b o USING (band_id, band_hash)
+          WHERE n.is_new AND NOT o.is_new),
+        v AS (
+          SELECT id_new, id_existing,
+                 {_pr('''CASE WHEN len(list_distinct(sa.sh || sb.sh)) > 0
+                       THEN CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                            / len(list_distinct(sa.sh || sb.sh))
+                       ELSE 0.0 END''', 6)} AS jaccard
+          FROM cand JOIN s sa ON sa.doc_id = id_new
+                    JOIN s sb ON sb.doc_id = id_existing),
+        r AS (
+          SELECT id_new, id_existing, jaccard,
+                 row_number() OVER (PARTITION BY id_new
+                                    ORDER BY jaccard DESC, id_existing)
+                   AS rk
+          FROM v WHERE jaccard >= 0.5)
+        SELECT id_new, id_existing, jaccard FROM r WHERE rk = 1
     """
 
     # deterministic sampling: md5-derived u32 thresholds / hash-order caps
@@ -2707,6 +2782,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source, CAST(c AS INT) AS copy_idx
         FROM d, unnest(range(1, nc + 1)) AS t(c)
         WHERE nc >= 1
+    """
+
+    # product quantization: deterministic hash-order seeds as codebooks,
+    # exact scaled-integer subspace L2 (floor((x-c)^2 * 1e12) terms,
+    # int64 sums — associative, engine-portable), ties to lowest code
+    _pq_ctes = """e AS (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        seeds AS (
+          SELECT (row_number() OVER (
+                    ORDER BY (vec_id * 2654435761) % 1000003, vec_id)) - 1
+                   AS code, v AS cv
+          FROM e ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 16),
+        subs AS (SELECT unnest(range(0, 8)) AS s),
+        d AS (
+          SELECT e.vec_id, subs.s, seeds.code,
+                 CAST(list_sum(list_transform(
+                   range(CAST(8 * subs.s + 1 AS INT),
+                         CAST(8 * subs.s + 9 AS INT)),
+                   i -> CAST(floor((e.v[i] - seeds.cv[i])
+                                   * (e.v[i] - seeds.cv[i])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM e CROSS JOIN subs CROSS JOIN seeds),
+        best AS (
+          SELECT vec_id, s, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY dist, code) AS rn
+            FROM d) WHERE rn = 1),
+        codes AS (
+          SELECT vec_id, CAST(sum(code << CAST(4 * s AS INT)) AS BIGINT)
+                   AS pq_code
+          FROM best GROUP BY vec_id)"""
+
+    sql["ann_pq_codes"] = f"""
+        WITH {_pq_ctes}
+        SELECT vec_id, pq_code FROM codes
+    """
+
+    sql["ann_pq_topk"] = f"""
+        WITH {_pq_ctes},
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        dq AS (
+          SELECT subs.s, seeds.code,
+                 CAST(list_sum(list_transform(
+                   range(CAST(8 * subs.s + 1 AS INT),
+                         CAST(8 * subs.s + 9 AS INT)),
+                   i -> CAST(floor((q.qv[i] - seeds.cv[i])
+                                   * (q.qv[i] - seeds.cv[i])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM q CROSS JOIN subs CROSS JOIN seeds),
+        adc AS (
+          SELECT c.vec_id, CAST(sum(dq.dist) AS BIGINT) AS adc_dist
+          FROM codes c CROSS JOIN subs
+          JOIN dq ON dq.s = subs.s
+                 AND dq.code = (c.pq_code >> CAST(4 * subs.s AS INT)) & 15
+          GROUP BY c.vec_id)
+        SELECT vec_id, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 10
     """
 
     # vocabulary: two-phase doc-frequency aggregation (sum is HUGEINT in

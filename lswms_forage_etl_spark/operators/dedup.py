@@ -782,3 +782,65 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
             .drop("_run")
             .select(id_col, "span_start", "span_end", "span_tokens",
                     "n_windows"))
+
+
+def incremental_dedup(docs: DataFrame, is_new, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Nightly-batch dedup: match each NEW document against the EXISTING
+    corpus only — never new-vs-new, never existing-vs-existing. The
+    asymmetric probe is what an incremental ingestion pipeline runs per
+    batch: the existing side's shingle/signature/band tables are the
+    persistent corpus index (stage tables at scale, rebuilt only on
+    re-index), the new side is the day's batch.
+
+    `is_new` is a boolean Column splitting `docs`. Output: one row per
+    new document that duplicates the existing corpus — (id_new,
+    id_existing, jaccard) for its best match (highest jaccard, ties to
+    the lowest existing id) with jaccard >= threshold.
+
+    Scale shape: candidates come from the banded bucket join restricted
+    to new x existing (bucket volume ~ |batch| * avg bucket, NOT corpus
+    x corpus); verification joins travel by id against the persisted
+    shingle table; best-match is one per-new-doc window."""
+    from pyspark.sql import Window as W
+
+    from lswms_forage_etl_spark.lifecycle import track
+
+    flagged = _spread(docs).withColumn("_new", is_new)
+    sh = track(flagged.select(
+        F.col(id_col), F.col("_new"),
+        word_shingles(text_col, k).alias("sh")).persist())
+    sig_tbl = sh.select(
+        F.col(id_col), F.col("_new"),
+        _minhash_sig(F.col("sh"), num_hashes).alias("minhash"))
+    band_arr = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> "
+        f"md5(concat_ws('|', transform("
+        f"slice(minhash, b * (size(minhash) div {bands}) + 1, "
+        f"size(minhash) div {bands}), v -> cast(v as string))))) ")
+    banded = track(sig_tbl.select(
+        F.col(id_col), F.col("_new"),
+        F.posexplode(band_arr).alias("band_id", "band_hash")).persist())
+    cand = (banded.where(F.col("_new")).alias("n")
+            .join(banded.where(~F.col("_new")).alias("o"),
+                  ["band_id", "band_hash"])
+            .select(F.col(f"n.{id_col}").alias("id_new"),
+                    F.col(f"o.{id_col}").alias("id_existing"))
+            .distinct())
+    verified = (cand
+                .join(sh.select(F.col(id_col).alias("id_new"),
+                                F.col("sh").alias("sh_n")), "id_new")
+                .join(sh.select(F.col(id_col).alias("id_existing"),
+                                F.col("sh").alias("sh_o")), "id_existing"))
+    inter = F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+    union = F.size(F.array_union("sh_n", "sh_o")).cast("double")
+    scored = verified.select(
+        "id_new", "id_existing",
+        portable_round(F.when(union > 0, inter / union).otherwise(0.0), 6)
+        .alias("jaccard")).where(F.col("jaccard") >= threshold)
+    w = W.partitionBy("id_new").orderBy(F.desc("jaccard"),
+                                        F.asc("id_existing"))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1).drop("_rk"))
