@@ -51,6 +51,10 @@ HEADLINE = [
     "dedup_simhash",
     # round-4 addition
     "dedup_semantic",
+    # round-5 additions
+    "dedup_substrings",
+    "dedup_incremental",
+    "ann_pq_topk",
 ]
 
 
