@@ -2,6 +2,7 @@
 spans (Lee et al.-style) and weighted corpus mixing."""
 
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from lswms_forage_etl_spark import get_spark
 from lswms_forage_etl_spark.operators.dedup import duplicate_spans
@@ -72,3 +73,52 @@ def test_corpus_mix_fractional_weight_partition_invariant(spark):
     assert sa == sb                   # decisions are key-hash functions
     n = len(sa)
     assert 400 * 1.3 < n < 400 * 1.7  # E[copies]=1.5
+
+
+def _spans_reference(texts, window):
+    """Pure-Python oracle for duplicate_spans: window fps with corpus
+    count >= 2, merged into maximal consecutive runs per doc."""
+    import hashlib
+    from collections import Counter
+
+    tok = {i: [t for t in text.lower().strip().split() if t]
+           for i, text in enumerate(texts)}
+    fps = {}
+    counts = Counter()
+    for i, ts in tok.items():
+        row = []
+        for p in range(len(ts) - window + 1):
+            fp = hashlib.md5(" ".join(ts[p:p + window]).encode()).hexdigest()
+            row.append(fp)
+            counts[fp] += 1
+        fps[i] = row
+    out = set()
+    for i, row in fps.items():
+        run_start = None
+        prev = None
+        for p, fp in enumerate(row):
+            if counts[fp] >= 2:
+                if run_start is None or prev != p - 1:
+                    if run_start is not None:
+                        out.add((i, run_start, prev + window - 1,
+                                 prev - run_start + 1))
+                    run_start = p
+                prev = p
+        if run_start is not None:
+            out.add((i, run_start, prev + window - 1,
+                     prev - run_start + 1))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=24)
+    .map(" ".join), min_size=1, max_size=8))
+def test_duplicate_spans_matches_python_reference(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in duplicate_spans(docs, window=3).collect()}
+    from lswms_forage_etl_spark import lifecycle
+    lifecycle.release_tracked()
+    assert got == _spans_reference(texts, 3)
