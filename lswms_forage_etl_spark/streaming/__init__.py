@@ -14,3 +14,7 @@ __all__ = [
     "incremental_composite_run", "stream_windowed_counts",
     "stream_session_stats", "running_composite_state",
 ]
+from lswms_forage_etl_spark.streaming.ingest import (  # noqa: F401
+    ingest_stream,
+    run_ingest_once,
+)

@@ -1,0 +1,98 @@
+"""Streaming corpus ingestion: the continuous version of the batch
+corpus build (plans/corpus.py) — documents arrive as files, get
+quality-gated, deduped against BOTH the already-ingested corpus and the
+in-flight stream, and land in partitioned parquet, exactly once.
+
+Composition per micro-batch:
+
+  readStream (file source, schema-enforced)
+    -> scan-side C4-style gates (token count, quality score, lang allow)
+    -> STREAM-STATIC anti-join against the persistent fingerprint index
+       (the already-ingested corpus; static side re-read per micro-batch,
+       so index updates between batches are picked up automatically)
+    -> streaming dropDuplicates on the fingerprint WITHIN the stream
+       (Spark-native keyed state — catches dups that arrive in the same
+       or later micro-batches; state survives restarts via the
+       checkpoint. The custom applyInPandasWithState variant with
+       event-time TTL lives in stateful.stream_exact_dedup — built-in
+       state is preferred here because the full row must pass through)
+    -> writeStream to partitioned parquet + checkpoint
+
+Scale notes: the anti-join keys on the uniform 128-bit fingerprint (a
+broadcast when the index is small, shuffle hash join when not); state
+size is bounded by (fingerprints in TTL window); file-source progress
+lives in the checkpoint, so a crashed ingest resumes at the last
+committed batch with no re-processing (S19's progress markers become
+Spark's own exactly-once contract — reference ETL re-lists and skips by
+filename, forage_etl/main: the download loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.functions.text import (
+    fingerprint,
+    quality_score,
+    token_count,
+)
+
+DOCS_SCHEMA = ("doc_id long, text string, lang string, source string, "
+               "n_chars long")
+
+
+def ingest_stream(spark: SparkSession, input_dir: str,
+                  known_fp_table: str,
+                  min_tokens: int = 5, min_quality: float = 0.2,
+                  langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh"),
+                  ) -> DataFrame:
+    """The gated/deduped streaming DataFrame (start it with
+    `.writeStream`, or run to exhaustion in tests via availableNow).
+    `known_fp_table` is a parquet path with a single `fp` column — the
+    ingested corpus's fingerprint index."""
+    raw = (spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir))
+    gated = (raw
+             .where(F.col("lang").isin(*langs))
+             .where(token_count("text") >= min_tokens)
+             .where(quality_score("text") >= min_quality)
+             .withColumn("fp", fingerprint("text")))
+    known = spark.read.parquet(known_fp_table).select("fp")
+    fresh = gated.join(known, "fp", "left_anti")
+    # within-stream dedup: Spark-native keyed state on the fingerprint
+    # (unbounded without a watermark — the explicit TTL variant is
+    # stateful.stream_exact_dedup; at 100 TB pick per ingest topology)
+    return fresh.dropDuplicates(["fp"]).drop("fp")
+
+
+def run_ingest_once(spark: SparkSession, input_dir: str,
+                    known_fp_table: str, out_dir: str,
+                    checkpoint_dir: str, **kwargs) -> None:
+    """One availableNow pass: process every currently-visible file,
+    append survivors to the corpus, and refresh the fingerprint index
+    (idempotent — a re-run with the same checkpoint processes nothing).
+
+    The index refresh derives from the corpus output itself, so the
+    NEXT run's anti-join sees everything this run ingested."""
+    out = ingest_stream(spark, input_dir, known_fp_table, **kwargs)
+    q = (out.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .partitionBy("lang")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # index := old index UNION fps(corpus output). The union is
+    # materialized into the cache BEFORE the overwrite because it reads
+    # the same parquet path it replaces (self-overwrite hazard); the
+    # cache is freed after the write.
+    merged = (spark.read.parquet(known_fp_table).select("fp")
+              .unionAll(spark.read.parquet(out_dir)
+                        .select(fingerprint("text").alias("fp")))
+              .distinct().persist())
+    try:
+        merged.count()   # materialize while the old index is readable
+        merged.write.mode("overwrite").parquet(known_fp_table)
+    finally:
+        merged.unpersist()

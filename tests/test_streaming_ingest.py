@@ -1,0 +1,73 @@
+"""End-to-end streaming corpus ingestion: quality gates + stream-static
+anti-join against the fingerprint index + in-stream dedup + exactly-once
+file-source progress."""
+
+import pandas as pd
+import pytest
+
+from lswms_forage_etl_spark import get_spark
+from lswms_forage_etl_spark.streaming.ingest import run_ingest_once
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test-streaming-ingest")
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long").coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
+GOOD = "the quick brown fox jumps over the lazy dog again and again"
+OTHER = "spark structured streaming handles incremental corpus builds well"
+THIRD = "completely different verbiage about window functions and joins"
+
+
+def test_ingest_gates_dedups_and_resumes(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "fp_index")
+    # seed an EXISTING corpus index containing GOOD's fingerprint
+    from lswms_forage_etl_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+    spark.createDataFrame([(GOOD,)], "text string") \
+        .select(fingerprint("text").alias("fp")) \
+        .write.mode("overwrite").parquet(idx)
+
+    # batch 1: known dup (anti-joined), in-batch dup pair (one survives),
+    # quality/lang rejects
+    _write_docs(spark, inp, [
+        (1, GOOD, "en", "src0", len(GOOD)),          # known -> dropped
+        (2, OTHER, "en", "src0", len(OTHER)),        # kept
+        (3, OTHER, "en", "src1", len(OTHER)),        # in-batch dup
+        (4, "tiny", "en", "src0", 4),                # < min_tokens
+        (5, THIRD, "xx", "src0", len(THIRD)),        # lang reject
+    ])
+    run_ingest_once(spark, inp, idx, out, ckpt)
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids in ({2}, {3})           # exactly one of the dup pair
+    # index now covers OTHER
+    n_idx = spark.read.parquet(idx).count()
+    assert n_idx == 2
+
+    # batch 2: replay of OTHER must be anti-joined via the refreshed
+    # index; THIRD (correct lang now) is new and survives
+    _write_docs(spark, inp, [
+        (6, OTHER, "en", "src2", len(OTHER)),        # known -> dropped
+        (7, THIRD, "en", "src2", len(THIRD)),        # kept
+    ])
+    run_ingest_once(spark, inp, idx, out, ckpt)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 7 in ids2 and 6 not in ids2
+    assert len(ids2) == 2
+    # partitioned layout
+    assert got.select("lang").distinct().collect()[0]["lang"] == "en"
+
+    # idempotence: a third run with nothing new ingests nothing
+    run_ingest_once(spark, inp, idx, out, ckpt)
+    assert spark.read.parquet(out).count() == 2
