@@ -1295,6 +1295,17 @@ def q_ann_pq_topk(spark, sf):
     return pq_adc_topk(emb, _query_vec(spark, sf), k=10)
 
 
+def q_mm_patches(spark, sf):
+    """ViT-style patch tiling: payload bytes as a 32-wide row-major
+    image, 8x8 patches, per-patch byte count + mean intensity — one row
+    per (image, patch), the shape a vision pre-processor feeds to
+    embedding. Arrow mapInPandas; byte-exact DuckDB oracle."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        patch_grid, synth_media)
+    return patch_grid(synth_media(_t(spark, sf, "documents")),
+                      width=32, patch=8)
+
+
 def q_dedup_incremental(spark, sf):
     """Incremental (nightly-batch) dedup: sources src15+ are the new
     batch, src0-14 the existing corpus; each new doc is LSH-probed
@@ -1444,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
+        "mm_patches": q_mm_patches,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2842,6 +2854,27 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY c.vec_id)
         SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+    # patch tiling: payload bytes as a 32-wide row-major image (full
+    # rows only), 8x8 patches; avg(byte) = exact int sum / count in
+    # float64 on both engines, portable-rounded at 9 dp
+    sql["mm_patches"] = f"""
+        WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        b AS (SELECT media_id,
+                     CAST(j // 32 AS INT) AS r, CAST(j % 32 AS INT) AS c,
+                     ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT
+                       AS byte
+              FROM m, (SELECT unnest(range(0, n)) AS j)
+              WHERE j < (n // 32) * 32)
+        SELECT media_id,
+               CAST(r // 8 AS INT) AS patch_row,
+               CAST(c // 8 AS INT) AS patch_col,
+               CAST(count(*) AS BIGINT) AS n_bytes,
+               {_pr("avg(byte)", 9)} AS mean_intensity
+        FROM b GROUP BY media_id, r // 8, c // 8
     """
 
     # vocabulary: two-phase doc-frequency aggregation (sum is HUGEINT in

@@ -178,3 +178,64 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
 
     return media.select("media_id", "payload", "meta").mapInPandas(
         decode, schema=out_schema)
+
+
+def patch_grid(media: DataFrame, width: int = 32,
+               patch: int = 8) -> DataFrame:
+    """ViT-style patch tiling over opaque payloads: the byte stream is
+    read as a row-major `width`-byte-wide image (full rows only —
+    trailing partial rows are dropped), tiled into `patch` x `patch`
+    cells, and each patch emits its byte count and mean intensity.
+    Edge patches are partial (mean over the bytes present).
+
+    Output: (media_id, patch_row, patch_col, n_bytes, mean_intensity).
+
+    Same shape a real ViT pre-processor needs — one row per (image,
+    patch) with per-patch features — and the same Arrow `mapInPandas`
+    plumbing a real decoder would feed; with the synthetic payloads the
+    byte semantics are exact, so the DuckDB oracle replays every patch
+    mean bit-for-bit (hex-decode + integer grid arithmetic)."""
+    from lswms_forage_etl_spark.functions.cleansing import portable_round
+    from lswms_forage_etl_spark.operators.dedup import _spread
+
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("patch_row", IntegerType(), False),
+        StructField("patch_col", IntegerType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("mean_intensity", DoubleType(), False),
+    ])
+
+    def tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mid, pr, pc, nb, mi = [], [], [], [], []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None:
+                    continue
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                rows = len(arr) // width
+                if rows == 0:
+                    continue
+                img = arr[:rows * width].reshape(rows, width)
+                for r0 in range(0, rows, patch):
+                    for c0 in range(0, width, patch):
+                        cell = img[r0:r0 + patch, c0:c0 + patch]
+                        mid.append(int(media_id))
+                        pr.append(r0 // patch)
+                        pc.append(c0 // patch)
+                        nb.append(int(cell.size))
+                        # exact integer sum, then one float division —
+                        # the oracle's avg() reproduces it bit-for-bit
+                        mi.append(float(int(cell.sum(dtype=np.int64))
+                                        / cell.size))
+            yield pd.DataFrame({
+                "media_id": mid,
+                "patch_row": pd.array(pr, dtype="int32"),
+                "patch_col": pd.array(pc, dtype="int32"),
+                "n_bytes": nb, "mean_intensity": mi})
+
+    tiled = _spread(media.select("media_id", "payload")) \
+        .mapInPandas(tile, schema=out_schema)
+    return tiled.select(
+        "media_id", "patch_row", "patch_col", "n_bytes",
+        portable_round(F.col("mean_intensity"), 9).alias("mean_intensity"))

@@ -122,3 +122,30 @@ def test_duplicate_spans_matches_python_reference(spark, texts):
     from lswms_forage_etl_spark import lifecycle
     lifecycle.release_tracked()
     assert got == _spans_reference(texts, 3)
+
+
+def test_patch_grid_exact_semantics(spark):
+    from lswms_forage_etl_spark.operators.multimodal import patch_grid
+    import pyspark.sql.functions as SF
+
+    # payload of 80 bytes as a 32-wide image -> 2 full rows (16 bytes
+    # dropped), patches 8 wide: 1 patch row x 4 patch cols, each 2x8=16
+    # bytes; byte values are position indices so means are exact
+    payload = bytes(range(80))
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "media_id long, payload binary")
+    rows = {(r["patch_row"], r["patch_col"]): (r["n_bytes"],
+                                               r["mean_intensity"])
+            for r in patch_grid(df, width=32, patch=8).collect()}
+    assert set(rows) == {(0, 0), (0, 1), (0, 2), (0, 3)}
+    for (pr, pc), (nb, mi) in rows.items():
+        assert nb == 16
+        vals = [r * 32 + c for r in range(2)
+                for c in range(pc * 8, pc * 8 + 8)]
+        assert mi == sum(vals) / 16
+
+    # payloads shorter than one row contribute nothing; NULL is skipped
+    short = spark.createDataFrame(
+        [(2, bytearray(b"abc")), (3, None)],
+        "media_id long, payload binary")
+    assert patch_grid(short, width=32, patch=8).count() == 0
