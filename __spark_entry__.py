@@ -1295,6 +1295,34 @@ def q_ann_pq_topk(spark, sf):
     return pq_adc_topk(emb, _query_vec(spark, sf), k=10)
 
 
+def q_text_rarity(spark, sf):
+    """Rare-token-density quality signal (TF-IDF-shaped, log-free): per
+    document, the mean over token occurrences of the scaled inverse
+    document frequency (1e6 * N // df — EXACT integer arithmetic, so
+    partial aggregation order and engines cannot disagree; one float
+    division at the end, portable-rounded). The corpus vocabulary rides
+    a broadcast join — document-frequency tables are catalog-scale even
+    at 100 TB. High scores = rare vocabulary; boilerplate scores low."""
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "")
+    occ = docs.select("doc_id", F.explode(toks).alias("token"))
+    vocab = (occ.groupBy("doc_id", "token").agg(F.lit(1).alias("_"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n")).first()["n"]
+    scored = occ.join(F.broadcast(vocab), "token").select(
+        "doc_id",
+        F.expr(f"cast({1_000_000 * int(n_docs)} as bigint) div df")
+        .alias("_idf"))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("_idf").alias("_s"))
+            .select("doc_id", "n_tokens",
+                    pround(F.col("_s")
+                           / (F.col("n_tokens") * F.lit(1_000_000.0)), 6)
+                    .alias("rarity")))
+
+
 def q_mm_patches(spark, sf):
     """ViT-style patch tiling: payload bytes as a 32-wide row-major
     image, 8x8 patches, per-patch byte count + mean intensity — one row
@@ -1456,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_codes": q_ann_pq_codes,
         "ann_pq_topk": q_ann_pq_topk,
         "mm_patches": q_mm_patches,
+        "text_rarity": q_text_rarity,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2854,6 +2883,28 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY c.vec_id)
         SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+    # rare-token density: exact integer scaled-IDF (1e6*N // df) per
+    # occurrence, one portable-rounded float division at the end
+    sql["text_rarity"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   x -> x <> '')) AS token
+          FROM documents),
+        v AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT doc_id, token FROM t) GROUP BY token),
+        n AS (SELECT count(*) AS nd FROM documents),
+        s AS (SELECT t.doc_id,
+                     (1000000 * n.nd) // v.df AS idf
+              FROM t JOIN v USING (token) CROSS JOIN n)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               {_pr("CAST(sum(idf) AS DOUBLE) / (count(*) * 1000000.0)", 6)}
+                 AS rarity
+        FROM s GROUP BY doc_id
     """
 
     # patch tiling: payload bytes as a 32-wide row-major image (full
