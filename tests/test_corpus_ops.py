@@ -149,3 +149,27 @@ def test_patch_grid_exact_semantics(spark):
         [(2, bytearray(b"abc")), (3, None)],
         "media_id long, payload binary")
     assert patch_grid(short, width=32, patch=8).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.dictionaries(st.sampled_from(["en", "de", "fr", "zh"]),
+                       st.floats(min_value=0.0, max_value=3.0,
+                                 allow_nan=False), min_size=1),
+       st.integers(min_value=1, max_value=60))
+def test_corpus_mix_matches_python_reference(spark, weights, n):
+    import hashlib
+    import math
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "de", "fr", "zh"][i % 4]) for i in range(n)],
+        "doc_id long, lang string")
+    got = {(r["doc_id"], r["copy_idx"])
+           for r in corpus_mix(docs, "lang", weights, "doc_id").collect()}
+    expect = set()
+    for i in range(n):
+        w = weights.get(["en", "de", "fr", "zh"][i % 4], 1.0)
+        u = int(hashlib.md5(f"0|{i}".encode()).hexdigest()[:8], 16)
+        nc = int(math.floor(w)) + (1 if u < int((w - math.floor(w))
+                                                * (1 << 32)) else 0)
+        expect |= {(i, c) for c in range(1, nc + 1)}
+    assert got == expect
