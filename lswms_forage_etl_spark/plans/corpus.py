@@ -30,17 +30,19 @@ from lswms_forage_etl_spark.operators.dedup import (
     ngram_jaccard,
     shingle_table,
 )
-from lswms_forage_etl_spark.operators.sampling import group_cap
+from lswms_forage_etl_spark.operators.sampling import corpus_mix, group_cap
 from lswms_forage_etl_spark.plans.pipeline import Pipeline, Stage
 
 
 def corpus_pipeline(quality_min: float = 0.8,
                     jaccard_min: float = 0.7,
                     containment_min: float = 0.8,
-                    per_source_cap: int = 10_000) -> Pipeline:
+                    per_source_cap: int = 10_000,
+                    mix_weights: dict[str, float] | None = None) -> Pipeline:
     """Expected ctx inputs: docs (doc_id, text, source), eval_docs
     (doc_id, text). Outputs: clean, clusters, deduped, decontaminated,
-    corpus."""
+    corpus (+ mixed, when `mix_weights` reweights sources — rows gain
+    copy_idx so downstream packing can salt per-copy order)."""
 
     def st_clean(spark, ctx):
         d = ctx["docs"].where(
@@ -93,9 +95,16 @@ def corpus_pipeline(quality_min: float = 0.8,
         return {"corpus": group_cap(ctx["decontaminated"], ["source"],
                                     per_source_cap, key_col="doc_id")}
 
-    return Pipeline(stages=[
+    def st_mix(spark, ctx):
+        return {"mixed": corpus_mix(ctx["corpus"], "source",
+                                    mix_weights, key_col="doc_id")}
+
+    stages = [
         Stage("clean", st_clean, requires=("docs",)),
         Stage("dedup", st_dedup, requires=("clean",)),
         Stage("decontam", st_decontam, requires=("deduped", "eval_docs")),
         Stage("sample", st_sample, requires=("decontaminated",)),
-    ])
+    ]
+    if mix_weights is not None:
+        stages.append(Stage("mix", st_mix, requires=("corpus",)))
+    return Pipeline(stages=stages)

@@ -52,6 +52,22 @@ def test_corpus_pipeline_end_to_end(spark):
     assert {1, 4, 6} <= corpus_ids
 
 
+def test_corpus_pipeline_mix_stage(spark):
+    pipe = corpus_pipeline(quality_min=0.8, jaccard_min=0.5,
+                           containment_min=0.8, per_source_cap=10,
+                           mix_weights={"web": 2.0})
+    ctx = pipe.run(spark, {"docs": _docs(spark), "eval_docs": _eval(spark)})
+    assert [r.status for r in pipe.results] == ["ok"] * 5
+    mixed = ctx["mixed"].collect()
+    per_doc = {}
+    for r in mixed:
+        per_doc.setdefault(r["doc_id"], set()).add(r["copy_idx"])
+    corpus = {(r["doc_id"], r["source"])
+              for r in ctx["corpus"].collect()}
+    for doc_id, src in corpus:
+        assert per_doc[doc_id] == ({1, 2} if src == "web" else {1})
+
+
 def test_corpus_pipeline_empty_guard_cascade(spark):
     pipe = corpus_pipeline()
     empty = _docs(spark).where("doc_id < 0")
