@@ -35,7 +35,7 @@ from lswms_forage_etl_spark.functions.grid import (
     lon_to_col,
 )
 from lswms_forage_etl_spark.functions import text as T
-from lswms_forage_etl_spark.lifecycle import track
+from lswms_forage_etl_spark.lifecycle import stage_table, track
 from lswms_forage_etl_spark.operators.dedup import (
     MINHASH_PRIME,
     duplicate_clusters,
@@ -198,7 +198,8 @@ def q_filter_zero_jitter(spark, sf):
     ev = _events(spark, sf)
     z = ev.withColumn("v", F.when(F.col("value") < 2.0, F.lit(0.0))
                       .otherwise(F.col("value")))
-    u_pick = (F.pmod(F.col("event_id") * 2654435761, F.lit(1000))
+    u_pick = (F.pmod(F.pmod(F.col("event_id"), F.lit(1000))
+                     * 2654435761, F.lit(1000))
               .cast("double") / 1000.0)
     u_mag = (F.pmod(F.col("event_id") * 40503, F.lit(1000))
              .cast("double") / 1000.0)
@@ -799,7 +800,7 @@ def q_dedup_lsh_pairs(spark, sf):
     materialization points — without them Catalyst inlines the shingle
     expression into every hash branch and join side (60x slowdown)."""
     docs = _t(spark, sf, "documents")
-    sh = track(shingle_table(docs).persist())
+    sh = stage_table(shingle_table(docs))
     sigs = track(minhash_signatures(docs, num_hashes=16,
                                     shingles=sh).persist())
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
@@ -856,7 +857,7 @@ def q_text_contamination(spark, sf):
     par = docs.select(
         "doc_id",
         (F.expr("substring(source, 4)").cast("int") % 2).alias("split"))
-    sh = track(shingle_table(docs).join(par, "doc_id").persist())
+    sh = stage_table(shingle_table(docs).join(par, "doc_id"))
     sigs = minhash_signatures(docs, num_hashes=16, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
     out = (pairs
@@ -882,7 +883,7 @@ def q_dedup_clusters(spark, sf):
     (doc_id, canonical rep_id, cluster_size). The oracle replays the
     closure with a recursive CTE — same fixpoint, different algorithm."""
     docs = _t(spark, sf, "documents")
-    sh = track(shingle_table(docs).persist())
+    sh = stage_table(shingle_table(docs))
     sigs = track(minhash_signatures(docs, num_hashes=16,
                                     shingles=sh).persist())
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
@@ -903,7 +904,7 @@ def q_dedup_ngram_jaccard(spark, sf):
                                      (F.col("doc_id") + 100).alias("id_b")))
              .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
              .select("id_a", "id_b"))
-    sh = track(shingle_table(docs).persist())
+    sh = stage_table(shingle_table(docs))
     return ngram_jaccard(docs, pairs, shingles=sh)
 
 
@@ -960,7 +961,7 @@ def q_dedup_representatives(spark, sf):
     the best copy, which the rep_id label doesn't know). Emits every
     clustered doc with its keeper and a keep flag."""
     docs = _t(spark, sf, "documents")
-    sh = track(shingle_table(docs).persist())
+    sh = stage_table(shingle_table(docs))
     sigs = track(minhash_signatures(docs, num_hashes=16,
                                     shingles=sh).persist())
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
@@ -1555,7 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         WITH z AS (
           SELECT event_id,
                  CASE WHEN value < 2.0 THEN 0.0 ELSE value END AS v,
-                 (CAST(event_id * 2654435761 AS BIGINT) % 1000) / 1000.0 AS u_pick,
+                 (CAST((event_id % 1000) * 2654435761 AS BIGINT) % 1000) / 1000.0 AS u_pick,
                  (CAST(event_id * 40503 AS BIGINT) % 1000) / 1000.0 AS u_mag
           FROM events)
         SELECT event_id, {_pr(jit_expr, 6)} AS jittered
@@ -2510,9 +2511,9 @@ def oracle_sql() -> dict[str, str]:
         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         cents AS (
           SELECT (row_number() OVER (
-                    ORDER BY (vec_id * 2654435761) % 1000003, vec_id)) - 1
+                    ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)) - 1
                    AS cent_id, v AS cv
-          FROM e ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 16),
+          FROM e ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id LIMIT 16),
         sims AS (SELECT e.vec_id, e.v, c.cent_id,
                         {_pr(_cos('e.v', 'c.cv'), 9)} AS sim
                  FROM e CROSS JOIN cents c),
@@ -2606,9 +2607,9 @@ def oracle_sql() -> dict[str, str]:
                    FROM embeddings),
         cents AS (
           SELECT (row_number() OVER (
-                    ORDER BY (vec_id * 2654435761) % 1000003, vec_id)) - 1
+                    ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)) - 1
                    AS cent_id, v AS cv
-          FROM e ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 16),
+          FROM e ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id LIMIT 16),
         sims AS (SELECT e.vec_id, e.v, c.cent_id,
                         {_pr(_cos('e.v', 'c.cv'), 9)} AS sim
                  FROM e CROSS JOIN cents c),
@@ -2833,9 +2834,9 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings),
         seeds AS (
           SELECT (row_number() OVER (
-                    ORDER BY (vec_id * 2654435761) % 1000003, vec_id)) - 1
+                    ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)) - 1
                    AS code, v AS cv
-          FROM e ORDER BY (vec_id * 2654435761) % 1000003, vec_id LIMIT 16),
+          FROM e ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id LIMIT 16),
         subs AS (SELECT unnest(range(0, 8)) AS s),
         d AS (
           SELECT e.vec_id, subs.s, seeds.code,

@@ -86,3 +86,23 @@ def assert_no_cached_rdds(spark: SparkSession, context: str = "") -> None:
             f"cached RDDs leaked{' after ' + context if context else ''}: "
             f"rdd ids {sorted(left)} — a persist()/localCheckpoint was not "
             f"registered via lifecycle.track()")
+
+
+def stage_table(df: DataFrame) -> DataFrame:
+    """Persist + EAGERLY materialize + track a stage table.
+
+    Eager, not lazy, because materialization points must carry accurate
+    statistics: a lazily-persisted table's InMemoryRelation reports its
+    CHILD plan's estimate at planning time, and for expression-expanded
+    derivations (banded LSH signatures: small parquet text -> millions
+    of hash rows) that estimate is far below the real size — measured at
+    the 100x slice, the banded self-join chose a broadcast whose build
+    side needed ~2 GB and aborted the job. After an eager materialize
+    the join planner sees the cached table's REAL size and picks
+    broadcast vs shuffle correctly at every scale, which is exactly how
+    a parquet/Delta stage table behaves on a cluster (written once,
+    stats known). The extra action costs one job whose work would have
+    run anyway at first consumption."""
+    out = track(df.persist())
+    out.count()
+    return out

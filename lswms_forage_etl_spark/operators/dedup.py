@@ -216,8 +216,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     sig = signatures.select(
         id_col, F.posexplode(band_arr).alias("band_id", "band_hash"))
     if materialize:
-        from lswms_forage_etl_spark.lifecycle import track
-        sig = track(sig.persist())
+        from lswms_forage_etl_spark.lifecycle import stage_table
+        sig = stage_table(sig)
     a = sig.alias("a")
     b = sig.alias("b")
     return (a.join(b, ["band_id", "band_hash"])
@@ -283,8 +283,8 @@ def minhash_dedup(docs: DataFrame, text_col: str = "text",
     signatures -> banded candidates -> exact jaccard verify -> near-dup
     pairs above threshold. At production scale the shingle/signature
     tables are written to parquet stage tables instead of persist()."""
-    from lswms_forage_etl_spark.lifecycle import track
-    sh = track(shingle_table(docs, text_col, id_col, k).persist())
+    from lswms_forage_etl_spark.lifecycle import stage_table
+    sh = stage_table(shingle_table(docs, text_col, id_col, k))
     sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes,
                               shingles=sh)
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes=num_hashes)
@@ -596,8 +596,6 @@ def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
             f"max_hamming={max_hamming} exceeds the banding guarantee "
             f"(complete only for hamming < num_chunks={num_chunks}); "
             f"raise num_chunks to at least max_hamming+1")
-    from lswms_forage_etl_spark.lifecycle import track
-
     width = 64 // num_chunks
     mask = (1 << width) - 1
     # Band over DISTINCT signatures, not documents (VERDICT r5 rewrite).
@@ -635,7 +633,10 @@ def simhash_near_dups(sigs: DataFrame, id_col: str = "doc_id",
     _ck_ids = lifecycle.persistent_rdd_ids(spark) - _ids0
     lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, _ck_ids))
     uniq = sig_tbl.select("simhash").distinct()
-    chunks = track(uniq.select(
+    # lazy persist is SAFE here (no eager stage_table): sig_tbl is a
+    # LogicalRDD whose unknown size defaults to defaultSizeInBytes, so
+    # the planner can never choose to broadcast this self-join side
+    chunks = lifecycle.track(uniq.select(
         "simhash",
         F.posexplode(F.array(*[
             F.shiftrightunsigned(F.col("simhash"), width * i)
@@ -753,16 +754,15 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
             F.sequence(F.lit(0), F.size(toks) - window),
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
     ).otherwise(F.array().cast("array<string>"))
-    from lswms_forage_etl_spark.lifecycle import track
+    from lswms_forage_etl_spark.lifecycle import stage_table
 
     # materialization point: the fp table feeds BOTH the duplicate test
     # and the join back — unpersisted, each reference re-tokenizes and
     # re-hashes every window (the shingle_table hazard; at real scale
     # this is the substring-index stage table)
-    tbl = track((_spread(docs)
-                 .select(F.col(id_col),
-                         F.posexplode(wins).alias("wpos", "fp")))
-                .persist())
+    tbl = stage_table(_spread(docs)
+                      .select(F.col(id_col),
+                              F.posexplode(wins).alias("wpos", "fp")))
     dup_fps = (tbl.groupBy("fp")
                .agg(F.count(F.lit(1)).alias("_n"))
                .where(F.col("_n") >= 2)
@@ -806,12 +806,12 @@ def incremental_dedup(docs: DataFrame, is_new, text_col: str = "text",
     shingle table; best-match is one per-new-doc window."""
     from pyspark.sql import Window as W
 
-    from lswms_forage_etl_spark.lifecycle import track
+    from lswms_forage_etl_spark.lifecycle import stage_table, track
 
     flagged = _spread(docs).withColumn("_new", is_new)
-    sh = track(flagged.select(
+    sh = stage_table(flagged.select(
         F.col(id_col), F.col("_new"),
-        word_shingles(text_col, k).alias("sh")).persist())
+        word_shingles(text_col, k).alias("sh")))
     sig_tbl = sh.select(
         F.col(id_col), F.col("_new"),
         _minhash_sig(F.col("sh"), num_hashes).alias("minhash"))
@@ -820,6 +820,9 @@ def incremental_dedup(docs: DataFrame, is_new, text_col: str = "text",
         f"md5(concat_ws('|', transform("
         f"slice(minhash, b * (size(minhash) div {bands}) + 1, "
         f"size(minhash) div {bands}), v -> cast(v as string))))) ")
+    # banded stays lazy: its estimate derives from the eager sh stage
+    # table's REAL cached size, so the new x existing join is planned
+    # correctly at every scale without a second materialization pass
     banded = track(sig_tbl.select(
         F.col(id_col), F.col("_new"),
         F.posexplode(band_arr).alias("band_id", "band_hash")).persist())

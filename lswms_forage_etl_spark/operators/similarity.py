@@ -254,8 +254,8 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     # re-evaluate the Arrow signature UDF (plan shows py=4 Arrow stages,
     # observed +33% wall). Same rationale as dedup.shingle_table — at
     # real scale this is a parquet stage table.
-    from lswms_forage_etl_spark.lifecycle import track
-    b = track(b.persist())
+    from lswms_forage_etl_spark.lifecycle import stage_table
+    b = stage_table(b)
 
     keys = ["band", "bucket", "chunk"]
     joined = (b.alias("a").join(b.alias("b"), keys)
@@ -362,9 +362,15 @@ def ivf_centroid_rows(embeddings: DataFrame, num_centroids: int = 16,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """Deterministic centroid pick: order ids by a portable multiplicative
-    hash `(id * 2654435761) % 1000003` and take the first `num_centroids`.
-    Pure arithmetic -> reproducible in any engine (and in the SQL oracle)."""
-    h = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761), F.lit(1000003))
+    hash `((id % 1000003) * 2654435761) % 1000003` and take the first
+    `num_centroids`. Pure arithmetic -> reproducible in any engine (and
+    in the SQL oracle). The id is reduced mod 1000003 BEFORE the
+    multiply — mathematically identical by modular arithmetic, but
+    overflow-free for arbitrary 64-bit ids (the unreduced product
+    overflows int64 at id ~3.5e9; found by the 100x slice, whose
+    block-stride ids reach 9e9, as an ANSI ARITHMETIC_OVERFLOW)."""
+    h = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(1000003))
+               * F.lit(2654435761), F.lit(1000003))
     rows = (embeddings.withColumn("_h", h)
             .orderBy("_h", id_col).limit(num_centroids)
             .select(id_col, vec_col).collect())
@@ -717,8 +723,8 @@ def pq_train_codebook(embeddings: DataFrame, ks: int = 16, m: int = 8,
     FROM the trained codebook remain engine-portable scaled-int argmins
     (training determinism is numpy-only, which is why the graded oracle
     query uses the untrained seed codebook instead)."""
-    h = F.pmod(F.col(id_col).cast("long") * F.lit(2654435761),
-               F.lit(1000003))
+    h = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(1000003))
+               * F.lit(2654435761), F.lit(1000003))
     rows = (embeddings.withColumn("_h", h).orderBy("_h", id_col)
             .limit(sample_cap).select(vec_col).collect())
     V = np.asarray([[float(x) for x in r[vec_col]] for r in rows],

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from lswms_forage_etl_spark.lifecycle import track
+from lswms_forage_etl_spark.lifecycle import stage_table, track
 
 from lswms_forage_etl_spark.functions import text as T
 from lswms_forage_etl_spark.operators.dedup import (
@@ -52,7 +52,7 @@ def corpus_pipeline(quality_min: float = 0.8,
 
     def st_dedup(spark, ctx):
         d = ctx["clean"]
-        sh = track(shingle_table(d).persist())
+        sh = stage_table(shingle_table(d))
         sigs = minhash_signatures(d, num_hashes=16, shingles=sh)
         pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
         dups = ngram_jaccard(d, pairs, shingles=sh).where(
@@ -69,7 +69,7 @@ def corpus_pipeline(quality_min: float = 0.8,
         train = ctx["deduped"]
         ev = ctx["eval_docs"].select(
             F.col("doc_id").alias("eval_id"), "text")
-        esh = track(shingle_table(ev, id_col="eval_id").persist())
+        esh = stage_table(shingle_table(ev, id_col="eval_id"))
         tsigs = minhash_signatures(train, num_hashes=16,
                                    shingles=ctx["shingles"])
         esigs = minhash_signatures(ev, id_col="eval_id", num_hashes=16,
