@@ -20,7 +20,14 @@ and wall-clock scaling is interpretable:
 Every other table is copied verbatim so any queries() entry can run
 against the directory.
 
-Usage: python tools/make_scale10x.py [out_dir] [src_dir]
+Usage: python tools/make_scale10x.py [out_dir] [src_dir] [blocks] [stride] [tag]
+
+Chaining builds larger slices: a 100x slice is 10 blocks over the 10x
+slice with a wider id stride and a distinct prefix tag (prefixes compose,
+so cross-slice shingles still never collide):
+
+  python tools/make_scale10x.py /root/scale100x /root/scale10x 10 \
+      1000000000 s
 """
 
 from __future__ import annotations
@@ -40,30 +47,34 @@ BLOCK_STRIDE = 10_000_000
 def main() -> None:
     out = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/scale10x")
     src = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1")
+    n_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    stride = int(sys.argv[4]) if len(sys.argv) > 4 else BLOCK_STRIDE
+    tag = sys.argv[5] if len(sys.argv) > 5 else "r"
     out.mkdir(parents=True, exist_ok=True)
 
     docs = pq.read_table(src / "documents.parquet")
     blocks = []
-    for k in range(10):
-        ids = pc.add(docs["doc_id"], k * BLOCK_STRIDE)
+    for k in range(n_blocks):
+        ids = pc.add(docs["doc_id"], k * stride)
         if k == 0:
             text = docs["text"]
         else:
             text = pc.replace_substring_regex(
-                docs["text"], r"(\S+)", rf"r{k}x\1")
+                docs["text"], r"(\S+)", rf"{tag}{k}x\1")
         blocks.append(pa.table({
             "doc_id": ids, "text": text, "lang": docs["lang"],
             "source": docs["source"], "n_chars": docs["n_chars"]}))
     pq.write_table(pa.concat_tables(blocks), out / "documents.parquet")
-    print(f"documents: {docs.num_rows} -> {docs.num_rows * 10}")
+    print(f"documents: {docs.num_rows} -> {docs.num_rows * n_blocks}")
 
     emb = pq.read_table(src / "embeddings.parquet")
     vecs = np.asarray(emb["embedding"].combine_chunks().flatten(),
                       dtype=np.float32).reshape(emb.num_rows, -1)
     dim = vecs.shape[1]
     eblocks = []
-    for k in range(10):
-        rng = np.random.default_rng(k)
+    for k in range(n_blocks):
+        import zlib
+        rng = np.random.default_rng(zlib.crc32(f"{tag}{k}".encode()))
         if k == 0:
             tv = vecs
         else:
@@ -74,10 +85,10 @@ def main() -> None:
             pa.array(tv.reshape(-1), type=pa.float32()), dim).cast(
             pa.list_(pa.float32()))
         eblocks.append(pa.table({
-            "vec_id": pc.add(emb["vec_id"], k * BLOCK_STRIDE),
+            "vec_id": pc.add(emb["vec_id"], k * stride),
             "embedding": arr, "label": emb["label"]}))
     pq.write_table(pa.concat_tables(eblocks), out / "embeddings.parquet")
-    print(f"embeddings: {emb.num_rows} -> {emb.num_rows * 10}")
+    print(f"embeddings: {emb.num_rows} -> {emb.num_rows * n_blocks}")
 
     for p in src.glob("*.parquet"):
         if p.name not in ("documents.parquet", "embeddings.parquet"):

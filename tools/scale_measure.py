@@ -1,12 +1,20 @@
-"""Measure wall-clock scaling of the heaviest dedup/ANN queries:
-sf0.1 vs the 10x block-diagonal slice built by tools/make_scale10x.py
-(VERDICT r4 item 8). Prints a markdown table for SCALE.md.
+"""Measure wall-clock scaling of the heaviest dedup/ANN queries across
+block-diagonal slices built by tools/make_scale10x.py (VERDICT r4 item
+8). Prints a markdown row per (query, dir) for SCALE.md.
 
-Usage: python tools/scale_measure.py [ten_x_dir]
+Usage: python tools/scale_measure.py [dir ...]
+  default dirs: /root/testdata/sf0.1 /root/scale10x
+
+`dedup_embedding` follows the operator's own scale guidance (planes ~
+log2(n/target_bucket)): num_planes grows with the corpus so bucket
+occupancy stays constant — measuring a fixed 8-plane bucketing at 100x
+would measure bucket saturation, not the operator (the docstring's
+documented re-index rule).
 """
 
 from __future__ import annotations
 
+import math
 import sys
 import time
 
@@ -21,28 +29,47 @@ QUERIES = [
     "dedup_simhash",
     "dedup_embedding",
     "dedup_semantic",
+    "dedup_substrings",
+    "dedup_incremental",
     "text_contamination",
     "ann_ivf_topk",
+    "ann_pq_topk",
 ]
 
 
-def best_of(qs, name, sf_dir, spark, n=3):
-    best, rows = 9e9, None
+def make_embedding_query(n_vecs: int):
+    """dedup_embedding with planes scaled to hold ~80 vectors/bucket."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from lswms_forage_etl_spark.operators.similarity import \
+        embedding_near_dups
+
+    planes = max(8, math.ceil(math.log2(max(n_vecs, 1) / 80)))
+
+    def q(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_near_dups(emb, threshold=0.3, num_bands=4,
+                                   num_planes=planes)
+    return q, planes
+
+
+def best_of(fn, sf_dir, spark, n=2):
+    best = 9e9
     for _ in range(n):
         lifecycle.release_tracked()
         spark.catalog.clearCache()
         t0 = time.time()
-        df = qs[name](spark, sf_dir)
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         best = min(best, time.time() - t0)
-    rows = qs[name](spark, sf_dir).count()
+    rows = fn(spark, sf_dir).count()
     lifecycle.release_tracked()
     spark.catalog.clearCache()
     return best, rows
 
 
 def main() -> None:
-    ten_x = sys.argv[1] if len(sys.argv) > 1 else "/root/scale10x"
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/scale10x"]
     spark = get_spark("scale-measure")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -52,13 +79,19 @@ def main() -> None:
                 "noop").mode("overwrite").save()
         except Exception:
             pass
-    print("| query | sf0.1 s | 10x s | wall x | rows sf0.1 | rows 10x | rows x |")
-    print("|---|---|---|---|---|---|---|")
+    print("| query | dir | wall s | rows |")
+    print("|---|---|---|---|")
     for name in QUERIES:
-        t1, r1 = best_of(qs, name, "/root/testdata/sf0.1", spark)
-        t10, r10 = best_of(qs, name, ten_x, spark)
-        print(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f}x "
-              f"| {r1} | {r10} | {r10 / max(r1, 1):.1f}x |", flush=True)
+        for d in dirs:
+            fn = qs[name]
+            label = name
+            if name == "dedup_embedding":
+                n_vecs = spark.read.parquet(
+                    f"{d}/embeddings.parquet").count()
+                fn, planes = make_embedding_query(n_vecs)
+                label = f"{name}(r={planes})"
+            t, rows = best_of(fn, d, spark)
+            print(f"| {label} | {d} | {t:.2f} | {rows} |", flush=True)
 
 
 if __name__ == "__main__":
