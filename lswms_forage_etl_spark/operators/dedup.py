@@ -53,13 +53,16 @@ def word_shingles(col, k: int = 3):
     key = (col, k) if isinstance(col, str) else None
     if key is not None and key in _WS_CACHE:
         return _WS_CACHE[key]
+    from lswms_forage_etl_spark.functions.text import ngram_array
+
     toks = F.filter(F.split(F.lower(F.trim(col if not isinstance(col, str)
                                            else F.col(col))), r"\s+"),
                     lambda t: t != "")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    out = F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+    # zip_with n-gram construction (functions/text.ngram_array): the
+    # slice-inside-lambda form re-evaluated the tokenizer per shingle on
+    # the interpreted HOF path — O(len^2) per doc (measured 37x on the
+    # repetition signal; this is the same fix for the whole LSH family)
+    out = F.array_distinct(ngram_array(toks, k))
     if key is not None:
         _WS_CACHE[key] = out
     return out
@@ -742,18 +745,15 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
     A boilerplate window shared by millions of docs is a single (fp, n)
     aggregate row — never a pairwise bucket (contrast LSH pair listing).
     Reference repo has no equivalent (LLM-pipeline addition)."""
+    from lswms_forage_etl_spark.functions.text import ngram_array
+
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda t: t != "")
     # one window fp per start position; docs shorter than `window` tokens
-    # contribute nothing. sequence() must be guarded: Spark's default
-    # step is -1 when start > stop, so sequence(0, -2) would explode
-    # descending positions instead of an empty array.
-    wins = F.when(
-        F.size(toks) >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - window),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))))
-    ).otherwise(F.array().cast("array<string>"))
+    # contribute nothing (ngram_array yields an empty array for them).
+    # zip_with construction — the slice-inside-lambda form was O(len^2)
+    # per doc on the interpreted HOF path (see functions/text.ngram_array)
+    wins = F.transform(ngram_array(toks, window), F.md5)
     from lswms_forage_etl_spark.lifecycle import stage_table
 
     # materialization point: the fp table feeds BOTH the duplicate test

@@ -136,16 +136,26 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
     """
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
                     lambda t: t != "")
-    n = F.size(toks)
-    starts = F.when(n > 0, F.sequence(
-        F.lit(0), n - F.lit(1), F.lit(int(stride)))) \
-        .otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        starts,
-        lambda s, i: F.struct(
-            i.alias("chunk_idx"),
-            s.alias("chunk_start"),
-            F.slice(toks, s + F.lit(1), F.lit(int(size))).alias("ctoks")))
+
+    # let-binding via a single-element transform: the outer transform
+    # evaluates `toks` ONCE and binds it as lambda variable T; the inner
+    # lambda then slices the BOUND array. Referencing the outer `toks`
+    # expression inside the inner lambda would re-run the tokenizer per
+    # chunk on the interpreted HOF path — O(len^2/stride) per doc (the
+    # ngram_array hazard, see functions/text.py).
+    def per_doc(T):
+        n = F.size(T)
+        starts = F.when(n > 0, F.sequence(
+            F.lit(0), n - F.lit(1), F.lit(int(stride)))) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.alias("chunk_idx"),
+                s.alias("chunk_start"),
+                F.slice(T, s + F.lit(1), F.lit(int(size))).alias("ctoks")))
+
+    chunks = F.element_at(F.transform(F.array(toks), per_doc), 1)
     return (df.select(F.col(id_col), F.explode(chunks).alias("c"))
             .select(F.col(id_col),
                     F.col("c.chunk_idx").alias("chunk_idx"),

@@ -64,7 +64,13 @@ def main() -> None:
         blocks.append(pa.table({
             "doc_id": ids, "text": text, "lang": docs["lang"],
             "source": docs["source"], "n_chars": docs["n_chars"]}))
-    pq.write_table(pa.concat_tables(blocks), out / "documents.parquet")
+    # row_group_size: a single-row-group file is UNSPLITTABLE no matter
+    # what maxPartitionBytes says — scans of the big slices would run
+    # single-task (measured: text_repeated_ngrams pinned one core at
+    # 100x). Real corpora are many files/row groups; 20k-row groups make
+    # the slice behave like one.
+    pq.write_table(pa.concat_tables(blocks), out / "documents.parquet",
+                   row_group_size=20_000)
     print(f"documents: {docs.num_rows} -> {docs.num_rows * n_blocks}")
 
     emb = pq.read_table(src / "embeddings.parquet")
@@ -87,7 +93,8 @@ def main() -> None:
         eblocks.append(pa.table({
             "vec_id": pc.add(emb["vec_id"], k * stride),
             "embedding": arr, "label": emb["label"]}))
-    pq.write_table(pa.concat_tables(eblocks), out / "embeddings.parquet")
+    pq.write_table(pa.concat_tables(eblocks), out / "embeddings.parquet",
+                   row_group_size=20_000)
     print(f"embeddings: {emb.num_rows} -> {emb.num_rows * n_blocks}")
 
     for p in src.glob("*.parquet"):

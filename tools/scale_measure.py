@@ -70,7 +70,10 @@ def best_of(fn, sf_dir, spark, n=2):
 
 def main() -> None:
     dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/scale10x"]
-    spark = get_spark("scale-measure")
+    spark = get_spark("scale-measure", extra_conf={
+        # a 500 MB slice file must split to feed 32 cores (the cluster-
+        # sizing rule from CLAUDE.md applied to the local harness)
+        "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)})
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     for name in QUERIES:  # warm codegen/JIT at the small sf
