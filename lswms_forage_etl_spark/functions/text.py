@@ -143,14 +143,16 @@ def ngram_array(toks: Column, n: int) -> Column:
     arguments are evaluated once and the lambda touches only bound
     variables. Trailing zip padding yields null grams (concat propagates
     null), filtered at the end — docs shorter than n naturally produce
-    an empty array, no size guard needed."""
+    an empty array, no size guard needed. A NULL token array yields []
+    (coalesced), matching the old size-guard semantics for null text."""
     size = F.size(toks)
     acc = toks
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, F.greatest(size - j, F.lit(0)))
         acc = F.zip_with(acc, shifted,
                          lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.filter(acc, lambda x: x.isNotNull())
+    return F.coalesce(F.filter(acc, lambda x: x.isNotNull()),
+                      F.array().cast("array<string>"))
 
 
 def dup_ngram_frac(col: Column | str, n: int = 3) -> Column:

@@ -173,3 +173,18 @@ def test_corpus_mix_matches_python_reference(spark, weights, n):
                                                 * (1 << 32)) else 0)
         expect |= {(i, c) for c in range(1, nc + 1)}
     assert got == expect
+
+
+def test_ngram_array_null_and_short_inputs(spark):
+    from lswms_forage_etl_spark.functions.text import ngram_array, tokens
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b"), (4, "a b c d")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", ngram_array(tokens("text"), 3).alias("g")).collect()}
+    assert rows[1] == []          # NULL text -> [] (not NULL)
+    assert rows[2] == []
+    assert rows[3] == []          # shorter than n
+    assert rows[4] == ["a b c", "b c d"]
