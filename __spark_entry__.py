@@ -1324,6 +1324,21 @@ def q_text_rarity(spark, sf):
                     .alias("rarity")))
 
 
+def q_sample_global_k(spark, sf):
+    """Deterministic GLOBAL reservoir: exactly k=200 documents chosen by
+    md5-hash order (ties by id) — Spark's orderBy+limit is a
+    per-partition partial top-k + driver merge (TakeOrdered), never a
+    full sort; the sample is a pure function of the keys, so retries,
+    repartitionings and engines agree on the exact member set (contrast
+    df.sample(), which is none of those). Complements group_cap (per-
+    group reservoir) and hash_sample (rate-based, inexact count)."""
+    from lswms_forage_etl_spark.operators.sampling import sample_u32
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return (docs.withColumn("_u", sample_u32("doc_id"))
+            .orderBy("_u", "doc_id").limit(200)
+            .select("doc_id", "lang", "source"))
+
+
 def q_mm_patches(spark, sf):
     """ViT-style patch tiling: payload bytes as a 32-wide row-major
     image, 8x8 patches, per-patch byte count + mean intensity — one row
@@ -1486,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "mm_patches": q_mm_patches,
         "text_rarity": q_text_rarity,
+        "sample_global_k": q_sample_global_k,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2884,6 +2900,12 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY c.vec_id)
         SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+    # deterministic global reservoir: md5-hash order, exact k
+    sql["sample_global_k"] = f"""
+        SELECT doc_id, lang, source FROM documents
+        ORDER BY {_u32}, doc_id LIMIT 200
     """
 
     # rare-token density: exact integer scaled-IDF (1e6*N // df) per
