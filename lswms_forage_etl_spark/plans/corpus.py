@@ -52,12 +52,30 @@ def corpus_pipeline(quality_min: float = 0.8,
 
     def st_dedup(spark, ctx):
         d = ctx["clean"]
-        sh = stage_table(shingle_table(d))
-        sigs = minhash_signatures(d, num_hashes=16, shingles=sh)
+        # exact pass FIRST (VERDICT r5 item 1): collapse identical texts
+        # before anything touches LSH, so a mega exact-dup cluster (m
+        # copies of boilerplate) reaches banding as ONE representative
+        # and contributes star edges to its keeper — linear in m — never
+        # a band bucket. The LSH stage then runs over unique content
+        # only; exact edges are unioned into the pair list so connected
+        # components still merge exact and near dups into one cluster.
+        fps = d.select("doc_id", T.fingerprint("text").alias("_fp"))
+        exact = stage_table(
+            fps.join(fps.groupBy("_fp").agg(F.min("doc_id").alias("_keep")),
+                     "_fp")
+            .select("doc_id", F.col("_keep").alias("_rep")))
+        exact_edges = (exact.where(F.col("doc_id") != F.col("_rep"))
+                       .select(F.col("_rep").alias("id_a"),
+                               F.col("doc_id").alias("id_b")))
+        reps = d.join(exact.where(F.col("doc_id") == F.col("_rep"))
+                      .select("doc_id"), "doc_id")
+        sh = stage_table(shingle_table(reps))
+        sigs = minhash_signatures(reps, num_hashes=16, shingles=sh)
         pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
-        dups = ngram_jaccard(d, pairs, shingles=sh).where(
+        dups = ngram_jaccard(reps, pairs, shingles=sh).where(
             F.col("jaccard") >= jaccard_min)
-        clusters = duplicate_clusters(dups)
+        clusters = duplicate_clusters(
+            dups.select("id_a", "id_b").unionAll(exact_edges))
         # keep representatives: drop every clustered doc that is not its
         # cluster's min id (anti-join — never collects the cluster map)
         losers = clusters.where(F.col("doc_id") != F.col("rep_id")) \
