@@ -683,6 +683,7 @@ def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     granularity); `ann_bruteforce_topk` is the exact reference."""
     cb = codebook if codebook is not None else pq_codebook(
         embeddings, ks, id_col, vec_col)
+    ks = len(cb)   # a caller-supplied codebook overrides the ks param
     codes = pq_encode(embeddings, cb, m, id_col, vec_col)
     cbm = np.asarray(cb, dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
@@ -693,11 +694,16 @@ def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         diff = q[None, sl] - cbm[:, sl]
         tables.append(np.floor(diff * diff * PQ_SCALE)
                       .astype(np.int64).sum(axis=1))   # ks ints
+    # unpack each 4-bit code with the NIBBLE mask (15), not ks-1: for a
+    # non-power-of-two ks (pq_encode allows any ks <= 16) a ks-1 mask
+    # silently corrupts codes (e.g. ks=12: code 5 & 11 = 1) — ADVICE r5.
+    # Encoded codes are always < ks, so the nibble mask never reads past
+    # the ks-entry distance table.
     lookups = [
         F.element_at(
             F.array(*[F.lit(int(x)) for x in tables[s]]),
             (F.shiftrightunsigned(F.col("pq_code"), 4 * s)
-             .bitwiseAND(F.lit(ks - 1)) + 1).cast("int"))
+             .bitwiseAND(F.lit(15)) + 1).cast("int"))
         for s in range(m)]
     adc = lookups[0]
     for term in lookups[1:]:
@@ -723,13 +729,24 @@ def pq_train_codebook(embeddings: DataFrame, ks: int = 16, m: int = 8,
     FROM the trained codebook remain engine-portable scaled-int argmins
     (training determinism is numpy-only, which is why the graded oracle
     query uses the untrained seed codebook instead)."""
+    if ks > 16:
+        raise ValueError(f"ks={ks} codes need >4 bits; pack breaks")
     h = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(1000003))
                * F.lit(2654435761), F.lit(1000003))
     rows = (embeddings.withColumn("_h", h).orderBy("_h", id_col)
             .limit(sample_cap).select(vec_col).collect())
+    if len(rows) < ks:
+        raise ValueError(
+            f"k-means needs at least ks={ks} sample vectors, got "
+            f"{len(rows)}")
     V = np.asarray([[float(x) for x in r[vec_col]] for r in rows],
                    dtype=np.float64)
     dim = V.shape[1]
+    if dim % m != 0:
+        # a truncating dim//m would emit codewords shorter than dim, and
+        # pq_encode's length-mismatch fallback would then silently encode
+        # EVERY vector as the zero vector (ADVICE r5)
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     sub = dim // m
     cbs = [V[:ks, s * sub:(s + 1) * sub].copy() for s in range(m)]
     for _ in range(iters):

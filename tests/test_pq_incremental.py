@@ -79,6 +79,43 @@ def test_pq_topk_recall_vs_bruteforce(spark, emb):
     assert len(exact & trained) >= len(exact & seed)
 
 
+def test_pq_adc_non_power_of_two_ks(spark, emb):
+    # ADVICE r5: the 4-bit unpack must use the nibble mask (15), not
+    # ks-1 — with ks=12 a ks-1 mask corrupts codes (5 & 11 = 1).
+    # Reference: unpack every code locally and sum the distance tables.
+    import numpy as np
+    cb = pq_codebook(emb, ks=12)
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0)
+         .first()["embedding"]]
+    got = [(r["vec_id"], r["adc_dist"]) for r in
+           pq_adc_topk(emb, q, k=5, codebook=cb).collect()]
+    codes = {r["vec_id"]: r["pq_code"]
+             for r in pq_encode(emb, cb).collect()}
+    cbm = np.asarray(cb, dtype=np.float64)
+    qv = np.asarray(q, dtype=np.float64)
+    m, sub = 8, cbm.shape[1] // 8
+    tables = [np.floor(
+        (qv[None, s * sub:(s + 1) * sub] - cbm[:, s * sub:(s + 1) * sub])
+        ** 2 * 10 ** 12).astype(np.int64).sum(axis=1) for s in range(m)]
+    ref = {vid: int(sum(tables[s][(c >> (4 * s)) & 15] for s in range(m)))
+           for vid, c in codes.items()}
+    assert max(c >> (4 * s) & 15
+               for c in codes.values() for s in range(m)) < 12
+    expect = sorted((d, v) for v, d in ref.items())[:5]
+    assert [(v, d) for d, v in expect] == got
+
+
+def test_pq_train_codebook_guards(spark, emb):
+    from lswms_forage_etl_spark.operators.similarity import \
+        pq_train_codebook
+    with pytest.raises(ValueError):
+        pq_train_codebook(emb, m=7)            # dim 16 % 7 != 0
+    with pytest.raises(ValueError):
+        pq_train_codebook(emb.limit(5), ks=16)  # sample smaller than ks
+    with pytest.raises(ValueError):
+        pq_train_codebook(emb, ks=17)           # >4-bit codes
+
+
 def test_incremental_dedup_matches_only_existing(spark):
     docs = spark.createDataFrame([
         (1, "the quick brown fox jumps over the lazy dog today", 0),
