@@ -1273,6 +1273,20 @@ def q_dedup_substrings(spark, sf):
     return duplicate_spans(docs, window=4)
 
 
+def q_dedup_remove_spans(spark, sf):
+    """Exact-substring dedup APPLIED (Lee et al. 2022, both halves):
+    duplicate_spans detects maximal duplicated 4-token-window runs,
+    remove_spans strips those token ranges and reconstructs the text.
+    Emitted only for docs that lost tokens — the rewrite delta a corpus
+    build writes back. The strip is a scan-side positional filter; the
+    only added shuffle is the per-doc span aggregation."""
+    from lswms_forage_etl_spark.operators.dedup import (
+        duplicate_spans, remove_spans)
+    docs = _t(spark, sf, "documents")
+    spans = duplicate_spans(docs, window=4)
+    return remove_spans(docs, spans).where(F.col("n_removed") > 0)
+
+
 def q_ann_pq_codes(spark, sf):
     """Product-quantization encode: 64-dim float32 vectors (256 bytes)
     -> 8x4-bit codes packed in one long (4 bytes, 64x compression — the
@@ -1512,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_patches": q_mm_patches,
         "text_rarity": q_text_rarity,
         "sample_global_k": q_sample_global_k,
+        "dedup_remove_spans": q_dedup_remove_spans,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2829,6 +2844,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(wpos) + 3 - min(wpos) + 1 AS BIGINT) AS span_tokens,
                CAST(count(*) AS BIGINT) AS n_windows
         FROM m GROUP BY doc_id, run
+    """
+
+    # span application: same span derivation as dedup_substrings, then a
+    # positional strip — DuckDB's indexed lambda (x, i) is 1-based where
+    # Spark's is 0-based, hence the i - 1. The strip tokenizes the
+    # ORIGINAL case (positions are case-independent); spans come from the
+    # lowered tokenization, matching duplicate_spans.
+    sql["dedup_remove_spans"] = r"""
+        WITH tl AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS ltoks
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(ltoks) >= 4 THEN
+                   list_transform(range(0, len(ltoks) - 3),
+                     i -> md5(array_to_string(
+                            ltoks[CAST(i + 1 AS INT):CAST(i + 4 AS INT)],
+                            ' ')))
+                 ELSE [] END AS wins
+          FROM tl),
+        u AS (
+          SELECT doc_id, unnest(wins) AS fp,
+                 generate_subscripts(wins, 1) - 1 AS wpos
+          FROM w),
+        df AS (SELECT fp FROM u GROUP BY fp HAVING count(*) >= 2),
+        m AS (
+          SELECT u.doc_id, u.wpos,
+                 u.wpos - row_number() OVER (PARTITION BY u.doc_id
+                                             ORDER BY u.wpos) AS run
+          FROM u JOIN df USING (fp)),
+        spans AS (
+          SELECT doc_id, min(wpos) AS s, max(wpos) + 3 AS e
+          FROM m GROUP BY doc_id, run),
+        sp AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS sps
+               FROM spans GROUP BY doc_id),
+        t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        r AS (
+          SELECT t.doc_id, t.toks,
+                 list_filter(t.toks, (x, i) ->
+                   len(list_filter(sp.sps,
+                       v -> v.s <= i - 1 AND i - 1 <= v.e)) = 0) AS kept
+          FROM t JOIN sp USING (doc_id))
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+               coalesce(array_to_string(kept, ' '), '') AS clean_text
+        FROM r
+        WHERE len(toks) - len(kept) > 0
     """
 
     # corpus mixing: copies = floor(w) + (u32 < frac(w)*2^32). The integer

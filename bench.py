@@ -55,6 +55,8 @@ HEADLINE = [
     "dedup_substrings",
     "dedup_incremental",
     "ann_pq_topk",
+    # round-6 additions
+    "dedup_remove_spans",
 ]
 
 

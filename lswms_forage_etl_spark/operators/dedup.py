@@ -841,6 +841,56 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
                     "n_windows"))
 
 
+def remove_spans(docs: DataFrame, spans: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Apply duplicated-substring spans: rebuild each document's text
+    with every reported span's tokens stripped — the second half of the
+    Lee et al. 2022 exact-substring dedup recipe (`duplicate_spans`
+    detects; this removes). `spans` is duplicate_spans' output (or any
+    (id, span_start, span_end) table with 0-based inclusive token
+    positions).
+
+    Output: (id, n_tokens, n_removed, clean_text) — clean_text is the
+    space-join of the surviving tokens in original case and order
+    (token-level pipelines normalize whitespace by construction; span
+    positions index the whitespace tokenization, which is case-
+    independent). Docs without spans pass through with n_removed = 0.
+
+    Scale shape: spans group per doc (ONE aggregation on doc id) and
+    ride one join to the docs — a span list is tiny next to its
+    document; the strip itself is a scan-side positional filter, no
+    explode of the token stream and no further shuffle. The token array
+    is bound ONCE via the single-element-transform let binding (the
+    interpreted-HOF outer-reference hazard, functions/text.ngram_array);
+    `_spans` inside the per-token lambda is a plain attribute reference,
+    which re-evaluates as a row-field read, not an expression."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"))).alias("_spans"))
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+
+    def per_doc(T):
+        kept = F.filter(T, lambda t, i: ~F.coalesce(
+            F.exists("_spans",
+                     lambda s: (s["s"] <= i) & (i <= s["e"])),
+            F.lit(False)))
+        return F.struct(F.size(T).alias("n"), kept.alias("kept"))
+
+    packed = F.element_at(F.transform(F.array(toks), per_doc), 1)
+    # explode the 1-element struct so downstream field accesses read a
+    # materialized attribute instead of re-expanding the filter tree per
+    # reference (CollapseProject duplicates expression-valued columns)
+    return (docs.join(sp, id_col, "left")
+            .select(F.col(id_col), F.explode(F.array(packed)).alias("_p"))
+            .select(F.col(id_col),
+                    F.col("_p.n").cast("long").alias("n_tokens"),
+                    (F.col("_p.n") - F.size("_p.kept")).cast("long")
+                    .alias("n_removed"),
+                    F.concat_ws(" ", F.col("_p.kept")).alias("clean_text")))
+
+
 def incremental_dedup(docs: DataFrame, is_new, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 3,
                       num_hashes: int = 16, bands: int = 4,

@@ -124,6 +124,45 @@ def test_duplicate_spans_matches_python_reference(spark, texts):
     assert got == _spans_reference(texts, 3)
 
 
+@settings(max_examples=10, deadline=None)
+@given(st.lists(
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=24)
+    .map(" ".join), min_size=1, max_size=8))
+def test_remove_spans_matches_python_reference(spark, texts):
+    """detect -> strip composition: surviving text == tokens whose
+    position is covered by no reference span; docs without spans pass
+    through untouched with n_removed = 0."""
+    from lswms_forage_etl_spark.operators.dedup import remove_spans
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    spans = duplicate_spans(docs, window=3)
+    got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+           for r in remove_spans(docs, spans).collect()}
+    from lswms_forage_etl_spark import lifecycle
+    lifecycle.release_tracked()
+    ref_spans = _spans_reference(texts, 3)
+    for i, text in enumerate(texts):
+        ts = [t for t in text.strip().split() if t]
+        covered = set()
+        for (d, s, e, _n) in ref_spans:
+            if d == i:
+                covered.update(range(s, e + 1))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        assert got[i] == (len(ts), len(covered & set(range(len(ts)))),
+                          " ".join(kept))
+
+
+def test_remove_spans_no_span_table_rows(spark):
+    from lswms_forage_etl_spark.operators.dedup import remove_spans
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string")
+    empty = spark.createDataFrame(
+        [], "doc_id long, span_start long, span_end long")
+    rows = remove_spans(docs, empty).collect()
+    assert [(r["doc_id"], r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in rows] == [(1, 3, 0, "alpha beta gamma")]
+
+
 def test_patch_grid_exact_semantics(spark):
     from lswms_forage_etl_spark.operators.multimodal import patch_grid
     import pyspark.sql.functions as SF
