@@ -1310,6 +1310,20 @@ def q_ann_pq_topk(spark, sf):
     return pq_adc_topk(emb, _query_vec(spark, sf), k=10)
 
 
+def q_kmeans_assign(spark, sf):
+    """Distributed k-means (k=8, 2 full Lloyd iterations) + final
+    assignment: every pass scans the whole corpus — Arrow scaled-int L2
+    assignment, per-(cluster, dim) exact integer-sum centroid update
+    (only k x dim rows ever reach the driver). Fixed iterations +
+    portable arithmetic at every step make the run bit-reproducible:
+    the oracle replays both iterations in SQL."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        kmeans_train, l2_assign)
+    emb = _t(spark, sf, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=2)
+    return l2_assign(emb, cents).select("vec_id", "cent_id", "l2_scaled")
+
+
 def q_text_rarity(spark, sf):
     """Rare-token-density quality signal (TF-IDF-shaped, log-free): per
     document, the mean over token occurrences of the scaled inverse
@@ -1527,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rarity": q_text_rarity,
         "sample_global_k": q_sample_global_k,
         "dedup_remove_spans": q_dedup_remove_spans,
+        "kmeans_assign": q_kmeans_assign,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2979,6 +2994,68 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY c.vec_id)
         SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+    # distributed k-means replay: 2 unrolled Lloyd iterations. Every
+    # step is the engine's portable convention — scaled-int L2 distances
+    # (floor(diff^2 * 1e12), int64 sums), exact integer centroid sums,
+    # mean = sx/1e6/n in float64 then portable-rounded — so DuckDB
+    # reproduces the trained centroids bit-for-bit; empty clusters keep
+    # the previous centroid (LEFT JOIN + coalesce).
+    def _km_iter(i: int, prev: str) -> str:
+        return f"""
+        d{i} AS (
+          SELECT e.vec_id, e.v, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   j -> CAST(floor((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM e CROSS JOIN {prev} c),
+        a{i} AS (SELECT vec_id, v, cent_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist, cent_id) AS rn FROM d{i})
+                 WHERE rn = 1),
+        s{i} AS (SELECT cent_id, j,
+                        sum(CAST(floor(v[j + 1] * 1000000 + 0.5) AS BIGINT))
+                          AS sx,
+                        count(*) AS n
+                 FROM a{i}, (SELECT unnest(range(0, 64)) AS j)
+                 GROUP BY 1, 2),
+        m{i} AS (SELECT cent_id, j,
+                        floor(sx / 1000000.0 / n * 1000000 + 0.5)
+                          / 1000000.0 AS c
+                 FROM s{i}),
+        l{i} AS (SELECT cent_id, list(c ORDER BY j) AS cv
+                 FROM m{i} GROUP BY cent_id),
+        c{i} AS (SELECT p.cent_id, coalesce(l{i}.cv, p.cv) AS cv
+                 FROM {prev} p LEFT JOIN l{i} USING (cent_id))"""
+
+    sql["kmeans_assign"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                            AS v
+                   FROM embeddings),
+        c0 AS (
+          SELECT (row_number() OVER (
+                    ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003,
+                             vec_id)) - 1 AS cent_id, v AS cv
+          FROM e
+          ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
+          LIMIT 8),
+        {_km_iter(1, 'c0')},
+        {_km_iter(2, 'c1')},
+        df AS (
+          SELECT e.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   j -> CAST(floor((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM e CROSS JOIN c2 c)
+        SELECT vec_id, CAST(cent_id AS INT) AS cent_id,
+               dist AS l2_scaled
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist, cent_id) AS rn FROM df)
+        WHERE rn = 1
     """
 
     # deterministic global reservoir: md5-hash order, exact k

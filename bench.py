@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_pq_topk",
     # round-6 additions
     "dedup_remove_spans",
+    "kmeans_assign",
 ]
 
 

@@ -379,13 +379,24 @@ def ivf_centroid_rows(embeddings: DataFrame, num_centroids: int = 16,
 
 def ivf_build_index(embeddings: DataFrame, path: str,
                     num_centroids: int = 16, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+                    vec_col: str = "embedding",
+                    centroids: list[list[float]] | None = None
+                    ) -> list[tuple[int, list[float]]]:
     """Materialize the IVF inverted lists as a parquet table PARTITIONED
     BY cent_id — the scale path `ivf_topk` describes: probing then reads
     only the probed lists (partition pruning, verified by plan test), so
     a 4-of-64 probe scans ~6% of the index regardless of corpus size.
-    Returns the centroid rows (store them with the index at scale)."""
-    cents = ivf_centroid_rows(embeddings, num_centroids, id_col, vec_col)
+    Returns the centroid rows (store them with the index at scale).
+
+    `centroids` optionally supplies trained list centers — pass
+    `kmeans_train(embeddings, k=num_centroids)` for the distributed
+    Lloyd trainer instead of the default seed pick; assignment/probe
+    machinery is identical either way."""
+    cents = ([(i, [float(x) for x in cv])
+              for i, cv in enumerate(centroids)]
+             if centroids is not None
+             else ivf_centroid_rows(embeddings, num_centroids, id_col,
+                                    vec_col))
     assigned = _ivf_assign(embeddings, cents, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cent_id").parquet(path)
     return cents
@@ -489,6 +500,90 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     probe_ids = _ivf_probe_ids(cents, query_vec, probes)
     return brute_force_topk(assigned.where(F.col("cent_id").isin(probe_ids)),
                             query_vec, k, id_col, vec_col)
+
+
+def l2_assign(embeddings: DataFrame, cents: list[list[float]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment by exact scaled-integer L2: per
+    dimension floor((v_i - c_i)^2 * PQ_SCALE), summed in int64 — the
+    pq_encode convention, so distances (hence assignments) are
+    partition-invariant, retry-stable and DuckDB-replayable. Ties take
+    the lowest cent_id (np.argmin returns the first minimum; `cents` is
+    id-ordered). NULL / wrong-length vectors zero-fill (pq_encode's
+    dirty-row convention). Output keeps every input column and adds
+    (cent_id, l2_scaled).
+
+    Arrow numpy pass — the centroid-distance matrix is BLAS-shaped
+    float arithmetic where numpy measured 4.5x over the codegen
+    expression tree (band_signatures_udf); memory per batch is
+    n x k x dim float64, fine for catalog-scale k."""
+    from pyspark.sql.functions import pandas_udf
+
+    cm = np.asarray(cents, dtype=np.float64)            # k x D
+    dim = cm.shape[1]
+
+    @pandas_udf("struct<cent_id: int, l2_scaled: long>")
+    def assign(col):
+        import pandas as pd
+        vals = [x if x is not None and len(x) == dim else [0.0] * dim
+                for x in col.tolist()]
+        v = np.asarray(vals, dtype=np.float64)          # n x D
+        diff = v[:, None, :] - cm[None, :, :]
+        d = np.floor(diff * diff * PQ_SCALE).astype(np.int64).sum(axis=2)
+        best = np.argmin(d, axis=1)
+        return pd.DataFrame({
+            "cent_id": best.astype("int32"),
+            "l2_scaled": d[np.arange(len(best)), best]})
+
+    return (embeddings.withColumn("_a", assign(F.col(vec_col)))
+            .withColumn("cent_id", F.col("_a.cent_id"))
+            .withColumn("l2_scaled", F.col("_a.l2_scaled"))
+            .drop("_a"))
+
+
+def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 round_dp: int = 6,
+                 seeds: list[list[float]] | None = None) -> list[list[float]]:
+    """DISTRIBUTED Lloyd iterations — the trainer the engine lacked
+    (VERDICT r5 item 2): unlike pq_train_codebook's bounded-sample
+    driver numpy, every assignment pass here scans the FULL corpus
+    (Arrow scaled-int L2, `l2_assign`) and every centroid update is a
+    distributed per-(cluster, dimension) aggregation — exact int64 sums
+    of floor(x * 10^round_dp + 0.5), map-side combined, shuffling only
+    k x dim tiny rows. The only collects are the seed pick and the
+    k x dim update rows per iteration (catalog-scale, the
+    ivf_centroid_rows convention).
+
+    Every arithmetic step is engine-portable: integer distance sums are
+    associative (no fold-order contract), the centroid mean is
+    sx / scale / n in float64 then portable-rounded at round_dp — so a
+    fixed-iteration run is bit-reproducible in DuckDB (the
+    kmeans_assign oracle replays both iterations in SQL). An empty
+    cluster keeps its previous centroid (the pq_train convention).
+    Seeds default to the deterministic multiplicative-hash pick."""
+    if seeds is None:
+        seeds = [cv for _, cv in ivf_centroid_rows(
+            embeddings, k, id_col, vec_col)]
+    cents = [list(map(float, cv)) for cv in seeds]
+    scale = 10 ** round_dp
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        asg = l2_assign(embeddings, cents, id_col, vec_col)
+        rows = (asg.select("cent_id", F.posexplode(vec_d).alias("d", "x"))
+                .groupBy("cent_id", "d")
+                .agg(F.sum(F.floor(F.col("x") * scale + 0.5).cast("long"))
+                     .alias("sx"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())                  # bounded: k x dim rows
+        new = [list(c) for c in cents]       # empty cluster keeps centroid
+        for r in rows:
+            mean = r["sx"] / float(scale) / r["n"]
+            new[r["cent_id"]][r["d"]] = \
+                math.floor(mean * scale + 0.5) / scale
+        cents = new
+    return cents
 
 
 def topk_join_lsh(queries: DataFrame, corpus: DataFrame, k: int = 3,
@@ -632,7 +727,8 @@ def pq_codebook(embeddings: DataFrame, ks: int = 16,
 
 def pq_encode(embeddings: DataFrame, codebook: list[list[float]],
               m: int = 8, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding",
+              keep_vec: bool = False) -> DataFrame:
     """(id, pq_code): per-subspace nearest codeword (exact scaled-int L2,
     ties to the lowest code), 4-bit codes packed little-endian into one
     int (code of subspace s at bits 4s).
@@ -667,6 +763,11 @@ def pq_encode(embeddings: DataFrame, codebook: list[list[float]],
             codes |= np.argmin(d, axis=1).astype(np.int64) << (4 * s)
         return pd.Series(codes)
 
+    if keep_vec:
+        # trainer path: the update aggregation needs the raw vector
+        # alongside its code — a withColumn avoids a join back by id
+        return embeddings.select(F.col(id_col), F.col(vec_col),
+                                 encode(F.col(vec_col)).alias("pq_code"))
     return embeddings.select(F.col(id_col), encode(F.col(vec_col))
                              .alias("pq_code"))
 
@@ -734,7 +835,7 @@ def pq_train_codebook(embeddings: DataFrame, ks: int = 16, m: int = 8,
     h = F.pmod(F.pmod(F.col(id_col).cast("long"), F.lit(1000003))
                * F.lit(2654435761), F.lit(1000003))
     rows = (embeddings.withColumn("_h", h).orderBy("_h", id_col)
-            .limit(sample_cap).select(vec_col).collect())
+            .limit(sample_cap).select(vec_col).collect())   # bounded
     if len(rows) < ks:
         raise ValueError(
             f"k-means needs at least ks={ks} sample vectors, got "
@@ -760,3 +861,50 @@ def pq_train_codebook(embeddings: DataFrame, ks: int = 16, m: int = 8,
                     cbs[s][c] = sl[mask].mean(axis=0)
     return [[float(x) for s in range(m) for x in cbs[s][c]]
             for c in range(ks)]
+
+
+def pq_train_codebook_dist(embeddings: DataFrame, ks: int = 16, m: int = 8,
+                           iters: int = 2, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           round_dp: int = 6) -> list[list[float]]:
+    """DISTRIBUTED PQ codebook training — k-means per subspace over the
+    FULL corpus, not pq_train_codebook's bounded driver sample (VERDICT
+    r5 item 2). Each Lloyd iteration is exactly two distributed steps:
+    ONE Arrow encode pass assigns every vector its per-subspace codes
+    (pq_encode, scaled-int argmin), then ONE aggregation computes every
+    subspace codeword update simultaneously — keyed on (dimension,
+    that dimension's subspace code), exact int64 sums of
+    floor(x * 10^round_dp + 0.5), map-side combined. Only ks x dim tiny
+    rows reach the driver per iteration. Empty cells keep their
+    codeword; means are portable-rounded (the kmeans_train convention),
+    so a fixed-iteration run is engine-reproducible.
+
+    Returns ks full-dim codewords — drop-in for pq_encode/pq_adc_topk,
+    same contract as the sampled trainer."""
+    if ks > 16:
+        raise ValueError(f"ks={ks} codes need >4 bits; pack breaks")
+    cb = [list(map(float, cv))
+          for cv in pq_codebook(embeddings, ks, id_col, vec_col)]
+    dim = len(cb[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    scale = 10 ** round_dp
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    for _ in range(iters):
+        enc = pq_encode(embeddings, cb, m, id_col, vec_col, keep_vec=True)
+        rows = (enc.select(F.posexplode(vec_d).alias("j", "x"), "pq_code")
+                .groupBy(
+                    F.col("j"),
+                    F.expr(f"cast((pq_code >> (4 * (j div {sub}))) & 15 "
+                           f"as int)").alias("c"))
+                .agg(F.sum(F.floor(F.col("x") * scale + 0.5).cast("long"))
+                     .alias("sx"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())                  # bounded: ks x dim rows
+        new = [list(cv) for cv in cb]        # empty cell keeps codeword
+        for r in rows:
+            mean = r["sx"] / float(scale) / r["n"]
+            new[r["c"]][r["j"]] = math.floor(mean * scale + 0.5) / scale
+        cb = new
+    return cb
