@@ -217,17 +217,33 @@ def patch_grid(media: DataFrame, width: int = 32,
                 if rows == 0:
                     continue
                 img = arr[:rows * width].reshape(rows, width)
-                for r0 in range(0, rows, patch):
-                    for c0 in range(0, width, patch):
-                        cell = img[r0:r0 + patch, c0:c0 + patch]
-                        mid.append(int(media_id))
-                        pr.append(r0 // patch)
-                        pc.append(c0 // patch)
-                        nb.append(int(cell.size))
-                        # exact integer sum, then one float division —
-                        # the oracle's avg() reproduces it bit-for-bit
-                        mi.append(float(int(cell.sum(dtype=np.int64))
-                                        / cell.size))
+                # whole tile step as one numpy block reshape (VERDICT r5
+                # item 6 — the per-patch Python loop was the slow part
+                # of an otherwise-vectorized featurizer): zero-pad to a
+                # whole number of patches, 4-D reshape, sum the two
+                # patch axes; per-patch byte counts are the outer
+                # product of clipped row/col extents, so edge patches
+                # keep their partial-mean semantics bit-for-bit.
+                prn = -(-rows // patch)
+                pcn = -(-width // patch)
+                padded = np.zeros((prn * patch, pcn * patch),
+                                  dtype=np.int64)
+                padded[:rows, :width] = img
+                sums = padded.reshape(prn, patch, pcn, patch) \
+                    .sum(axis=(1, 3))
+                rc = (np.minimum(np.arange(1, prn + 1) * patch, rows)
+                      - np.arange(prn) * patch)
+                cc = (np.minimum(np.arange(1, pcn + 1) * patch, width)
+                      - np.arange(pcn) * patch)
+                counts = np.outer(rc, cc)
+                n = prn * pcn
+                mid.extend([int(media_id)] * n)
+                pr.extend(np.repeat(np.arange(prn), pcn).tolist())
+                pc.extend(np.tile(np.arange(pcn), prn).tolist())
+                nb.extend(counts.ravel().tolist())
+                # exact integer sum, then one float division — the
+                # oracle's avg() reproduces it bit-for-bit
+                mi.extend((sums.ravel() / counts.ravel()).tolist())
             yield pd.DataFrame({
                 "media_id": mid,
                 "patch_row": pd.array(pr, dtype="int32"),

