@@ -223,6 +223,31 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             .otherwise(F.raise_error(F.concat(
                 F.lit(f"signature width not a positive multiple of "
                       f"bands={bands}: "), n.cast("string"))))
+    base, pair_fps = _lsh_banding(signatures, id_col, bands, band_arr,
+                                  materialize)
+    # cross-signature doc pairs: members(_fa) x members(_fb); id order
+    # restored with least/greatest (fingerprint order != id order)
+    ma = base.select(F.col(id_col).alias("_ida"), F.col("_sfp").alias("_fa"))
+    mb = base.select(F.col(id_col).alias("_idb"), F.col("_sfp").alias("_fb"))
+    cross = (pair_fps.join(ma, "_fa").join(mb, "_fb")
+             .select(F.least("_ida", "_idb").alias("id_a"),
+                     F.greatest("_ida", "_idb").alias("id_b")))
+    # identical-signature doc pairs (share every band by definition)
+    wa, wb = base.alias("wa"), base.alias("wb")
+    within = (wa.join(wb, "_sfp")
+              .where(F.col(f"wa.{id_col}") < F.col(f"wb.{id_col}"))
+              .select(F.col(f"wa.{id_col}").alias("id_a"),
+                      F.col(f"wb.{id_col}").alias("id_b")))
+    return within.unionAll(cross)
+
+
+def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
+                 band_arr, materialize: bool | None):
+    """The distinct-signature banding core of lsh_candidate_pairs:
+    returns (membership table (id, _sfp, _bhs), signature-pair
+    candidates (_fa, _fb)). Factored out so scale diagnostics
+    (tools/skew_measure.py) can count the candidates that enter
+    verification separately from the output-bound doc-pair expansion."""
     # 128-bit fingerprint of the full signature: the uniform join key for
     # distinct-signature grouping and the membership-recovery joins
     # (joining on the 16-long array itself would work but shuffles 4x the
@@ -271,20 +296,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                 .where(fa < fb)
                 .where(F.col("band_id") == first_match)
                 .select(fa.alias("_fa"), fb.alias("_fb")))
-    # cross-signature doc pairs: members(_fa) x members(_fb); id order
-    # restored with least/greatest (fingerprint order != id order)
-    ma = base.select(F.col(id_col).alias("_ida"), F.col("_sfp").alias("_fa"))
-    mb = base.select(F.col(id_col).alias("_idb"), F.col("_sfp").alias("_fb"))
-    cross = (pair_fps.join(ma, "_fa").join(mb, "_fb")
-             .select(F.least("_ida", "_idb").alias("id_a"),
-                     F.greatest("_ida", "_idb").alias("id_b")))
-    # identical-signature doc pairs (share every band by definition)
-    wa, wb = base.alias("wa"), base.alias("wb")
-    within = (wa.join(wb, "_sfp")
-              .where(F.col(f"wa.{id_col}") < F.col(f"wb.{id_col}"))
-              .select(F.col(f"wa.{id_col}").alias("id_a"),
-                      F.col(f"wb.{id_col}").alias("id_b")))
-    return within.unionAll(cross)
+    return base, pair_fps
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
