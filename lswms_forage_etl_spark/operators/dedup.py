@@ -223,29 +223,34 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             .otherwise(F.raise_error(F.concat(
                 F.lit(f"signature width not a positive multiple of "
                       f"bands={bands}: "), n.cast("string"))))
-    base, pair_fps = _lsh_banding(signatures, id_col, bands, band_arr,
-                                  materialize)
-    # cross-signature doc pairs: members(_fa) x members(_fb); id order
-    # restored with least/greatest (fingerprint order != id order)
+    base, banded, pair_fps = _lsh_banding(signatures, id_col, bands,
+                                          band_arr, materialize)
+    # ONE doc-pair expansion for both pair kinds: identical-signature
+    # pairs ride along as (sfp, sfp) rows — sourced from the persisted
+    # banded table's band-0 slice (already-distinct signatures, no new
+    # shuffle) — so the membership recovery is TWO joins total instead
+    # of two per kind plus a doc-level union. For cross pairs every
+    # member combination is kept (least/greatest restores id order);
+    # for identical-signature pairs the ida < idb filter keeps one
+    # orientation. Output is duplicate-free by construction.
     ma = base.select(F.col(id_col).alias("_ida"), F.col("_sfp").alias("_fa"))
     mb = base.select(F.col(id_col).alias("_idb"), F.col("_sfp").alias("_fb"))
-    cross = (pair_fps.join(ma, "_fa").join(mb, "_fb")
-             .select(F.least("_ida", "_idb").alias("id_a"),
-                     F.greatest("_ida", "_idb").alias("id_b")))
-    # identical-signature doc pairs (share every band by definition)
-    wa, wb = base.alias("wa"), base.alias("wb")
-    within = (wa.join(wb, "_sfp")
-              .where(F.col(f"wa.{id_col}") < F.col(f"wb.{id_col}"))
-              .select(F.col(f"wa.{id_col}").alias("id_a"),
-                      F.col(f"wb.{id_col}").alias("id_b")))
-    return within.unionAll(cross)
+    sig_pairs = pair_fps.unionAll(
+        banded.where(F.col("band_id") == 0)
+        .select(F.col("_sfp").alias("_fa"), F.col("_sfp").alias("_fb")))
+    return (sig_pairs.join(ma, "_fa").join(mb, "_fb")
+            .where((F.col("_fa") != F.col("_fb"))
+                   | (F.col("_ida") < F.col("_idb")))
+            .select(F.least("_ida", "_idb").alias("id_a"),
+                    F.greatest("_ida", "_idb").alias("id_b")))
 
 
 def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
                  band_arr, materialize: bool | None):
     """The distinct-signature banding core of lsh_candidate_pairs:
-    returns (membership table (id, _sfp, _bhs), signature-pair
-    candidates (_fa, _fb)). Factored out so scale diagnostics
+    returns (membership table (id, _sfp, _bhs), persisted banded table
+    (_sfp, _bhs, band_id, band_hash), signature-pair candidates
+    (_fa, _fb)). Factored out so scale diagnostics
     (tools/skew_measure.py) can count the candidates that enter
     verification separately from the output-bound doc-pair expansion."""
     # 128-bit fingerprint of the full signature: the uniform join key for
@@ -254,24 +259,35 @@ def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
     # bytes per row).
     sig_fp = F.md5(F.concat_ws(
         "|", F.transform(F.col("minhash"), lambda v: v.cast("string"))))
-    # The membership table (id, sig_fp, band hashes) feeds the distinct-
-    # signature derivation AND both membership joins. Whether it needs
-    # its own materialization depends on what feeds it (VERDICT r4 item
-    # 3, measured): when `signatures` already reads from a
-    # materialization point, re-deriving is a cache scan + band md5s and
-    # an extra persist costs more than it saves; when signatures is a
-    # raw pipeline, each reference would re-run the whole minhash build
-    # (the shingle_table 60x hazard). `materialize=None` applies exactly
-    # that rule. stage_table (eager) rather than lazy persist so the
-    # banded self-join below plans against REAL stats (the 100x
-    # stats-blind-broadcast lesson, lifecycle.stage_table).
-    if materialize is None:
-        materialize = not _has_materialized_ancestor(signatures)
+    # The membership table (id, sig_fp, band hashes) feeds FIVE
+    # consumers (banded distinct + 2 membership joins + 2 within
+    # sides). Its logical subtree embeds the whole minhash fold, and
+    # every DataFrame op EAGERLY re-analyzes its subtree — five
+    # re-analyses measured ~1s of pure query CONSTRUCTION per instance
+    # (the round-6 bench comparator's first catch: text_contamination
+    # 0.72 -> 2.0s; dedup_clusters spent 1.6s constructing vs 0.3s
+    # executing). A persist does NOT stop re-analysis (the round-5
+    # simhash lesson), so the lineage is TRUNCATED with a lazy
+    # localCheckpoint: consumers analyze an O(1) LogicalRDD, the
+    # signature fold runs once at first materialization, and the
+    # unknown LogicalRDD size can never be chosen for broadcast (join
+    # planning stays safe at every scale; AQE promotes the small
+    # membership sides to broadcast at runtime from real sizes).
+    # Lazy (eager=False) keeps the no-job-at-plan-build contract, and
+    # blocks are freed via the tracked RDD-id cleanup. The previous
+    # eager stage_table / skip-persist split (`materialize`) is
+    # subsumed; the param is kept for callers that want to force or
+    # suppress nothing — both paths now checkpoint.
+    from lswms_forage_etl_spark import lifecycle
+
+    spark = signatures.sparkSession
+    _ids0 = lifecycle.persistent_rdd_ids(spark)
     base = signatures.select(
-        F.col(id_col), sig_fp.alias("_sfp"), band_arr.alias("_bhs"))
-    if materialize:
-        from lswms_forage_etl_spark.lifecycle import stage_table
-        base = stage_table(base)
+        F.col(id_col), sig_fp.alias("_sfp"), band_arr.alias("_bhs")) \
+        .localCheckpoint(eager=False)
+    _ck = lifecycle.persistent_rdd_ids(spark) - _ids0
+    lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, _ck))
+    from lswms_forage_etl_spark.lifecycle import track
     # distinct signatures -> banded rows. Lazy persist is correct here:
     # the size estimate derives from `base` (eager stage table with real
     # stats, or the caller's own materialization point), and persisting
@@ -296,7 +312,7 @@ def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
                 .where(fa < fb)
                 .where(F.col("band_id") == first_match)
                 .select(fa.alias("_fa"), fb.alias("_fb")))
-    return base, pair_fps
+    return base, banded, pair_fps
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,

@@ -131,9 +131,13 @@ def main() -> None:
         if "BroadcastNestedLoopJoin" in c.joins or "CartesianProduct" in c.joins:
             # bounded broadcast cross products are the INTENT for these:
             # every pair must be scored and one side is catalog-scale
-            # (<=50 vectors / <=8 query rows), so nested-loop over a
-            # broadcast IS the right plan, not a missed equi-join
-            if name in ("ann_pairwise_label_sim", "ann_topk_join"):
+            # (<=50 vectors / <=8 query rows; text_rarity's is the
+            # 1-ROW corpus-count aggregate the lazy-plan rewrite cross
+            # joins instead of an eager construction-time first()), so
+            # nested-loop over a broadcast IS the right plan, not a
+            # missed equi-join
+            if name in ("ann_pairwise_label_sim", "ann_topk_join",
+                        "text_rarity"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
