@@ -238,11 +238,24 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     sig_pairs = pair_fps.unionAll(
         banded.where(F.col("band_id") == 0)
         .select(F.col("_sfp").alias("_fa"), F.col("_sfp").alias("_fb")))
-    return (sig_pairs.join(ma, "_fa").join(mb, "_fb")
-            .where((F.col("_fa") != F.col("_fb"))
-                   | (F.col("_ida") < F.col("_idb")))
-            .select(F.least("_ida", "_idb").alias("id_a"),
-                    F.greatest("_ida", "_idb").alias("id_b")))
+    out = (sig_pairs.join(ma, "_fa").join(mb, "_fb")
+           .where((F.col("_fa") != F.col("_fb"))
+                  | (F.col("_ida") < F.col("_idb")))
+           .select(F.least("_ida", "_idb").alias("id_a"),
+                   F.greatest("_ida", "_idb").alias("id_b")))
+    # The expansion leaves every pair of an m-clone cluster in ONE
+    # signature-hash partition (measured on the skew slice: 124,752 of
+    # 124,959 pairs in a single partition -> the downstream jaccard
+    # verify ran single-threaded for 24s). Those rows are tiny in BYTES
+    # (two longs), so neither AQE coalesce nor AQE skew-split ever
+    # intervenes — the skew is compute-density, invisible to byte-based
+    # planning. Re-spread on the (unique) pair key with an EXPLICIT
+    # partition count: user-numbered repartitions are exempt from AQE
+    # coalesce, the shuffle volume is proportional to the OUTPUT (the
+    # operator's inherent lower bound), and every consumer inherits a
+    # uniform layout.
+    n_out = out.sparkSession.sparkContext.defaultParallelism
+    return out.repartition(n_out, "id_a", "id_b")
 
 
 def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
@@ -259,25 +272,24 @@ def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
     # bytes per row).
     sig_fp = F.md5(F.concat_ws(
         "|", F.transform(F.col("minhash"), lambda v: v.cast("string"))))
-    # The membership table (id, sig_fp, band hashes) feeds FIVE
-    # consumers (banded distinct + 2 membership joins + 2 within
-    # sides). Its logical subtree embeds the whole minhash fold, and
-    # every DataFrame op EAGERLY re-analyzes its subtree — five
+    # The membership table (id, sig_fp, band hashes) feeds several
+    # consumers (banded distinct + both membership-join sides). It is
+    # a LAZY localCheckpoint (lineage truncation): its logical subtree
+    # embeds the whole minhash fold, and every DataFrame op eagerly
+    # re-analyzes its subtree — with a plain persist the consumers'
     # re-analyses measured ~1s of pure query CONSTRUCTION per instance
-    # (the round-6 bench comparator's first catch: text_contamination
-    # 0.72 -> 2.0s; dedup_clusters spent 1.6s constructing vs 0.3s
-    # executing). A persist does NOT stop re-analysis (the round-5
-    # simhash lesson), so the lineage is TRUNCATED with a lazy
-    # localCheckpoint: consumers analyze an O(1) LogicalRDD, the
-    # signature fold runs once at first materialization, and the
-    # unknown LogicalRDD size can never be chosen for broadcast (join
-    # planning stays safe at every scale; AQE promotes the small
-    # membership sides to broadcast at runtime from real sizes).
-    # Lazy (eager=False) keeps the no-job-at-plan-build contract, and
-    # blocks are freed via the tracked RDD-id cleanup. The previous
-    # eager stage_table / skip-persist split (`materialize`) is
-    # subsumed; the param is kept for callers that want to force or
-    # suppress nothing — both paths now checkpoint.
+    # (dedup_clusters: 1.6s constructing, 0.3s executing). Consumers of
+    # the LogicalRDD analyze O(1) trees; the unknown checkpoint size
+    # can never be chosen for broadcast, and AQE promotes the
+    # genuinely-small sides at runtime. Lazy, not eager, on
+    # measurement: AQE's concurrently-submitted exchange stages DO race
+    # a lazy cache's first materialization and re-evaluate the subtree
+    # (runtime_metrics showed 13 parquet re-scans on the skew slice),
+    # but the A/B put lazy ahead everywhere anyway (sf0.1 lsh_pairs
+    # 1.40s lazy vs 1.68s eager; skew slice 2.45 vs 2.72) — the wasted
+    # re-scans cost less than serializing the construction-time job —
+    # and lazy keeps the no-job-at-plan-build contract. Blocks are
+    # freed via the tracked RDD-id cleanup.
     from lswms_forage_etl_spark import lifecycle
 
     spark = signatures.sparkSession
