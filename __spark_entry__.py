@@ -1400,6 +1400,21 @@ def q_dedup_incremental(spark, sf):
         docs, F.expr("cast(substring(source, 4) as int) >= 15"))
 
 
+def q_dedup_bloom_probe(spark, sf):
+    """Bloom-prefiltered incremental exact dedup: sources src15+ are the
+    new batch; the existing corpus's fingerprint Bloom table (codegen
+    bit_or aggregation, ~1000x smaller than the fp index) prunes the
+    batch before the exact fingerprint join. The filter is a pure
+    pruning layer — no false negatives, false positives removed by the
+    verify — so the output equals the plain join and the oracle is
+    plain SQL."""
+    from lswms_forage_etl_spark.operators.dedup import (
+        bloom_incremental_dedup)
+    docs = _t(spark, sf, "documents")
+    return bloom_incremental_dedup(
+        docs, F.expr("cast(substring(source, 4) as int) >= 15"))
+
+
 def q_corpus_mix(spark, sf):
     """Pile/Dolma-style source reweighting: deterministic up/down-sampling
     to hit per-language mix weights (en 1.5x, de 2.25x, fr 0.5x, rest
@@ -1542,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_global_k": q_sample_global_k,
         "dedup_remove_spans": q_dedup_remove_spans,
         "kmeans_assign": q_kmeans_assign,
+        "dedup_bloom_probe": q_dedup_bloom_probe,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2994,6 +3010,22 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY c.vec_id)
         SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+    # Bloom-prefiltered incremental dedup: the Bloom stage is pruning
+    # only (no false negatives; exact verify removes false positives),
+    # so the oracle is the plain fingerprint join
+    sql["dedup_bloom_probe"] = """
+        WITH f AS (
+          SELECT doc_id,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                   AS fp,
+                 CAST(substring(source, 4) AS INT) >= 15 AS is_new
+          FROM documents),
+        k AS (SELECT fp, min(doc_id) AS id_existing
+              FROM f WHERE NOT is_new GROUP BY fp)
+        SELECT f.doc_id AS id_new, k.id_existing, f.fp
+        FROM f JOIN k USING (fp) WHERE f.is_new
     """
 
     # distributed k-means replay: 2 unrolled Lloyd iterations. Every

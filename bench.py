@@ -58,6 +58,7 @@ HEADLINE = [
     # round-6 additions
     "dedup_remove_spans",
     "kmeans_assign",
+    "dedup_bloom_probe",
 ]
 
 

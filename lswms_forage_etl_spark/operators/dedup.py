@@ -994,3 +994,85 @@ def incremental_dedup(docs: DataFrame, is_new, text_col: str = "text",
                                         F.asc("id_existing"))
     return (scored.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") == 1).drop("_rk"))
+
+
+def bloom_filter_table(df: DataFrame, key_col: str = "fp",
+                       m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Distributed Bloom filter as a (word_idx, bits) table: each key
+    sets `k` bits (xxhash64(key, i) mod m), bits pack 64-per-row via a
+    bit_or aggregation. The filter for a billion-key index is
+    m/64 rows ~ tens-to-hundreds of MB — broadcastable where the full
+    key index is TBs — and merges incrementally (union + bit_or), so a
+    nightly pipeline maintains it like any stage table. Spark exposes
+    bloom_filter_agg only internally (no SQL/PySpark surface), so the
+    filter is built from plain codegen expressions instead; semantics
+    are the textbook Bloom guarantee: no false negatives, tunable false
+    positives (~(1-e^{-kn/m})^k)."""
+    pos = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(int(k - 1))),
+        lambda i: F.pmod(F.xxhash64(F.col(key_col), i), F.lit(int(m_bits)))))
+    return (df.select(pos.alias("_pos"))
+            .select(F.expr("_pos div 64").alias("word_idx"),
+                    F.expr("shiftleft(1L, cast(_pos % 64 as int))")
+                    .alias("_mask"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("_mask").alias("bits")))
+
+
+def bloom_might_contain(probe: DataFrame, filter_tbl: DataFrame,
+                        key_col: str = "fp", m_bits: int = 1 << 20,
+                        k: int = 5) -> DataFrame:
+    """Rows of `probe` whose key MIGHT be in the filter (all k bits
+    set). The k lookups explode map-side and join the (broadcast)
+    filter table on word_idx; a missing word row means a zero word, so
+    the left join's NULL is a miss. Guaranteed superset of the true
+    members — compose an exact verify after (bloom_incremental_dedup)."""
+    pos_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(int(k - 1))),
+        lambda i: F.pmod(F.xxhash64(F.col(key_col), i), F.lit(int(m_bits))))
+    ex = probe.select(F.col(key_col).alias("_k"),
+                      F.explode(pos_arr).alias("_pos"))
+    hits = (ex.select("_k",
+                      F.expr("_pos div 64").alias("word_idx"),
+                      F.expr("shiftleft(1L, cast(_pos % 64 as int))")
+                      .alias("_mask"))
+            .join(F.broadcast(filter_tbl), "word_idx", "left")
+            .groupBy("_k")
+            .agg(F.min(
+                (F.coalesce(F.col("bits"), F.lit(0))
+                 .bitwiseAND(F.col("_mask")) == F.col("_mask"))
+                .cast("int")).alias("_all")))
+    return probe.join(hits.where(F.col("_all") == 1)
+                     .select(F.col("_k").alias(key_col)), key_col, "semi")
+
+
+def bloom_incremental_dedup(docs: DataFrame, is_new, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Exact incremental dedup with a Bloom prefilter — the nightly-
+    batch shape at 100 TB: the existing corpus's fingerprint index is
+    TBs, but its Bloom table is ~1000x smaller and pre-built, so the
+    day's batch probes the broadcastable filter FIRST and only the
+    (true dups + false positives) survivors reach the exact
+    fingerprint join against the full index. Output is EXACTLY the
+    plain join's (Bloom has no false negatives; the exact verify
+    removes false positives), so the oracle is plain SQL — the filter
+    is a pure pruning layer, never a semantics layer.
+
+    Output: (id_new, id_existing, fp) — each new doc that byte-exactly
+    duplicates the existing corpus, with the lowest existing doc id."""
+    from lswms_forage_etl_spark.lifecycle import stage_table
+
+    flagged = _spread(docs).select(
+        F.col(id_col), is_new.alias("_new"),
+        fingerprint(text_col).alias("fp"))
+    # the fp table feeds the filter build, the probe, and the verify —
+    # materialize once (at scale: the persistent index + its filter)
+    fps = stage_table(flagged)
+    existing = fps.where(~F.col("_new"))
+    new = fps.where(F.col("_new"))
+    ftbl = bloom_filter_table(existing, "fp", m_bits, k)
+    cand = bloom_might_contain(new, ftbl, "fp", m_bits, k)
+    keeper = existing.groupBy("fp").agg(F.min(id_col).alias("id_existing"))
+    return (cand.join(keeper, "fp")
+            .select(F.col(id_col).alias("id_new"), "id_existing", "fp"))
