@@ -1415,6 +1415,18 @@ def q_dedup_bloom_probe(spark, sf):
         docs, F.expr("cast(substring(source, 4) as int) >= 15"))
 
 
+def q_sample_split(spark, sf):
+    """Deterministic train/val/test split (90/5/5): each doc's md5 u32
+    falls into cumulative-fraction buckets — an exact pure function of
+    the key, so assignments survive retries, repartitioning, engine
+    swaps and corpus growth (docs keep their split as data arrives).
+    Scan-side CASE expression; no shuffle, no sampling pass."""
+    from lswms_forage_etl_spark.operators.sampling import assign_splits
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return assign_splits(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
 def q_corpus_mix(spark, sf):
     """Pile/Dolma-style source reweighting: deterministic up/down-sampling
     to hit per-language mix weights (en 1.5x, de 2.25x, fr 0.5x, rest
@@ -1558,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_remove_spans": q_dedup_remove_spans,
         "kmeans_assign": q_kmeans_assign,
         "dedup_bloom_probe": q_dedup_bloom_probe,
+        "sample_split": q_sample_split,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -3010,6 +3023,19 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY c.vec_id)
         SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+    # deterministic split: thresholds accumulate in float EXACTLY as
+    # assign_splits does (0.9, then 0.9+0.05) so both engines compare
+    # against identical integers
+    _sp_t1 = int(0.9 * (1 << 32))
+    _sp_t2 = int((0.9 + 0.05) * (1 << 32))
+    sql["sample_split"] = f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_u32} < {_sp_t1} THEN 'train'
+                    WHEN {_u32} < {_sp_t2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
     """
 
     # Bloom-prefiltered incremental dedup: the Bloom stage is pruning

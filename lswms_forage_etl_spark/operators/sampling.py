@@ -98,3 +98,32 @@ def group_cap(df: DataFrame, group_cols: list[str], k: int, key_col: str,
         sample_u32(key_col, seed), F.col(key_col))
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def assign_splits(df: DataFrame, fractions: dict[str, float],
+                  key_col: str = "doc_id", split_col: str = "split",
+                  seed: int = 0) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's md5-derived
+    u32 falls into cumulative-fraction buckets, so the split is an
+    exact pure function of the key — stable across retries, engines,
+    partitionings and corpus growth (a doc keeps its split when new
+    data arrives, the property random splits lose). Fractions must sum
+    to 1 (within 1e-9); the last bucket absorbs the rounding remainder
+    so every row is assigned. Scan-side expression — no shuffle, no
+    sort, no sampling pass at any corpus size."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1.0")
+    u = sample_u32(key_col, seed)
+    names = list(fractions)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    bounds = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append((name, int(cum * (1 << 32))))
+    for name, th in reversed(bounds):
+        expr = F.when(u < F.lit(th), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -55,3 +55,28 @@ def test_group_cap_exact_k_and_stable(spark):
     b = {(r["grp"], r["doc_id"]) for r in
          group_cap(df.repartition(17), ["grp"], 7, "doc_id").collect()}
     assert a == b                                     # partition-invariant
+
+
+def test_assign_splits_deterministic_and_total(spark):
+    from lswms_forage_etl_spark.operators.sampling import assign_splits
+    import pytest as _pt
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = assign_splits(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    again = {r["doc_id"]: r["split"] for r in assign_splits(
+        docs.repartition(13), {"train": 0.9, "val": 0.05, "test": 0.05})
+        .collect()}
+    assert got == again                      # partition-invariant
+    from collections import Counter
+    c = Counter(got.values())
+    assert c["train"] + c["val"] + c["test"] == 2000
+    assert 0.85 < c["train"] / 2000 < 0.95   # ~binomial around 0.9
+    # growth stability: a subset keeps its assignments
+    sub = {r["doc_id"]: r["split"] for r in assign_splits(
+        docs.where("doc_id < 500"), {"train": 0.9, "val": 0.05,
+                                     "test": 0.05}).collect()}
+    assert all(got[k] == v for k, v in sub.items())
+    with _pt.raises(ValueError):
+        assign_splits(docs, {"train": 0.5, "val": 0.1})
+    with _pt.raises(ValueError):
+        assign_splits(docs, {})
