@@ -274,29 +274,30 @@ def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
         "|", F.transform(F.col("minhash"), lambda v: v.cast("string"))))
     # The membership table (id, sig_fp, band hashes) feeds several
     # consumers (banded distinct + both membership-join sides). It is
-    # a LAZY localCheckpoint (lineage truncation): its logical subtree
-    # embeds the whole minhash fold, and every DataFrame op eagerly
-    # re-analyzes its subtree — with a plain persist the consumers'
-    # re-analyses measured ~1s of pure query CONSTRUCTION per instance
-    # (dedup_clusters: 1.6s constructing, 0.3s executing). Consumers of
-    # the LogicalRDD analyze O(1) trees; the unknown checkpoint size
-    # can never be chosen for broadcast, and AQE promotes the
-    # genuinely-small sides at runtime. Lazy, not eager, on
-    # measurement: AQE's concurrently-submitted exchange stages DO race
-    # a lazy cache's first materialization and re-evaluate the subtree
-    # (runtime_metrics showed 13 parquet re-scans on the skew slice),
-    # but the A/B put lazy ahead everywhere anyway (sf0.1 lsh_pairs
-    # 1.40s lazy vs 1.68s eager; skew slice 2.45 vs 2.72) — the wasted
-    # re-scans cost less than serializing the construction-time job —
-    # and lazy keeps the no-job-at-plan-build contract. Blocks are
-    # freed via the tracked RDD-id cleanup.
+    # an EAGER localCheckpoint. Checkpoint (lineage truncation): the
+    # subtree embeds the whole minhash fold, and every DataFrame op
+    # eagerly re-analyzes its subtree — with a plain persist the
+    # consumers' re-analyses measured ~1s of pure query CONSTRUCTION
+    # per instance (dedup_clusters: 1.6s constructing, 0.3s
+    # executing). Consumers of the LogicalRDD analyze O(1) trees; the
+    # unknown checkpoint size can never be chosen for broadcast, and
+    # AQE promotes the genuinely-small sides at runtime. EAGER because
+    # AQE's concurrently-submitted exchange stages race a lazy cache's
+    # first materialization and each re-evaluates the whole subtree
+    # (runtime_metrics: 13 parquet re-scans) — negligible at sf0.1
+    # (lazy even won the A/B by ~0.2s there), but at the 100x slice
+    # the re-evaluated fold is the dominant cost: text_contamination
+    # 27.4s lazy vs 13.2s eager, dedup_lsh_pairs 18.5 vs 14.4. Scale
+    # wins; the construction-time job is work that runs anyway at
+    # first consumption (the stage_table convention). Blocks are freed
+    # via the tracked RDD-id cleanup.
     from lswms_forage_etl_spark import lifecycle
 
     spark = signatures.sparkSession
     _ids0 = lifecycle.persistent_rdd_ids(spark)
     base = signatures.select(
         F.col(id_col), sig_fp.alias("_sfp"), band_arr.alias("_bhs")) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     _ck = lifecycle.persistent_rdd_ids(spark) - _ids0
     lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, _ck))
     from lswms_forage_etl_spark.lifecycle import track
