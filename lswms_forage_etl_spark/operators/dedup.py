@@ -160,25 +160,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         _minhash_sig(word_shingles(text_col, k), num_hashes).alias("minhash"))
 
 
-def _has_materialized_ancestor(df: DataFrame) -> bool:
-    """True if the plan reads from a cache/checkpoint (InMemoryRelation /
-    LogicalRDD) or is itself persisted — i.e. re-evaluating it twice is
-    bounded by a re-scan of a materialized table, not an unbounded
-    recompute of the upstream pipeline."""
-    lvl = df.storageLevel
-    if lvl.useMemory or lvl.useDisk:
-        return True
-    try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:  # noqa: BLE001 — conservative: assume not cached
-        return False
-    return "InMemoryRelation" in plan or "LogicalRDD" in plan
-
-
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 4,
-                        num_hashes: int | None = None,
-                        materialize: bool | None = None) -> DataFrame:
+                        num_hashes: int | None = None) -> DataFrame:
     """Band DISTINCT signatures, bucket-join on (band_id, band_hash),
     then expand signature pairs back to candidate doc pairs (a < b) via
     output-bound membership joins. The banded self-join only ever sees
@@ -198,7 +182,11 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     `.distinct()` — no full-candidate shuffle (the round-5 simhash
     lesson). The output is duplicate-free by construction: each doc has
     exactly one signature, each signature pair survives exactly one
-    band emission.
+    band emission. PRECONDITION: `signatures` has one row per id — a
+    repeated id (e.g. an un-deduped union of batches) emits its pairs
+    once per occurrence (the pre-round-6 shape silenced that with a
+    final distinct; dedupe the input instead of paying a full-output
+    shuffle).
 
     The signature width must be a positive multiple of `bands`: a zero
     rows-per-band slice would hash every document into the same bucket
@@ -224,7 +212,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                 F.lit(f"signature width not a positive multiple of "
                       f"bands={bands}: "), n.cast("string"))))
     base, banded, pair_fps = _lsh_banding(signatures, id_col, bands,
-                                          band_arr, materialize)
+                                          band_arr)
     # ONE doc-pair expansion for both pair kinds: identical-signature
     # pairs ride along as (sfp, sfp) rows — sourced from the persisted
     # banded table's band-0 slice (already-distinct signatures, no new
@@ -259,7 +247,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 
 def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
-                 band_arr, materialize: bool | None):
+                 band_arr):
     """The distinct-signature banding core of lsh_candidate_pairs:
     returns (membership table (id, _sfp, _bhs), persisted banded table
     (_sfp, _bhs, band_id, band_hash), signature-pair candidates
@@ -300,13 +288,11 @@ def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
         .localCheckpoint(eager=True)
     _ck = lifecycle.persistent_rdd_ids(spark) - _ids0
     lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, _ck))
-    from lswms_forage_etl_spark.lifecycle import track
     # distinct signatures -> banded rows. Lazy persist is correct here:
     # the size estimate derives from `base` (eager stage table with real
     # stats, or the caller's own materialization point), and persisting
     # avoids re-running the distinct shuffle once per self-join side.
-    from lswms_forage_etl_spark.lifecycle import track
-    banded = track(
+    banded = lifecycle.track(
         base.select("_sfp", "_bhs").distinct()
         .select("_sfp", "_bhs",
                 F.posexplode("_bhs").alias("band_id", "band_hash"))

@@ -59,7 +59,11 @@ def corpus_pipeline(quality_min: float = 0.8,
         # a band bucket. The LSH stage then runs over unique content
         # only; exact edges are unioned into the pair list so connected
         # components still merge exact and near dups into one cluster.
-        fps = d.select("doc_id", T.fingerprint("text").alias("_fp"))
+        # fps is self-joined (groupBy side + probe side) — materialize
+        # it first or each side re-executes the clean-gate scan +
+        # fingerprint md5 (CLAUDE.md round-4 rule)
+        fps = stage_table(
+            d.select("doc_id", T.fingerprint("text").alias("_fp")))
         exact = stage_table(
             fps.join(fps.groupBy("_fp").agg(F.min("doc_id").alias("_keep")),
                      "_fp")

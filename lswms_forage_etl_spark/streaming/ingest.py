@@ -64,7 +64,17 @@ def ingest_stream(spark: SparkSession, input_dir: str,
     an event-time column in the input; absent one, arrival processing
     time is stamped. `dedup_ttl=None` reverts to unbounded exact
     dropDuplicates (the explicit applyInPandasWithState TTL variant is
-    stateful.stream_exact_dedup)."""
+    stateful.stream_exact_dedup).
+
+    Topology note: the index-owns-long-horizon division assumes the
+    index REFRESHES — the availableNow batch topology
+    (run_ingest_once) refreshes it between runs, so a post-eviction
+    duplicate is anti-joined on the next run. A single CONTINUOUS
+    .writeStream run reads the index once at plan time; there, a
+    duplicate arriving after its state evicted is admitted — for that
+    topology either size dedup_ttl to the re-arrival horizon, pass
+    dedup_ttl=None (unbounded state), or restart the stream on an
+    index-refresh cadence."""
     raw = (spark.readStream.schema(schema).parquet(input_dir))
     gated = (raw
              .where(F.col("lang").isin(*langs))
@@ -114,13 +124,23 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
                         .select(fingerprint("text").alias("fp")))
               .distinct())
     tmp = known_fp_table.rstrip("/") + ".tmp-swap"
+    bak = known_fp_table.rstrip("/") + ".bak"
     merged.write.mode("overwrite").parquet(tmp)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(known_fp_table).getFileSystem(
         spark._jsc.hadoopConfiguration())
-    fs.delete(hpath(known_fp_table), True)
+    # the old index steps ASIDE (rename, not delete) so a failed swap
+    # is recoverable: the live path is empty only between the two
+    # renames, and both .bak and .tmp-swap survive a crash there for
+    # next-run recovery. Renames are metadata ops on HDFS/local; a
+    # filesystem without atomic rename (object stores) should version
+    # the index path instead.
+    fs.delete(hpath(bak), True)
+    fs.rename(hpath(known_fp_table), hpath(bak))
     if not fs.rename(hpath(tmp), hpath(known_fp_table)):
+        fs.rename(hpath(bak), hpath(known_fp_table))   # roll back
         raise IOError(
             f"fingerprint-index swap failed: could not rename {tmp} "
             f"to {known_fp_table}")
+    fs.delete(hpath(bak), True)

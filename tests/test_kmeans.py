@@ -122,3 +122,19 @@ def test_ivf_build_index_accepts_trained_centroids(spark, emb, tmp_path):
          .first()["embedding"]]
     got = ivf_probe_index(spark, path, cents, q, k=5, probes=8)
     assert got.count() == 5                # full probe == exact top-5
+
+
+def test_kmeans_train_tolerates_dirty_vectors(spark):
+    # wrong-length / NULL rows get the zero-fill ASSIGNMENT but are
+    # excluded from centroid updates (they'd crash the driver-side
+    # d-index or skew counts) — round-6 review fix
+    pts = [(i, [float(i % 3), float(i % 5)]) for i in range(10)] + \
+          [(100, [1.0, 2.0, 3.0]), (101, None)]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    cents = kmeans_train(df, k=2, iters=2)
+    assert len(cents) == 2 and all(len(c) == 2 for c in cents)
+    clean = spark.createDataFrame(pts[:10],
+                                  "vec_id long, embedding array<double>")
+    assert kmeans_train(clean, k=2, iters=2,
+                        seeds=[cv for _, cv in
+                               ivf_centroid_rows(df, 2)]) == cents

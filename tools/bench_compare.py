@@ -46,12 +46,20 @@ def load(path: str) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     band = 0.2
-    for a in sys.argv[1:]:
+    argv, args, skip = sys.argv[1:], [], False
+    for i, a in enumerate(argv):
+        if skip:
+            skip = False
+            continue
         if a.startswith("--band"):
-            band = float(a.split("=", 1)[1] if "=" in a
-                         else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                band = float(a.split("=", 1)[1])
+            else:
+                band = float(argv[i + 1])
+                skip = True     # consume the value, not a file path
+        else:
+            args.append(a)
     old, new = load(args[0]), load(args[1])
     os_, ns = old.get("spread", {}), new.get("spread", {})
     regressed = []

@@ -56,7 +56,7 @@ def candidate_counts(spark, sf_dir):
     doc_banded = (a.join(b, ["band_id", "band_hash"])
                   .where(F.col("a.doc_id") < F.col("b.doc_id")).count())
     # (b) shipped shape: signature-pair candidates
-    base, _banded, pair_fps = _lsh_banding(sigs, "doc_id", 4, band_arr, None)
+    base, _banded, pair_fps = _lsh_banding(sigs, "doc_id", 4, band_arr)
     sig_pairs = pair_fps.count()
     n_sigs = base.select("_sfp").distinct().count()
     lifecycle.release_tracked()
