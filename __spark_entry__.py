@@ -1310,6 +1310,21 @@ def q_ann_pq_topk(spark, sf):
     return pq_adc_topk(emb, _query_vec(spark, sf), k=10)
 
 
+def q_ann_pq_trained(spark, sf):
+    """PQ codes from the DISTRIBUTED-trained codebook (2 full-corpus
+    Lloyd iterations per subspace, pq_train_codebook_dist): every
+    training step is engine-portable — scaled-int subspace distances,
+    exact integer codeword sums, portable-rounded means — so the DuckDB
+    oracle replays the entire training AND the final encode bit-for-bit
+    (round 5 had to grade the seed codebook because its trainer was
+    numpy-only)."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        pq_encode, pq_train_codebook_dist)
+    emb = _t(spark, sf, "embeddings")
+    cb = pq_train_codebook_dist(emb, iters=2)
+    return pq_encode(emb, cb)
+
+
 def q_kmeans_assign(spark, sf):
     """Distributed k-means (k=8, 2 full Lloyd iterations) + final
     assignment: every pass scans the whole corpus — Arrow scaled-int L2
@@ -1571,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "dedup_bloom_probe": q_dedup_bloom_probe,
         "sample_split": q_sample_split,
+        "ann_pq_trained": q_ann_pq_trained,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -3023,6 +3039,79 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY c.vec_id)
         SELECT vec_id, adc_dist FROM adc
         ORDER BY adc_dist, vec_id LIMIT 10
+    """
+
+    # trained-PQ replay: 2 unrolled per-subspace Lloyd iterations. Same
+    # portable conventions as kmeans_assign (scaled-int distances,
+    # exact integer sums, pround means); empty (code, j) cells keep the
+    # previous codeword value via the grid LEFT JOIN.
+    def _pq_iter(i: int, prev: str) -> str:
+        return f"""
+        pd{i} AS (
+          SELECT e.vec_id, subs.s, c.code,
+                 CAST(list_sum(list_transform(
+                   range(CAST(8 * subs.s + 1 AS INT),
+                         CAST(8 * subs.s + 9 AS INT)),
+                   x -> CAST(floor((e.v[x] - c.cv[x]) * (e.v[x] - c.cv[x])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM e CROSS JOIN subs CROSS JOIN {prev} c),
+        pb{i} AS (SELECT vec_id, s, code FROM (
+                    SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY dist, code) AS rn FROM pd{i})
+                  WHERE rn = 1),
+        px{i} AS (SELECT e.vec_id, g.j, e.v[g.j + 1] AS x
+                  FROM e, (SELECT unnest(range(0, 64)) AS j) g),
+        ps{i} AS (SELECT b.code, x.j,
+                         sum(CAST(floor(x.x * 1000000 + 0.5) AS BIGINT))
+                           AS sx,
+                         count(*) AS n
+                  FROM px{i} x JOIN pb{i} b
+                    ON b.vec_id = x.vec_id AND b.s = x.j // 8
+                  GROUP BY 1, 2),
+        pm{i} AS (SELECT code, j,
+                         floor(sx / 1000000.0 / n * 1000000 + 0.5)
+                           / 1000000.0 AS c
+                  FROM ps{i}),
+        pc{i} AS (SELECT p.code,
+                         list(coalesce(m.c, p.cv[g.j + 1]) ORDER BY g.j)
+                           AS cv
+                  FROM {prev} p
+                  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) g
+                  LEFT JOIN pm{i} m ON m.code = p.code AND m.j = g.j
+                  GROUP BY p.code)"""
+
+    sql["ann_pq_trained"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                            AS v
+                   FROM embeddings),
+        pc0 AS (
+          SELECT (row_number() OVER (
+                    ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003,
+                             vec_id)) - 1 AS code, v AS cv
+          FROM e
+          ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
+          LIMIT 16),
+        subs AS (SELECT unnest(range(0, 8)) AS s),
+        {_pq_iter(1, 'pc0')},
+        {_pq_iter(2, 'pc1')},
+        fd AS (
+          SELECT e.vec_id, subs.s, c.code,
+                 CAST(list_sum(list_transform(
+                   range(CAST(8 * subs.s + 1 AS INT),
+                         CAST(8 * subs.s + 9 AS INT)),
+                   x -> CAST(floor((e.v[x] - c.cv[x]) * (e.v[x] - c.cv[x])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM e CROSS JOIN subs CROSS JOIN pc2 c),
+        fb AS (SELECT vec_id, s, code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                           ORDER BY dist, code) AS rn FROM fd)
+               WHERE rn = 1)
+        SELECT vec_id, CAST(sum(code << CAST(4 * s AS INT)) AS BIGINT)
+                 AS pq_code
+        FROM fb GROUP BY vec_id
     """
 
     # deterministic split: thresholds accumulate in float EXACTLY as
