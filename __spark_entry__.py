@@ -1325,6 +1325,22 @@ def q_ann_pq_trained(spark, sf):
     return pq_encode(emb, cb)
 
 
+def q_corpus_cluster_balance(spark, sf):
+    """Diversity-balanced selection (the SemDeDup/DoReMi-family shape):
+    cluster the embedding space with the distributed k-means trainer,
+    then keep at most 30 vectors PER CLUSTER by deterministic hash
+    order — dominant modes are capped, rare modes survive whole. Pure
+    composition of graded operators: kmeans_train + l2_assign +
+    group_cap; one window shuffle beyond the assignment."""
+    from lswms_forage_etl_spark.operators.sampling import group_cap
+    from lswms_forage_etl_spark.operators.similarity import (
+        kmeans_train, l2_assign)
+    emb = _t(spark, sf, "embeddings")
+    cents = kmeans_train(emb, k=8, iters=2)
+    asg = l2_assign(emb, cents).select("vec_id", "cent_id", "l2_scaled")
+    return group_cap(asg, ["cent_id"], k=30, key_col="vec_id")
+
+
 def q_kmeans_assign(spark, sf):
     """Distributed k-means (k=8, 2 full Lloyd iterations) + final
     assignment: every pass scans the whole corpus — Arrow scaled-int L2
@@ -1587,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom_probe": q_dedup_bloom_probe,
         "sample_split": q_sample_split,
         "ann_pq_trained": q_ann_pq_trained,
+        "corpus_cluster_balance": q_corpus_cluster_balance,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -3041,6 +3058,73 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY adc_dist, vec_id LIMIT 10
     """
 
+    def _km_iter(i: int, prev: str) -> str:
+        return f"""
+        d{i} AS (
+          SELECT e.vec_id, e.v, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   j -> CAST(floor((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM e CROSS JOIN {prev} c),
+        a{i} AS (SELECT vec_id, v, cent_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                             ORDER BY dist, cent_id) AS rn FROM d{i})
+                 WHERE rn = 1),
+        s{i} AS (SELECT cent_id, j,
+                        sum(CAST(floor(v[j + 1] * 1000000 + 0.5) AS BIGINT))
+                          AS sx,
+                        count(*) AS n
+                 FROM a{i}, (SELECT unnest(range(0, 64)) AS j)
+                 GROUP BY 1, 2),
+        m{i} AS (SELECT cent_id, j,
+                        floor(sx / 1000000.0 / n * 1000000 + 0.5)
+                          / 1000000.0 AS c
+                 FROM s{i}),
+        l{i} AS (SELECT cent_id, list(c ORDER BY j) AS cv
+                 FROM m{i} GROUP BY cent_id),
+        c{i} AS (SELECT p.cent_id, coalesce(l{i}.cv, p.cv) AS cv
+                 FROM {prev} p LEFT JOIN l{i} USING (cent_id))"""
+
+    # cluster-balanced selection: the kmeans_assign replay + a per-
+    # cluster hash-order cap (same md5-u32 stream as the sampling
+    # oracles, keyed on vec_id)
+    _vu32 = ("('0x' || substr(md5('0|' || CAST(vec_id AS VARCHAR)), 1, 8))"
+             "::BIGINT")
+    sql["corpus_cluster_balance"] = f"""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE))
+                            AS v
+                   FROM embeddings),
+        c0 AS (
+          SELECT (row_number() OVER (
+                    ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003,
+                             vec_id)) - 1 AS cent_id, v AS cv
+          FROM e
+          ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
+          LIMIT 8),
+        {_km_iter(1, 'c0')},
+        {_km_iter(2, 'c1')},
+        df AS (
+          SELECT e.vec_id, c.cent_id,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   j -> CAST(floor((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM e CROSS JOIN c2 c),
+        asg AS (
+          SELECT vec_id, CAST(cent_id AS INT) AS cent_id,
+                 dist AS l2_scaled
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY dist, cent_id) AS rn FROM df)
+          WHERE rn = 1)
+        SELECT vec_id, cent_id, l2_scaled FROM (
+          SELECT *, row_number() OVER (PARTITION BY cent_id
+                    ORDER BY {_vu32}, vec_id) AS crn
+          FROM asg)
+        WHERE crn <= 30
+    """
+
     # trained-PQ replay: 2 unrolled per-subspace Lloyd iterations. Same
     # portable conventions as kmeans_assign (scaled-int distances,
     # exact integer sums, pround means); empty (code, j) cells keep the
@@ -3149,34 +3233,6 @@ def oracle_sql() -> dict[str, str]:
     # mean = sx/1e6/n in float64 then portable-rounded — so DuckDB
     # reproduces the trained centroids bit-for-bit; empty clusters keep
     # the previous centroid (LEFT JOIN + coalesce).
-    def _km_iter(i: int, prev: str) -> str:
-        return f"""
-        d{i} AS (
-          SELECT e.vec_id, e.v, c.cent_id,
-                 CAST(list_sum(list_transform(range(1, 65),
-                   j -> CAST(floor((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])
-                                   * 1000000000000) AS BIGINT)))
-                   AS BIGINT) AS dist
-          FROM e CROSS JOIN {prev} c),
-        a{i} AS (SELECT vec_id, v, cent_id FROM (
-                   SELECT *, row_number() OVER (PARTITION BY vec_id
-                             ORDER BY dist, cent_id) AS rn FROM d{i})
-                 WHERE rn = 1),
-        s{i} AS (SELECT cent_id, j,
-                        sum(CAST(floor(v[j + 1] * 1000000 + 0.5) AS BIGINT))
-                          AS sx,
-                        count(*) AS n
-                 FROM a{i}, (SELECT unnest(range(0, 64)) AS j)
-                 GROUP BY 1, 2),
-        m{i} AS (SELECT cent_id, j,
-                        floor(sx / 1000000.0 / n * 1000000 + 0.5)
-                          / 1000000.0 AS c
-                 FROM s{i}),
-        l{i} AS (SELECT cent_id, list(c ORDER BY j) AS cv
-                 FROM m{i} GROUP BY cent_id),
-        c{i} AS (SELECT p.cent_id, coalesce(l{i}.cv, p.cv) AS cv
-                 FROM {prev} p LEFT JOIN l{i} USING (cent_id))"""
-
     sql["kmeans_assign"] = f"""
         WITH e AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE))
