@@ -570,15 +570,17 @@ def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 2,
     dim = len(cents[0])
     scale = 10 ** round_dp
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # dirty rows (NULL / wrong length) get l2_assign's zero-fill
+    # ASSIGNMENT at scoring time but never feed the update: a
+    # 65-element vector would posexplode a d=dim row and crash the
+    # driver-side centroid indexing, and a short one would skew
+    # per-dimension counts the assignment never saw. Filtering BEFORE
+    # the Arrow pass keeps the predicate in the scan (filtering the
+    # UDF output instead measured +0.25s/iteration at sf0.1).
+    clean = embeddings.where(F.size(vec_col) == dim)
     for _ in range(iters):
-        asg = l2_assign(embeddings, cents, id_col, vec_col)
-        # dirty rows (NULL / wrong length) get l2_assign's zero-fill
-        # ASSIGNMENT but are excluded from the update: a 65-element
-        # vector would posexplode a d=dim row and crash the driver-side
-        # centroid indexing, and a short one would skew per-dimension
-        # counts the assignment never saw
-        rows = (asg.where(F.size(vec_col) == dim)
-                .select("cent_id", F.posexplode(vec_d).alias("d", "x"))
+        asg = l2_assign(clean, cents, id_col, vec_col)
+        rows = (asg.select("cent_id", F.posexplode(vec_d).alias("d", "x"))
                 .groupBy("cent_id", "d")
                 .agg(F.sum(F.floor(F.col("x") * scale + 0.5).cast("long"))
                      .alias("sx"),
@@ -898,13 +900,14 @@ def pq_train_codebook_dist(embeddings: DataFrame, ks: int = 16, m: int = 8,
     sub = dim // m
     scale = 10 ** round_dp
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # same dirty-row rule as kmeans_train: pq_encode zero-fills
+    # wrong-length vectors for the CODES, but the raw-vector update
+    # would index subspace j div sub out of range — exclude them
+    # BEFORE the Arrow pass (scan-side predicate)
+    clean = embeddings.where(F.size(vec_col) == dim)
     for _ in range(iters):
-        enc = pq_encode(embeddings, cb, m, id_col, vec_col, keep_vec=True)
-        # same dirty-row rule as kmeans_train: pq_encode zero-fills
-        # wrong-length vectors for the CODES, but the raw-vector update
-        # would index subspace j div sub out of range — exclude them
-        rows = (enc.where(F.size(vec_col) == dim)
-                .select(F.posexplode(vec_d).alias("j", "x"), "pq_code")
+        enc = pq_encode(clean, cb, m, id_col, vec_col, keep_vec=True)
+        rows = (enc.select(F.posexplode(vec_d).alias("j", "x"), "pq_code")
                 .groupBy(
                     F.col("j"),
                     F.expr(f"cast((pq_code >> (4 * (j div {sub}))) & 15 "
