@@ -34,6 +34,10 @@ QUERIES = [
     "text_contamination",
     "ann_ivf_topk",
     "ann_pq_topk",
+    # round-6 operators
+    "dedup_remove_spans",
+    "dedup_bloom_probe",
+    "kmeans_assign",
 ]
 
 
