@@ -801,8 +801,7 @@ def q_dedup_lsh_pairs(spark, sf):
     expression into every hash branch and join side (60x slowdown)."""
     docs = _t(spark, sf, "documents")
     sh = stage_table(shingle_table(docs))
-    sigs = track(minhash_signatures(docs, num_hashes=16,
-                                    shingles=sh).persist())
+    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
     return ngram_jaccard(docs, pairs, shingles=sh).where(
         F.col("jaccard") >= 0.5)
@@ -884,8 +883,7 @@ def q_dedup_clusters(spark, sf):
     closure with a recursive CTE — same fixpoint, different algorithm."""
     docs = _t(spark, sf, "documents")
     sh = stage_table(shingle_table(docs))
-    sigs = track(minhash_signatures(docs, num_hashes=16,
-                                    shingles=sh).persist())
+    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
     dups = ngram_jaccard(docs, pairs, shingles=sh).where(
         F.col("jaccard") >= 0.5)
@@ -962,8 +960,7 @@ def q_dedup_representatives(spark, sf):
     clustered doc with its keeper and a keep flag."""
     docs = _t(spark, sf, "documents")
     sh = stage_table(shingle_table(docs))
-    sigs = track(minhash_signatures(docs, num_hashes=16,
-                                    shingles=sh).persist())
+    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh)
     pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
     dups = ngram_jaccard(docs, pairs, shingles=sh).where(
         F.col("jaccard") >= 0.5)
