@@ -229,60 +229,95 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
                         max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded multi-table
     hyperplane LSH: a pair is a candidate if it shares a bucket in ANY of
-    `num_bands` independent hyperplane tables; candidates are deduped on
-    id, then exact cosine verifies >= threshold.
+    `num_bands` independent hyperplane tables; exact cosine verifies
+    >= threshold.
+
+    Banded over DISTINCT signature tuples (round 6 — the same rewrite
+    lsh_candidate_pairs got): m identical vectors carry ONE row through
+    every band table, so exact-duplicate skew never reaches the
+    self-join, and doc pairs are recovered by output-bound membership
+    joins. This also CLOSES a recall hole the doc-level cap had: for
+    identical vectors every band bucketed AND chunked them identically
+    (row_number over id is deterministic), so cross-chunk pairs were
+    lost in every band; as one signature row they never chunk at all.
 
     Scale design (VERDICT r1): no single fixed 2^planes bucketing — band
     count buys recall, plane count caps bucket size (choose num_planes ~
     log2(n / target_bucket)). `max_bucket_size` additionally salts any
-    oversized bucket into deterministic chunks (row_number over id), so no
-    join group is ever quadratic in n; pairs split across chunks are the
-    documented recall cost of the cap (near-identical clusters are caught
-    by the other bands' chunkings, which cut differently).
+    oversized bucket of distinct signatures into deterministic chunks;
+    pairs of DIFFERENT signatures split across chunks are the documented
+    recall cost of the cap (caught by other bands, which cut
+    differently).
     """
-    b = band_buckets(embeddings, id_col, vec_col, num_planes, dim, seed,
-                     num_bands, keep_sigs=max_bucket_size is None)
+    from lswms_forage_etl_spark import lifecycle
+    from lswms_forage_etl_spark.operators.dedup import _spread
+
+    sigs_udf = band_signatures_udf(num_planes, dim, seed, num_bands)
+    sig_fp = F.md5(F.concat_ws(
+        "|", F.transform(F.col("_sigs"), lambda v: v.cast("string"))))
+    # membership table, lineage-truncated and EAGER (the round-6 LSH
+    # lessons: per-consumer re-analysis of the Arrow-UDF subtree, and
+    # AQE stages racing a lazy cache re-running the signature pass)
+    spark = embeddings.sparkSession
+    _ids0 = lifecycle.persistent_rdd_ids(spark)
+    base = (_spread(embeddings)   # b*r dots/row must use every core
+            .select(F.col(id_col), sigs_udf(F.col(vec_col)).alias("_sigs"))
+            .select(F.col(id_col), F.col("_sigs"), sig_fp.alias("_sfp"))
+            .localCheckpoint(eager=True))
+    _ck = lifecycle.persistent_rdd_ids(spark) - _ids0
+    lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, _ck))
+
+    banded = (base.select("_sfp", "_sigs").distinct()
+              .select("_sfp", "_sigs",
+                      F.posexplode("_sigs").alias("band", "bucket")))
     if max_bucket_size is not None:
         from pyspark.sql import Window
-        w = Window.partitionBy("band", "bucket").orderBy(id_col)
-        b = b.withColumn(
+        w = Window.partitionBy("band", "bucket").orderBy("_sfp")
+        banded = banded.withColumn(
             "chunk", F.floor((F.row_number().over(w) - 1)
                              / F.lit(max_bucket_size)))
     else:
-        b = b.withColumn("chunk", F.lit(0))
-    # Materialize before the self-join: without it both join sides
-    # re-evaluate the Arrow signature UDF (plan shows py=4 Arrow stages,
-    # observed +33% wall). Same rationale as dedup.shingle_table — at
-    # real scale this is a parquet stage table.
-    from lswms_forage_etl_spark.lifecycle import stage_table
-    b = stage_table(b)
+        banded = banded.withColumn("chunk", F.lit(0))
+    banded = lifecycle.track(banded.persist())
 
     keys = ["band", "bucket", "chunk"]
-    joined = (b.alias("a").join(b.alias("b"), keys)
-              .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    a, b = banded.alias("a"), banded.alias("b")
+    fa, fb = F.col("a._sfp"), F.col("b._sfp")
+    joined = a.join(b, keys).where(fa < fb)
     if max_bucket_size is None:
-        # a pair may collide in several bands; keep only the emission
-        # from the FIRST band whose buckets match — a codegen predicate
-        # over the carried signature arrays, replacing a shuffle+agg
-        # distinct over the whole candidate list (measured 37k candidates
-        # with only 1% multi-band dups at sf0.1: the distinct was a pure
-        # overhead shuffle, -0.4s removing it)
+        # a signature pair may collide in several bands; keep only the
+        # FIRST matching band's emission — codegen predicate over the
+        # carried signature arrays, no distinct shuffle
         first_band = F.lit(None).cast("int")
         for i in reversed(range(num_bands)):
             first_band = F.when(
                 F.col("a._sigs")[i] == F.col("b._sigs")[i],
                 F.lit(i)).otherwise(first_band)
-        cand = (joined.where(F.col("band") == first_band)
-                .select(F.col(f"a.{id_col}").alias("id_a"),
-                        F.col(f"b.{id_col}").alias("id_b")))
+        pair_fps = (joined.where(F.col("band") == first_band)
+                    .select(fa.alias("_fa"), fb.alias("_fb")))
     else:
         # salted chunk boundaries differ per band, so signature equality
-        # alone cannot prove an earlier-band emission existed — fall back
-        # to the distinct for capped buckets
-        cand = (joined
-                .select(F.col(f"a.{id_col}").alias("id_a"),
-                        F.col(f"b.{id_col}").alias("id_b"))
-                .distinct())
+        # alone cannot prove an earlier-band emission existed — distinct
+        # over the (small) signature-pair list
+        pair_fps = (joined.select(fa.alias("_fa"), fb.alias("_fb"))
+                    .distinct())
+
+    # ONE membership expansion for both pair kinds (identical-signature
+    # pairs ride as (sfp, sfp) rows from the band-0 slice), then an
+    # explicit uniform re-spread — compute-dense clone-pair partitions
+    # are invisible to AQE (the round-6 skew-slice lesson)
+    ma = base.select(F.col(id_col).alias("_ida"), F.col("_sfp").alias("_fa"))
+    mb = base.select(F.col(id_col).alias("_idb"), F.col("_sfp").alias("_fb"))
+    sig_pairs = pair_fps.unionAll(
+        banded.where((F.col("band") == 0) & (F.col("chunk") == 0))
+        .select(F.col("_sfp").alias("_fa"), F.col("_sfp").alias("_fb")))
+    cand = (sig_pairs.join(ma, "_fa").join(mb, "_fb")
+            .where((F.col("_fa") != F.col("_fb"))
+                   | (F.col("_ida") < F.col("_idb")))
+            .select(F.least("_ida", "_idb").alias("id_a"),
+                    F.greatest("_ida", "_idb").alias("id_b")))
+    cand = cand.repartition(
+        cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b")
 
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     pairs = (cand

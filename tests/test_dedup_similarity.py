@@ -416,3 +416,25 @@ def test_simhash_wide_doc_raises_clear_guard(spark):
     with pytest.raises(Exception, match="vote lanes overflow"):
         simhash(docs).collect()
     assert simhash(docs.where("doc_id = 1")).count() == 1
+
+
+def test_embedding_cap_keeps_identical_vector_recall(spark):
+    """Round-6 distinct-signature banding closes the cap's recall hole:
+    identical vectors used to bucket AND chunk identically in every
+    band (deterministic row_number), losing every cross-chunk pair; as
+    ONE signature row they never chunk, and the membership expansion
+    recovers all C(m,2) pairs."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    clone = [float(x) for x in rng.standard_normal(16)]
+    rows = [(i, clone) for i in range(20)] + \
+           [(100 + i, [float(x) for x in rng.standard_normal(16)])
+            for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dups(emb, threshold=0.999, dim=16,
+                                num_bands=2, max_bucket_size=5)
+    got = {(r["id_a"], r["id_b"]) for r in
+           pairs.where("id_a < 100 AND id_b < 100").collect()}
+    from lswms_forage_etl_spark import lifecycle
+    lifecycle.release_tracked()
+    assert len(got) == 20 * 19 // 2     # all clone pairs, despite cap=5
