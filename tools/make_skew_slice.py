@@ -68,8 +68,29 @@ def main() -> None:
           f"({100.0 * n_dup / docs.num_rows:.1f}%), hot token in all, "
           f"95% lang=en")
 
+    # embeddings get the same mega exact-dup treatment: `pct`% of
+    # vectors are replaced by ONE clone vector (vec_id % 100 < pct) —
+    # identical signatures in every LSH band, the geometry that made
+    # doc-level banding quadratic and the salted cap lossy
+    emb = pq.read_table(src / "embeddings.parquet")
+    ids = emb["vec_id"].to_pylist()
+    vecs = emb["embedding"].to_pylist()
+    clone = vecs[0]
+    n_vc = 0
+    for i, vid in enumerate(ids):
+        if vid % 100 < pct:
+            vecs[i] = clone
+            n_vc += 1
+    import pyarrow as _pa
+    pq.write_table(_pa.table({
+        "vec_id": emb["vec_id"],
+        "embedding": _pa.array(vecs, type=emb.schema.field("embedding").type),
+        "label": emb["label"]}), out / "embeddings.parquet",
+        row_group_size=1000)
+    print(f"embeddings: {emb.num_rows} rows, {n_vc} exact clones")
+
     for p in src.glob("*.parquet"):
-        if p.name != "documents.parquet":
+        if p.name not in ("documents.parquet", "embeddings.parquet"):
             shutil.copy(p, out / p.name)
     print(f"other tables copied verbatim from {src}")
 
