@@ -3063,7 +3063,7 @@ def oracle_sql() -> dict[str, str]:
                    j -> CAST(floor((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])
                                    * 1000000000000) AS BIGINT)))
                    AS BIGINT) AS dist
-          FROM e CROSS JOIN {prev} c),
+          FROM ec e CROSS JOIN {prev} c),
         a{i} AS (SELECT vec_id, v, cent_id FROM (
                    SELECT *, row_number() OVER (PARTITION BY vec_id
                              ORDER BY dist, cent_id) AS rn FROM d{i})
@@ -3093,6 +3093,7 @@ def oracle_sql() -> dict[str, str]:
                           list_transform(embedding, x -> CAST(x AS DOUBLE))
                             AS v
                    FROM embeddings),
+        ec AS (SELECT * FROM e WHERE len(v) = 64),
         c0 AS (
           SELECT (row_number() OVER (
                     ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003,
@@ -3136,13 +3137,13 @@ def oracle_sql() -> dict[str, str]:
                    x -> CAST(floor((e.v[x] - c.cv[x]) * (e.v[x] - c.cv[x])
                                    * 1000000000000) AS BIGINT)))
                    AS BIGINT) AS dist
-          FROM e CROSS JOIN subs CROSS JOIN {prev} c),
+          FROM ec e CROSS JOIN subs CROSS JOIN {prev} c),
         pb{i} AS (SELECT vec_id, s, code FROM (
                     SELECT *, row_number() OVER (PARTITION BY vec_id, s
                               ORDER BY dist, code) AS rn FROM pd{i})
                   WHERE rn = 1),
         px{i} AS (SELECT e.vec_id, g.j, e.v[g.j + 1] AS x
-                  FROM e, (SELECT unnest(range(0, 64)) AS j) g),
+                  FROM ec e, (SELECT unnest(range(0, 64)) AS j) g),
         ps{i} AS (SELECT b.code, x.j,
                          sum(CAST(floor(x.x * 1000000 + 0.5) AS BIGINT))
                            AS sx,
@@ -3167,6 +3168,7 @@ def oracle_sql() -> dict[str, str]:
                           list_transform(embedding, x -> CAST(x AS DOUBLE))
                             AS v
                    FROM embeddings),
+        ec AS (SELECT * FROM e WHERE len(v) = 64),
         pc0 AS (
           SELECT (row_number() OVER (
                     ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003,
@@ -3235,6 +3237,7 @@ def oracle_sql() -> dict[str, str]:
                           list_transform(embedding, x -> CAST(x AS DOUBLE))
                             AS v
                    FROM embeddings),
+        ec AS (SELECT * FROM e WHERE len(v) = 64),
         c0 AS (
           SELECT (row_number() OVER (
                     ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003,

@@ -213,14 +213,104 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                       f"bands={bands}: "), n.cast("string"))))
     base, banded, pair_fps = _lsh_banding(signatures, id_col, bands,
                                           band_arr)
-    # ONE doc-pair expansion for both pair kinds: identical-signature
-    # pairs ride along as (sfp, sfp) rows — sourced from the persisted
-    # banded table's band-0 slice (already-distinct signatures, no new
-    # shuffle) — so the membership recovery is TWO joins total instead
-    # of two per kind plus a doc-level union. For cross pairs every
-    # member combination is kept (least/greatest restores id order);
-    # for identical-signature pairs the ida < idb filter keeps one
-    # orientation. Output is duplicate-free by construction.
+    return _expand_sig_pairs(base, banded, pair_fps, id_col)
+
+
+def _ckpt_tracked(df: DataFrame) -> DataFrame:
+    """EAGER localCheckpoint + tracked RDD-id cleanup — the round-6
+    materialization rule for multi-consumer derived tables. Checkpoint
+    (lineage truncation): every DataFrame op eagerly re-analyzes its
+    logical subtree, and with a plain persist the consumers' re-analyses
+    measured ~1s of pure query CONSTRUCTION per instance
+    (dedup_clusters: 1.6s constructing, 0.3s executing); consumers of
+    the LogicalRDD analyze O(1) trees, and the unknown checkpoint size
+    can never be chosen for broadcast (AQE promotes the genuinely-small
+    sides at runtime). EAGER because AQE's concurrently-submitted
+    exchange stages race a lazy cache's first materialization and each
+    re-evaluates the whole subtree (runtime_metrics: 13 parquet
+    re-scans) — negligible at sf0.1 (lazy even won that A/B by ~0.2s)
+    but dominant at the 100x slice (text_contamination 27.4s lazy vs
+    12.5s eager). The construction-time job is work that runs anyway at
+    first consumption (the stage_table convention)."""
+    from lswms_forage_etl_spark import lifecycle
+
+    spark = df.sparkSession
+    ids0 = lifecycle.persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    ck = lifecycle.persistent_rdd_ids(spark) - ids0
+    lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, ck))
+    return out
+
+
+def _banded_sig_pairs(base: DataFrame, bands: int,
+                      max_bucket_size: int | None = None):
+    """Distinct-signature banding core, shared by MinHash
+    (lsh_candidate_pairs) and hyperplane LSH (embedding_near_dups).
+    `base` carries (_sfp: uniform fingerprint of the full signature,
+    _bhs: per-band bucket array). Returns (banded, pair_fps):
+
+    banded    persisted (_sfp[, _bhs], band_id, band_hash[, chunk]) —
+              exactly ONE row per (distinct signature, band); lazy
+              persist is safe (its estimate derives from the
+              materialized base) and avoids re-running the distinct
+              per self-join side.
+    pair_fps  distinct signature pairs (_fa < _fb) sharing a bucket.
+
+    Uncapped: multi-band duplicate emissions are dropped by the
+    first-matching-band codegen predicate over the carried _bhs arrays
+    (no distinct shuffle). With `max_bucket_size`, oversized buckets of
+    DISTINCT signatures salt into deterministic chunks; chunk
+    boundaries differ per band so the first-match proof doesn't hold
+    and a distinct over the (small) signature-pair list dedupes
+    instead — and _bhs is not carried at all (nothing reads it)."""
+    from lswms_forage_etl_spark import lifecycle
+
+    keep = ["_sfp", "_bhs"] if max_bucket_size is None else ["_sfp"]
+    banded = (base.select("_sfp", "_bhs").distinct()
+              .select(*keep,
+                      F.posexplode("_bhs").alias("band_id", "band_hash")))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_id", "band_hash").orderBy("_sfp")
+        banded = banded.withColumn(
+            "chunk", F.floor((F.row_number().over(w) - 1)
+                             / F.lit(int(max_bucket_size))))
+    else:
+        banded = banded.withColumn("chunk", F.lit(0))
+    banded = lifecycle.track(banded.persist())
+    a, b = banded.alias("a"), banded.alias("b")
+    fa, fb = F.col("a._sfp"), F.col("b._sfp")
+    joined = a.join(b, ["band_id", "band_hash", "chunk"]).where(fa < fb)
+    if max_bucket_size is None:
+        first_match = F.lit(None).cast("int")
+        for i in reversed(range(bands)):
+            first_match = F.when(
+                F.col("a._bhs")[i] == F.col("b._bhs")[i], F.lit(i)
+            ).otherwise(first_match)
+        pair_fps = (joined.where(F.col("band_id") == first_match)
+                    .select(fa.alias("_fa"), fb.alias("_fb")))
+    else:
+        pair_fps = (joined.select(fa.alias("_fa"), fb.alias("_fb"))
+                    .distinct())
+    return banded, pair_fps
+
+
+def _expand_sig_pairs(base: DataFrame, banded: DataFrame,
+                      pair_fps: DataFrame, id_col: str) -> DataFrame:
+    """ONE membership expansion for both pair kinds: identical-signature
+    pairs ride along as (sfp, sfp) rows sourced from the banded table's
+    band-0 slice — band 0 holds exactly one row per distinct signature
+    REGARDLESS of its chunk (a chunk filter here silently dropped every
+    clone pair whose band-0 row salted past chunk 0 — round-6 review
+    catch), so no extra shuffle is needed. Cross pairs keep every
+    member combination (least/greatest restores id order); identical-
+    signature pairs keep one orientation via ida < idb. The output is
+    duplicate-free by construction and re-spread on its unique pair key
+    with an EXPLICIT partition count: an m-clone cluster's pairs all
+    share one signature-hash partition, and at two longs per row that
+    compute-dense skew is invisible to AQE's byte-based coalesce and
+    skew-split (measured 24s single-threaded verify on the skew
+    slice)."""
     ma = base.select(F.col(id_col).alias("_ida"), F.col("_sfp").alias("_fa"))
     mb = base.select(F.col(id_col).alias("_idb"), F.col("_sfp").alias("_fb"))
     sig_pairs = pair_fps.unionAll(
@@ -231,86 +321,25 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                   | (F.col("_ida") < F.col("_idb")))
            .select(F.least("_ida", "_idb").alias("id_a"),
                    F.greatest("_ida", "_idb").alias("id_b")))
-    # The expansion leaves every pair of an m-clone cluster in ONE
-    # signature-hash partition (measured on the skew slice: 124,752 of
-    # 124,959 pairs in a single partition -> the downstream jaccard
-    # verify ran single-threaded for 24s). Those rows are tiny in BYTES
-    # (two longs), so neither AQE coalesce nor AQE skew-split ever
-    # intervenes — the skew is compute-density, invisible to byte-based
-    # planning. Re-spread on the (unique) pair key with an EXPLICIT
-    # partition count: user-numbered repartitions are exempt from AQE
-    # coalesce, the shuffle volume is proportional to the OUTPUT (the
-    # operator's inherent lower bound), and every consumer inherits a
-    # uniform layout.
     n_out = out.sparkSession.sparkContext.defaultParallelism
     return out.repartition(n_out, "id_a", "id_b")
 
 
 def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
                  band_arr):
-    """The distinct-signature banding core of lsh_candidate_pairs:
-    returns (membership table (id, _sfp, _bhs), persisted banded table
-    (_sfp, _bhs, band_id, band_hash), signature-pair candidates
-    (_fa, _fb)). Factored out so scale diagnostics
-    (tools/skew_measure.py) can count the candidates that enter
-    verification separately from the output-bound doc-pair expansion."""
-    # 128-bit fingerprint of the full signature: the uniform join key for
-    # distinct-signature grouping and the membership-recovery joins
-    # (joining on the 16-long array itself would work but shuffles 4x the
-    # bytes per row).
+    """MinHash front-end for the shared banding core: builds the
+    membership base (id, _sfp, _bhs) from a `minhash` column — _sfp is
+    the md5 of the full signature (the uniform join key; joining on the
+    16-long array itself would shuffle 4x the bytes) — materializes it
+    (_ckpt_tracked), and returns (base, banded, pair_fps). Kept as a
+    named seam so scale diagnostics (tools/skew_measure.py) can count
+    the candidates entering verification separately from the
+    output-bound doc-pair expansion."""
     sig_fp = F.md5(F.concat_ws(
         "|", F.transform(F.col("minhash"), lambda v: v.cast("string"))))
-    # The membership table (id, sig_fp, band hashes) feeds several
-    # consumers (banded distinct + both membership-join sides). It is
-    # an EAGER localCheckpoint. Checkpoint (lineage truncation): the
-    # subtree embeds the whole minhash fold, and every DataFrame op
-    # eagerly re-analyzes its subtree — with a plain persist the
-    # consumers' re-analyses measured ~1s of pure query CONSTRUCTION
-    # per instance (dedup_clusters: 1.6s constructing, 0.3s
-    # executing). Consumers of the LogicalRDD analyze O(1) trees; the
-    # unknown checkpoint size can never be chosen for broadcast, and
-    # AQE promotes the genuinely-small sides at runtime. EAGER because
-    # AQE's concurrently-submitted exchange stages race a lazy cache's
-    # first materialization and each re-evaluates the whole subtree
-    # (runtime_metrics: 13 parquet re-scans) — negligible at sf0.1
-    # (lazy even won the A/B by ~0.2s there), but at the 100x slice
-    # the re-evaluated fold is the dominant cost: text_contamination
-    # 27.4s lazy vs 13.2s eager, dedup_lsh_pairs 18.5 vs 14.4. Scale
-    # wins; the construction-time job is work that runs anyway at
-    # first consumption (the stage_table convention). Blocks are freed
-    # via the tracked RDD-id cleanup.
-    from lswms_forage_etl_spark import lifecycle
-
-    spark = signatures.sparkSession
-    _ids0 = lifecycle.persistent_rdd_ids(spark)
-    base = signatures.select(
-        F.col(id_col), sig_fp.alias("_sfp"), band_arr.alias("_bhs")) \
-        .localCheckpoint(eager=True)
-    _ck = lifecycle.persistent_rdd_ids(spark) - _ids0
-    lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, _ck))
-    # distinct signatures -> banded rows. Lazy persist is correct here:
-    # the size estimate derives from `base` (eager stage table with real
-    # stats, or the caller's own materialization point), and persisting
-    # avoids re-running the distinct shuffle once per self-join side.
-    banded = lifecycle.track(
-        base.select("_sfp", "_bhs").distinct()
-        .select("_sfp", "_bhs",
-                F.posexplode("_bhs").alias("band_id", "band_hash"))
-        .persist())
-    a, b = banded.alias("a"), banded.alias("b")
-    fa, fb = F.col("a._sfp"), F.col("b._sfp")
-    # first matching band: smallest band index whose hashes agree — the
-    # one emission kept per signature pair (codegen predicate over the
-    # two carried band-hash arrays; `bands` is small, typically 4-8)
-    first_match = F.lit(None).cast("int")
-    for i in reversed(range(bands)):
-        first_match = F.when(
-            F.col("a._bhs")[i] == F.col("b._bhs")[i], F.lit(i)
-        ).otherwise(first_match)
-    pair_fps = (a.join(b, ["band_id", "band_hash"])
-                .where(fa < fb)
-                .where(F.col("band_id") == first_match)
-                .select(fa.alias("_fa"), fb.alias("_fb")))
+    base = _ckpt_tracked(signatures.select(
+        F.col(id_col), sig_fp.alias("_sfp"), band_arr.alias("_bhs")))
+    banded, pair_fps = _banded_sig_pairs(base, bands)
     return base, banded, pair_fps
 
 

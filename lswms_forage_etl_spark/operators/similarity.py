@@ -232,14 +232,16 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     `num_bands` independent hyperplane tables; exact cosine verifies
     >= threshold.
 
-    Banded over DISTINCT signature tuples (round 6 — the same rewrite
-    lsh_candidate_pairs got): m identical vectors carry ONE row through
-    every band table, so exact-duplicate skew never reaches the
-    self-join, and doc pairs are recovered by output-bound membership
-    joins. This also CLOSES a recall hole the doc-level cap had: for
-    identical vectors every band bucketed AND chunked them identically
-    (row_number over id is deterministic), so cross-chunk pairs were
-    lost in every band; as one signature row they never chunk at all.
+    Banded over DISTINCT signature tuples through the SAME shared core
+    as MinHash (operators/dedup: _banded_sig_pairs/_expand_sig_pairs —
+    one implementation, round-6 review consolidation): m identical
+    vectors carry ONE row through every band table, so exact-duplicate
+    skew never reaches the self-join, and doc pairs are recovered by
+    output-bound membership joins. This also CLOSES a recall hole the
+    doc-level cap had: identical vectors bucketed AND chunked
+    identically in every band (row_number over id is deterministic), so
+    cross-chunk clone pairs were lost; as one signature row they never
+    chunk at all.
 
     Scale design (VERDICT r1): no single fixed 2^planes bucketing — band
     count buys recall, plane count caps bucket size (choose num_planes ~
@@ -249,75 +251,19 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     recall cost of the cap (caught by other bands, which cut
     differently).
     """
-    from lswms_forage_etl_spark import lifecycle
-    from lswms_forage_etl_spark.operators.dedup import _spread
+    from lswms_forage_etl_spark.operators.dedup import (
+        _banded_sig_pairs, _ckpt_tracked, _expand_sig_pairs, _spread)
 
     sigs_udf = band_signatures_udf(num_planes, dim, seed, num_bands)
     sig_fp = F.md5(F.concat_ws(
-        "|", F.transform(F.col("_sigs"), lambda v: v.cast("string"))))
-    # membership table, lineage-truncated and EAGER (the round-6 LSH
-    # lessons: per-consumer re-analysis of the Arrow-UDF subtree, and
-    # AQE stages racing a lazy cache re-running the signature pass)
-    spark = embeddings.sparkSession
-    _ids0 = lifecycle.persistent_rdd_ids(spark)
-    base = (_spread(embeddings)   # b*r dots/row must use every core
-            .select(F.col(id_col), sigs_udf(F.col(vec_col)).alias("_sigs"))
-            .select(F.col(id_col), F.col("_sigs"), sig_fp.alias("_sfp"))
-            .localCheckpoint(eager=True))
-    _ck = lifecycle.persistent_rdd_ids(spark) - _ids0
-    lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, _ck))
-
-    banded = (base.select("_sfp", "_sigs").distinct()
-              .select("_sfp", "_sigs",
-                      F.posexplode("_sigs").alias("band", "bucket")))
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-        w = Window.partitionBy("band", "bucket").orderBy("_sfp")
-        banded = banded.withColumn(
-            "chunk", F.floor((F.row_number().over(w) - 1)
-                             / F.lit(max_bucket_size)))
-    else:
-        banded = banded.withColumn("chunk", F.lit(0))
-    banded = lifecycle.track(banded.persist())
-
-    keys = ["band", "bucket", "chunk"]
-    a, b = banded.alias("a"), banded.alias("b")
-    fa, fb = F.col("a._sfp"), F.col("b._sfp")
-    joined = a.join(b, keys).where(fa < fb)
-    if max_bucket_size is None:
-        # a signature pair may collide in several bands; keep only the
-        # FIRST matching band's emission — codegen predicate over the
-        # carried signature arrays, no distinct shuffle
-        first_band = F.lit(None).cast("int")
-        for i in reversed(range(num_bands)):
-            first_band = F.when(
-                F.col("a._sigs")[i] == F.col("b._sigs")[i],
-                F.lit(i)).otherwise(first_band)
-        pair_fps = (joined.where(F.col("band") == first_band)
-                    .select(fa.alias("_fa"), fb.alias("_fb")))
-    else:
-        # salted chunk boundaries differ per band, so signature equality
-        # alone cannot prove an earlier-band emission existed — distinct
-        # over the (small) signature-pair list
-        pair_fps = (joined.select(fa.alias("_fa"), fb.alias("_fb"))
-                    .distinct())
-
-    # ONE membership expansion for both pair kinds (identical-signature
-    # pairs ride as (sfp, sfp) rows from the band-0 slice), then an
-    # explicit uniform re-spread — compute-dense clone-pair partitions
-    # are invisible to AQE (the round-6 skew-slice lesson)
-    ma = base.select(F.col(id_col).alias("_ida"), F.col("_sfp").alias("_fa"))
-    mb = base.select(F.col(id_col).alias("_idb"), F.col("_sfp").alias("_fb"))
-    sig_pairs = pair_fps.unionAll(
-        banded.where((F.col("band") == 0) & (F.col("chunk") == 0))
-        .select(F.col("_sfp").alias("_fa"), F.col("_sfp").alias("_fb")))
-    cand = (sig_pairs.join(ma, "_fa").join(mb, "_fb")
-            .where((F.col("_fa") != F.col("_fb"))
-                   | (F.col("_ida") < F.col("_idb")))
-            .select(F.least("_ida", "_idb").alias("id_a"),
-                    F.greatest("_ida", "_idb").alias("id_b")))
-    cand = cand.repartition(
-        cand.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b")
+        "|", F.transform(F.col("_bhs"), lambda v: v.cast("string"))))
+    # membership base, lineage-truncated and eager (_ckpt_tracked doc)
+    base = _ckpt_tracked(
+        _spread(embeddings)   # b*r dots/row must use every core
+        .select(F.col(id_col), sigs_udf(F.col(vec_col)).alias("_bhs"))
+        .select(F.col(id_col), F.col("_bhs"), sig_fp.alias("_sfp")))
+    banded, pair_fps = _banded_sig_pairs(base, num_bands, max_bucket_size)
+    cand = _expand_sig_pairs(base, banded, pair_fps, id_col)
 
     vecs = embeddings.select(F.col(id_col), F.col(vec_col))
     pairs = (cand

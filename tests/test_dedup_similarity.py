@@ -423,18 +423,55 @@ def test_embedding_cap_keeps_identical_vector_recall(spark):
     identical vectors used to bucket AND chunk identically in every
     band (deterministic row_number), losing every cross-chunk pair; as
     ONE signature row they never chunk, and the membership expansion
-    recovers all C(m,2) pairs."""
+    recovers all C(m,2) pairs.
+
+    The test PINS the hard case (second review catch: the band-0
+    (sfp, sfp) slice must not filter on chunk): it searches seeds until
+    the clone signature's band-0 row salts past chunk 0, asserts that
+    precondition through the banding internals, and then demands full
+    clone recall."""
     import numpy as np
-    rng = np.random.RandomState(7)
-    clone = [float(x) for x in rng.standard_normal(16)]
-    rows = [(i, clone) for i in range(20)] + \
-           [(100 + i, [float(x) for x in rng.standard_normal(16)])
-            for i in range(30)]
-    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from lswms_forage_etl_spark import lifecycle
+    from lswms_forage_etl_spark.operators.dedup import (
+        _banded_sig_pairs, _ckpt_tracked)
+    from pyspark.sql import functions as SF
+
+    from lswms_forage_etl_spark.operators.similarity import \
+        band_signatures_udf
+
+    cap, planes, bands = 2, 2, 2
+    sigs_udf = band_signatures_udf(planes, 16, 1234, bands)
+    for seed in range(20):
+        rng = np.random.RandomState(seed)
+        clone = [float(x) for x in rng.standard_normal(16)]
+        rows = [(i, clone) for i in range(20)] + \
+               [(100 + i, [float(x) for x in rng.standard_normal(16)])
+                for i in range(30)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        sig_fp = SF.md5(SF.concat_ws(
+            "|", SF.transform(SF.col("_bhs"), lambda v: v.cast("string"))))
+        base = _ckpt_tracked(
+            emb.select(SF.col("vec_id"),
+                       sigs_udf(SF.col("embedding")).alias("_bhs"))
+            .select("vec_id", "_bhs", sig_fp.alias("_sfp")))
+        banded, _ = _banded_sig_pairs(base, bands, max_bucket_size=cap)
+        clone_fp = base.where("vec_id = 0").first()["_sfp"]
+        chunk0 = banded.where((SF.col("band_id") == 0)
+                              & (SF.col("_sfp") == SF.lit(clone_fp))) \
+            .first()["chunk"]
+        lifecycle.release_tracked()
+        spark.catalog.clearCache()
+        if chunk0 >= 1:
+            break
+    else:
+        raise AssertionError("no seed salted the clone past chunk 0")
+
     pairs = embedding_near_dups(emb, threshold=0.999, dim=16,
-                                num_bands=2, max_bucket_size=5)
+                                num_planes=planes, num_bands=bands,
+                                max_bucket_size=cap)
     got = {(r["id_a"], r["id_b"]) for r in
            pairs.where("id_a < 100 AND id_b < 100").collect()}
-    from lswms_forage_etl_spark import lifecycle
     lifecycle.release_tracked()
-    assert len(got) == 20 * 19 // 2     # all clone pairs, despite cap=5
+    assert len(got) == 20 * 19 // 2     # all clone pairs, despite the cap

@@ -75,12 +75,16 @@ def main() -> None:
     emb = pq.read_table(src / "embeddings.parquet")
     ids = emb["vec_id"].to_pylist()
     vecs = emb["embedding"].to_pylist()
-    clone = vecs[0]
+    # the clone value comes from a row INSIDE the pct set, so the clone
+    # group is exactly {vid % 100 < pct} and C(n_vc, 2) accounting holds
+    # (taking row 0 unconditionally added a silent extra member when
+    # row 0 fell outside the set — round-6 review catch)
+    members = [i for i, vid in enumerate(ids) if vid % 100 < pct]
+    clone = vecs[members[0]] if members else None
     n_vc = 0
-    for i, vid in enumerate(ids):
-        if vid % 100 < pct:
-            vecs[i] = clone
-            n_vc += 1
+    for i in members:
+        vecs[i] = clone
+        n_vc += 1
     import pyarrow as _pa
     pq.write_table(_pa.table({
         "vec_id": emb["vec_id"],
