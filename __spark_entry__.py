@@ -1428,6 +1428,30 @@ def q_dedup_incremental(spark, sf):
         docs, F.expr("cast(substring(source, 4) as int) >= 15"))
 
 
+def q_text_eval_overlap(spark, sf):
+    """The canonical n-gram decontamination recipe (GPT-3 appendix /
+    Llama): flag every TRAIN document sharing ANY 8-token n-gram with
+    the eval split (sources split by parity; 8 rather than 13 because
+    the synthetic docs are short). Differs from containment: a single
+    shared n-gram flags, no ratio. One uniform-key fp join — eval-side
+    n-grams are catalog-scale and broadcast; per flagged doc the count
+    of distinct shared n-grams is reported for triage."""
+    from lswms_forage_etl_spark.functions.text import ngram_array
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "")
+    split = (F.expr("substring(source, 4)").cast("int") % 2).alias("split")
+    grams = docs.select(
+        "doc_id", split,
+        F.explode(F.array_distinct(
+            F.transform(ngram_array(toks, 8), F.md5))).alias("gfp"))
+    ev = (grams.where(F.col("split") == 1).select("gfp").distinct())
+    return (grams.where(F.col("split") == 0)
+            .join(ev, "gfp")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams")))
+
+
 def q_dedup_bloom_probe(spark, sf):
     """Bloom-prefiltered incremental exact dedup: sources src15+ are the
     new batch; the existing corpus's fingerprint Bloom table (codegen
@@ -1601,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "ann_pq_trained": q_ann_pq_trained,
         "corpus_cluster_balance": q_corpus_cluster_balance,
+        "text_eval_overlap": q_text_eval_overlap,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -3208,6 +3233,32 @@ def oracle_sql() -> dict[str, str]:
                     WHEN {_u32} < {_sp_t2} THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """
+
+    # n-gram decontamination: any shared 8-gram between a train doc and
+    # the eval split flags the train doc (distinct grams per doc on
+    # BOTH sides so the count is of distinct shared n-grams)
+    sql["text_eval_overlap"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(substring(source, 4) AS INT) % 2 AS split,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, split, unnest(list_distinct(
+                 CASE WHEN len(toks) >= 8 THEN
+                   list_transform(range(0, len(toks) - 7),
+                     i -> md5(array_to_string(
+                            toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)],
+                            ' ')))
+                 ELSE [] END)) AS gfp
+          FROM t),
+        ev AS (SELECT DISTINCT gfp FROM g WHERE split = 1)
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+        FROM g JOIN ev USING (gfp)
+        WHERE g.split = 0
+        GROUP BY g.doc_id
     """
 
     # Bloom-prefiltered incremental dedup: the Bloom stage is pruning

@@ -966,7 +966,11 @@ def incremental_dedup(docs: DataFrame, is_new, text_col: str = "text",
     Scale shape: candidates come from the banded bucket join restricted
     to new x existing (bucket volume ~ |batch| * avg bucket, NOT corpus
     x corpus); verification joins travel by id against the persisted
-    shingle table; best-match is one per-new-doc window."""
+    shingle table; best-match is one per-new-doc window. Exact-dup skew
+    note: m identical EXISTING docs put m rows in their band buckets,
+    so each matching new doc verifies against all m — compose
+    exact_dedup over the existing index first (the plans/corpus.py
+    composition) to collapse clone groups before probing."""
     from pyspark.sql import Window as W
 
     from lswms_forage_etl_spark.lifecycle import stage_table, track
