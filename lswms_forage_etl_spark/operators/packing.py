@@ -189,3 +189,40 @@ def training_order(df: DataFrame, key_col: str, n_shards: int = 8,
     w = Window.partitionBy("shard").orderBy("order_key", key_col)
     return out.select(F.col(key_col), "shard", "order_key",
                       (F.row_number().over(w) - 1).alias("pos_in_shard"))
+
+
+def write_training_shards(packed: DataFrame, docs: DataFrame, path: str,
+                          key_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Materialize a pack_sequences layout as the dataloader-ready
+    artifact: parquet PARTITIONED BY shard — each shard directory is an
+    independent, sequentially-readable stream ordered by (pack_id,
+    pack_offset) — plus a `_shard_manifest.json` recording per shard
+    the pack count, document count and token total (what a training
+    launcher reads to size its workers; catalog-scale, one bounded
+    collect).
+
+    Returns the manifest as a DataFrame (shard, n_docs, n_packs,
+    n_tokens). Write shape at 100 TB: one shuffle on the shard key
+    (the partitionBy), text travels once; re-running is idempotent
+    (overwrite by partition)."""
+    import json
+    import os
+
+    out = (packed.join(docs.select(F.col(key_col), F.col(text_col)),
+                       key_col)
+           .repartition("shard")
+           .sortWithinPartitions("pack_id", "pack_offset"))
+    out.write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifest = (packed.groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.countDistinct("pack_id").alias("n_packs"),
+                     F.sum("n_tokens").alias("n_tokens")))
+    rows = {int(r["shard"]): {"n_docs": int(r["n_docs"]),
+                              "n_packs": int(r["n_packs"]),
+                              "n_tokens": int(r["n_tokens"])}
+            for r in manifest.collect()}   # bounded: one row per shard
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_shard_manifest.json"), "w") as fh:
+        json.dump(rows, fh, indent=1, sort_keys=True)
+    return manifest

@@ -148,3 +148,35 @@ def test_training_order_epochs_and_invariance(spark):
                          n_shards=4, epoch=0).collect()
     assert {r["doc_id"]: (r["shard"], r["pos_in_shard"])
             for r in rep} == o0          # partitioning-invariant
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    import json
+    import os
+
+    from lswms_forage_etl_spark.functions.text import bpe_ish_token_count
+    from lswms_forage_etl_spark.operators.packing import (
+        pack_sequences, write_training_shards)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = docs.select("doc_id", bpe_ish_token_count("text").alias("n_tok"))
+    packed = pack_sequences(d, "n_tok", budget=256, key_col="doc_id",
+                            n_shards=4)
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, docs, path)
+    m = {r["shard"]: r for r in manifest.collect()}
+    assert set(m) == {0, 1, 2, 3}
+    assert sum(r["n_docs"] for r in m.values()) == docs.count()
+    # the json twin agrees with the DataFrame manifest
+    with open(os.path.join(path, "_shard_manifest.json")) as fh:
+        js = json.load(fh)
+    assert {int(k): v["n_docs"] for k, v in js.items()} == \
+        {k: r["n_docs"] for k, r in m.items()}
+    # read-back: every shard partition is complete and ordered
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    one = back.where("shard = 0").orderBy("pack_id", "pack_offset")
+    rows = one.select("pack_id", "pack_offset").collect()
+    assert rows == sorted(rows, key=lambda r: (r["pack_id"],
+                                               r["pack_offset"]))
+    assert "text" in back.columns          # payload travelled with layout
