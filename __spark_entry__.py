@@ -931,6 +931,19 @@ def q_pack_sequences(spark, sf):
                           n_shards=4)
 
 
+def q_pack_manifest(spark, sf):
+    """Per-shard manifest of the packing layout — what a training
+    launcher reads to size workers: docs, PHYSICAL packs
+    (max(pack_id + packs_spanned), counting packs a long document
+    spills through), and token totals per shard."""
+    from lswms_forage_etl_spark.operators.packing import shard_manifest
+    d = _t(spark, sf, "documents").select(
+        "doc_id", T.bpe_ish_token_count("text").alias("n_tok"))
+    packed = pack_sequences(d, "n_tok", budget=256, key_col="doc_id",
+                            n_shards=4)
+    return shard_manifest(packed)
+
+
 def q_sample_token_budget(spark, sf):
     """Per-language token budgets ('so many en tokens, so many de'),
     filled in deterministic hash order; each stratum budget splits across
@@ -1433,18 +1446,29 @@ def q_text_eval_overlap(spark, sf):
     Llama): flag every TRAIN document sharing ANY 8-token n-gram with
     the eval split (sources split by parity; 8 rather than 13 because
     the synthetic docs are short). Differs from containment: a single
-    shared n-gram flags, no ratio. One uniform-key fp join — eval-side
-    n-grams are catalog-scale and broadcast; per flagged doc the count
-    of distinct shared n-grams is reported for triage."""
+    shared n-gram flags, no ratio. One uniform-key fingerprint join
+    against the staged gram table — eval n-grams are CORPUS-scale at
+    100 TB, so the join shuffles on the uniform 128-bit gram key and
+    the planner sees the cached table's real size, never a parquet
+    underestimate; per flagged doc the count of distinct shared
+    n-grams is reported for triage."""
     from lswms_forage_etl_spark.functions.text import ngram_array
+    from lswms_forage_etl_spark.operators.dedup import _spread
     docs = _t(spark, sf, "documents")
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
                     lambda t: t != "")
     split = (F.expr("substring(source, 4)").cast("int") % 2).alias("split")
-    grams = docs.select(
+    # _spread: the gram/md5 build is expression-heavy over unsplittable
+    # single-row-group parquet. stage_table: the gram table feeds BOTH
+    # split sides — unpersisted, each side re-tokenizes everything, and
+    # the exploded side's parquet-size estimate is the round-5
+    # stats-blind-broadcast hazard (eval grams are corpus-scale at
+    # 100 TB, not catalog-scale; the eager cache gives the join planner
+    # the real size).
+    grams = stage_table(_spread(docs).select(
         "doc_id", split,
         F.explode(F.array_distinct(
-            F.transform(ngram_array(toks, 8), F.md5))).alias("gfp"))
+            F.transform(ngram_array(toks, 8), F.md5))).alias("gfp")))
     ev = (grams.where(F.col("split") == 1).select("gfp").distinct())
     return (grams.where(F.col("split") == 0)
             .join(ev, "gfp")
@@ -1626,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_trained": q_ann_pq_trained,
         "corpus_cluster_balance": q_corpus_cluster_balance,
         "text_eval_overlap": q_text_eval_overlap,
+        "pack_manifest": q_pack_manifest,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2316,6 +2341,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor((st + greatest(n_tokens, 1) - 1) / 256.0)
                     - floor(st / 256.0) + 1 AS INT) AS packs_spanned
         FROM c
+    """
+
+    sql["pack_manifest"] = f"""
+        WITH d AS (
+          SELECT doc_id, {_bpe} AS n_tokens, {_u32} AS u
+          FROM documents),
+        s AS (SELECT doc_id, n_tokens, u, CAST(u % 4 AS INT) AS shard
+              FROM d),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS st
+          FROM s),
+        p AS (
+          SELECT doc_id, shard, n_tokens,
+                 CAST(floor(st / 256.0) AS BIGINT) AS pack_id,
+                 CAST(floor((st + greatest(n_tokens, 1) - 1) / 256.0)
+                      - floor(st / 256.0) + 1 AS INT) AS packs_spanned
+          FROM c)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(pack_id + packs_spanned) AS BIGINT) AS n_packs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM p GROUP BY shard
     """
 
     sql["sample_token_budget"] = f"""

@@ -191,38 +191,69 @@ def training_order(df: DataFrame, key_col: str, n_shards: int = 8,
                       (F.row_number().over(w) - 1).alias("pos_in_shard"))
 
 
+def shard_manifest(packed: DataFrame) -> DataFrame:
+    """Per-shard manifest of a pack_sequences layout: (shard, n_docs,
+    n_packs, n_tokens). n_packs counts PHYSICAL packs —
+    max(pack_id + packs_spanned) — not distinct first-token pack ids,
+    which undercount whenever a long document spills through whole
+    packs no other document starts in (round-6 review catch)."""
+    return (packed.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max(F.col("pack_id") + F.col("packs_spanned"))
+                 .cast("long").alias("n_packs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+
+
 def write_training_shards(packed: DataFrame, docs: DataFrame, path: str,
                           key_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
     """Materialize a pack_sequences layout as the dataloader-ready
     artifact: parquet PARTITIONED BY shard — each shard directory is an
     independent, sequentially-readable stream ordered by (pack_id,
-    pack_offset) — plus a `_shard_manifest.json` recording per shard
-    the pack count, document count and token total (what a training
-    launcher reads to size its workers; catalog-scale, one bounded
-    collect).
+    pack_offset) — plus a `_shard_manifest.json` (shard_manifest rows;
+    catalog-scale, one bounded collect) for training launchers.
 
-    Returns the manifest as a DataFrame (shard, n_docs, n_packs,
-    n_tokens). Write shape at 100 TB: one shuffle on the shard key
-    (the partitionBy), text travels once; re-running is idempotent
-    (overwrite by partition)."""
+    Returns the manifest as a DataFrame (built from the already-
+    collected rows — no third execution of the layout pipeline; the
+    layout itself is persisted across the write and the manifest
+    aggregation and released before returning).
+
+    Write shape at 100 TB: the text payload shuffles twice — once for
+    the layout join on the document key, once for the shard layout —
+    and the sort carries (shard, pack_id, pack_offset) so the writer's
+    required shard ordering is satisfied directly (no second writer-
+    inserted sort whose spill-merge could scramble within-shard order).
+    Partition overwrite is DYNAMIC: a re-run replaces only the shard
+    partitions it writes, not the whole path."""
     import json
     import os
 
-    out = (packed.join(docs.select(F.col(key_col), F.col(text_col)),
+    from pyspark.sql import types as T
+
+    pk = packed.persist()
+    try:
+        out = (pk.join(docs.select(F.col(key_col), F.col(text_col)),
                        key_col)
-           .repartition("shard")
-           .sortWithinPartitions("pack_id", "pack_offset"))
-    out.write.mode("overwrite").partitionBy("shard").parquet(path)
-    manifest = (packed.groupBy("shard")
-                .agg(F.count(F.lit(1)).alias("n_docs"),
-                     F.countDistinct("pack_id").alias("n_packs"),
-                     F.sum("n_tokens").alias("n_tokens")))
-    rows = {int(r["shard"]): {"n_docs": int(r["n_docs"]),
-                              "n_packs": int(r["n_packs"]),
-                              "n_tokens": int(r["n_tokens"])}
-            for r in manifest.collect()}   # bounded: one row per shard
+               .repartition("shard")
+               .sortWithinPartitions("shard", "pack_id", "pack_offset"))
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("shard").parquet(path))
+        rows = shard_manifest(pk).collect()   # bounded: one row/shard
+    finally:
+        pk.unpersist()
+    js = {int(r["shard"]): {"n_docs": int(r["n_docs"]),
+                            "n_packs": int(r["n_packs"]),
+                            "n_tokens": int(r["n_tokens"])}
+          for r in rows}
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "_shard_manifest.json"), "w") as fh:
-        json.dump(rows, fh, indent=1, sort_keys=True)
-    return manifest
+        json.dump(js, fh, indent=1, sort_keys=True)
+    schema = T.StructType([
+        T.StructField("shard", packed.schema["shard"].dataType),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_packs", T.LongType()),
+        T.StructField("n_tokens", T.LongType())])
+    return packed.sparkSession.createDataFrame(
+        [(r["shard"], r["n_docs"], r["n_packs"], r["n_tokens"])
+         for r in rows], schema)

@@ -154,6 +154,8 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     import json
     import os
 
+    from pyspark.sql import functions as SF
+
     from lswms_forage_etl_spark.functions.text import bpe_ish_token_count
     from lswms_forage_etl_spark.operators.packing import (
         pack_sequences, write_training_shards)
@@ -167,16 +169,45 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     m = {r["shard"]: r for r in manifest.collect()}
     assert set(m) == {0, 1, 2, 3}
     assert sum(r["n_docs"] for r in m.values()) == docs.count()
+    # physical packs per shard == ceil(shard token total / budget)
+    # (the concat-and-split invariant; countDistinct(pack_id) would
+    # undercount packs a long doc spills through — review catch)
+    for r in m.values():
+        assert r["n_packs"] == -(-r["n_tokens"] // 256)
     # the json twin agrees with the DataFrame manifest
     with open(os.path.join(path, "_shard_manifest.json")) as fh:
         js = json.load(fh)
     assert {int(k): v["n_docs"] for k, v in js.items()} == \
         {k: r["n_docs"] for k, r in m.items()}
-    # read-back: every shard partition is complete and ordered
+    # read-back: complete, and ON-DISK row order within every file is
+    # (pack_id, pack_offset) — NO orderBy on the read (asserting after
+    # an orderBy was a tautology; per-file order is what parquet
+    # preserves and what a sequential dataloader consumes)
     back = spark.read.parquet(path)
     assert back.count() == docs.count()
-    one = back.where("shard = 0").orderBy("pack_id", "pack_offset")
-    rows = one.select("pack_id", "pack_offset").collect()
-    assert rows == sorted(rows, key=lambda r: (r["pack_id"],
-                                               r["pack_offset"]))
+    rows = (back.where("shard = 0")
+            .select(SF.input_file_name().alias("f"),
+                    "pack_id", "pack_offset").collect())
+    per_file: dict = {}
+    for r in rows:
+        per_file.setdefault(r["f"], []).append(
+            (r["pack_id"], r["pack_offset"]))
+    assert per_file
+    for seq in per_file.values():
+        assert seq == sorted(seq)
     assert "text" in back.columns          # payload travelled with layout
+
+
+def test_shard_manifest_counts_spilled_packs(spark):
+    from lswms_forage_etl_spark.operators.packing import (
+        pack_sequences, shard_manifest)
+    # one 600-token doc spans packs 0-2; a 50-token doc starts in pack 2
+    # -> 3 physical packs, but only 2 distinct first-token pack ids
+    d = spark.createDataFrame([(1, 600), (2, 50)],
+                              "doc_id long, n_tok long")
+    packed = pack_sequences(d, "n_tok", budget=256, key_col="doc_id",
+                            n_shards=1)
+    r = shard_manifest(packed).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["n_tokens"] == 650
+    assert r["n_packs"] == 3
