@@ -906,6 +906,39 @@ def q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard(docs, pairs, shingles=sh)
 
 
+def q_dedup_minhash_estimate(spark, sf):
+    """The MinHash ESTIMATOR against its ground truth: for a
+    deterministic pair set (doc vs doc+7), the fraction of agreeing
+    signature components (E[est] = jaccard, the Broder guarantee)
+    alongside the exact shingle jaccard — the accuracy-vs-cost check a
+    pipeline runs before trusting signatures at 100 TB, where exact
+    verification of every pair is unaffordable. Shingles and
+    signatures read once from the cached shingle table; four
+    broadcast-eligible joins by id."""
+    docs = _t(spark, sf, "documents")
+    ids = docs.select("doc_id")
+    pairs = (ids.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 7).alias("id_b"))
+             .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
+             .select("id_a", "id_b"))
+    sh = stage_table(shingle_table(docs))
+    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh)
+    joined = (pairs
+              .join(sigs.toDF("id_a", "mh_a"), "id_a")
+              .join(sigs.toDF("id_b", "mh_b"), "id_b")
+              .join(sh.toDF("id_a", "sh_a"), "id_a")
+              .join(sh.toDF("id_b", "sh_b"), "id_b"))
+    matches = F.size(F.filter(
+        F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a", "id_b",
+        pround(matches / F.lit(16.0), 6).alias("est_jaccard"),
+        pround(F.when(union > 0, inter / union).otherwise(0.0), 6)
+        .alias("jaccard"))
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup pairs: portable md5-derived 64-bit signatures (one
     hash per token, all 64 bit-votes in a single fold), 4x16-bit banded
@@ -1651,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cluster_balance": q_corpus_cluster_balance,
         "text_eval_overlap": q_text_eval_overlap,
         "pack_manifest": q_pack_manifest,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -2592,6 +2626,34 @@ def oracle_sql() -> dict[str, str]:
                           / len(list_distinct(sh_a || sh_b))
                      ELSE 0.0 END''', 6)} AS jaccard
         FROM pairs
+    """
+
+    # estimator vs truth: all 16 affine minhash components as a literal
+    # list, agreement fraction vs the exact shingle jaccard
+    _mh_list = "[" + ", ".join(
+        _mh.format(a=a, b=b) for a, b in _coeffs) + "]"
+    sql["dedup_minhash_estimate"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, {_SHINGLE_FRAG} AS sh FROM t),
+        x AS (SELECT doc_id, sh, {_xs} AS xs FROM s),
+        m AS (SELECT doc_id, sh, {_mh_list} AS mh FROM x),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.mh AS mh_a, b.mh AS mh_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM m a JOIN m b ON b.doc_id = a.doc_id + 7)
+        SELECT id_a, id_b,
+               {_pr('''len(list_filter(range(1, 17),
+                         i -> mh_a[CAST(i AS INT)] = mh_b[CAST(i AS INT)]))
+                       / 16.0''', 6)} AS est_jaccard,
+               {_pr('''CASE WHEN len(list_distinct(sh_a || sh_b)) > 0
+                     THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                          / len(list_distinct(sh_a || sh_b))
+                     ELSE 0.0 END''', 6)} AS jaccard
+        FROM p
     """
 
     # dedup_simhash: xxhash64 is Spark-native (no DuckDB equivalent) ->
