@@ -915,28 +915,29 @@ def q_dedup_minhash_estimate(spark, sf):
     verification of every pair is unaffordable. Shingles and
     signatures read once from the cached shingle table; four
     broadcast-eligible joins by id."""
+    from lswms_forage_etl_spark.operators.dedup import jaccard_expr
     docs = _t(spark, sf, "documents")
     ids = docs.select("doc_id")
     pairs = (ids.select(F.col("doc_id").alias("id_a"),
                         (F.col("doc_id") + 7).alias("id_b"))
              .join(ids.select(F.col("doc_id").alias("id_b")), "id_b")
              .select("id_a", "id_b"))
+    # ONE staged table carries both shingles and the signature, so the
+    # minhash fold runs once and the pair expansion is TWO joins (the
+    # oracle's own m-CTE shape; a separate sigs table re-ran the fold
+    # per join side — round-6 review catch)
     sh = stage_table(shingle_table(docs))
-    sigs = minhash_signatures(docs, num_hashes=16, shingles=sh)
+    tbl = stage_table(sh.join(
+        minhash_signatures(docs, num_hashes=16, shingles=sh), "doc_id"))
     joined = (pairs
-              .join(sigs.toDF("id_a", "mh_a"), "id_a")
-              .join(sigs.toDF("id_b", "mh_b"), "id_b")
-              .join(sh.toDF("id_a", "sh_a"), "id_a")
-              .join(sh.toDF("id_b", "sh_b"), "id_b"))
+              .join(tbl.toDF("id_a", "sh_a", "mh_a"), "id_a")
+              .join(tbl.toDF("id_b", "sh_b", "mh_b"), "id_b"))
     matches = F.size(F.filter(
         F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return joined.select(
         "id_a", "id_b",
         pround(matches / F.lit(16.0), 6).alias("est_jaccard"),
-        pround(F.when(union > 0, inter / union).otherwise(0.0), 6)
-        .alias("jaccard"))
+        jaccard_expr("sh_a", "sh_b").alias("jaccard"))
 
 
 def q_dedup_simhash(spark, sf):
@@ -2630,8 +2631,7 @@ def oracle_sql() -> dict[str, str]:
 
     # estimator vs truth: all 16 affine minhash components as a literal
     # list, agreement fraction vs the exact shingle jaccard
-    _mh_list = "[" + ", ".join(
-        _mh.format(a=a, b=b) for a, b in _coeffs) + "]"
+    _mh_list = f"[{mh_list}]"   # reuse the existing 16-component join
     sql["dedup_minhash_estimate"] = f"""
         WITH t AS (
           SELECT doc_id,

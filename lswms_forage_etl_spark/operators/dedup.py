@@ -343,6 +343,17 @@ def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
     return base, banded, pair_fps
 
 
+def jaccard_expr(sh_a, sh_b):
+    """The engine's ONE exact-jaccard convention over shingle arrays:
+    |intersect| / |union| in double, 0.0 for two empty sets, portable-
+    rounded at 6 dp (identical in every oracle). Factored so queries
+    never inline a divergent copy."""
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return portable_round(
+        F.when(union > 0, inter / union).otherwise(0.0), 6)
+
+
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3, shingles: DataFrame | None = None) -> DataFrame:
@@ -356,12 +367,8 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                    .withColumnRenamed("sh", "sh_a"), "id_a")
            .join(sh.withColumnRenamed(id_col, "id_b")
                    .withColumnRenamed("sh", "sh_b"), "id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return out.select(
-        "id_a", "id_b",
-        portable_round(F.when(union > 0, inter / union).otherwise(0.0), 6)
-        .alias("jaccard"))
+        "id_a", "id_b", jaccard_expr("sh_a", "sh_b").alias("jaccard"))
 
 
 def ngram_containment(docs: DataFrame, pairs: DataFrame,
