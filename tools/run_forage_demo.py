@@ -137,15 +137,19 @@ def main():
     t0 = time.time()
     out = pipe.run(spark, ctx)
     marks = {}
-    for name, df in [("combined", out["combined"]),
-                     ("results", out["results"]),
-                     ("zone_series", out["zone_series"]),
-                     ("forecast", out["forecast"])]:
+    for name in ("combined", "results", "zone_series", "forecast"):
+        if name not in out:
+            # the pipeline's F7 empty-guard cascade skips downstream
+            # stages when an input produces no rows (e.g. < 16 days
+            # cannot complete a composite period) — report, don't crash
+            marks[name] = ("skipped (empty-guard)", 0.0)
+            continue
         t1 = time.time()
-        marks[name] = (df.count(), round(time.time() - t1, 1))
+        marks[name] = (out[name].count(), round(time.time() - t1, 1))
     total = round(time.time() - t0, 1)
     for name, (n, secs) in marks.items():
-        print(f"  {name:12s} {n:>9,} rows  (+{secs}s)")
+        shown = f"{n:>9,} rows" if isinstance(n, int) else str(n)
+        print(f"  {name:12s} {shown}  (+{secs}s)")
     print(f"pipeline total: {total}s for {n_days} days "
           f"({[r.status for r in pipe.results]})")
 
