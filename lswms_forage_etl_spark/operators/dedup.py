@@ -162,7 +162,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                         bands: int = 4,
-                        num_hashes: int | None = None) -> DataFrame:
+                        num_hashes: int | None = None,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Band DISTINCT signatures, bucket-join on (band_id, band_hash),
     then expand signature pairs back to candidate doc pairs (a < b) via
     output-bound membership joins. The banded self-join only ever sees
@@ -188,6 +189,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     final distinct; dedupe the input instead of paying a full-output
     shuffle).
 
+    `max_bucket_size` salts oversized buckets of DISTINCT signatures
+    into deterministic chunks (the shared-core cap the embedding path
+    uses): hot buckets formed by many DIFFERENT signatures colliding on
+    one band value — e.g. template pages differing only in a footer —
+    are bounded at the documented recall cost (cross-chunk pairs of
+    different signatures rely on the other bands; identical-signature
+    pairs are NEVER lost, they bypass banding via the membership
+    expansion).
+
     The signature width must be a positive multiple of `bands`: a zero
     rows-per-band slice would hash every document into the same bucket
     and silently degenerate to the O(n^2) cross join this operator
@@ -212,7 +222,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                 F.lit(f"signature width not a positive multiple of "
                       f"bands={bands}: "), n.cast("string"))))
     base, banded, pair_fps = _lsh_banding(signatures, id_col, bands,
-                                          band_arr)
+                                          band_arr, max_bucket_size)
     return _expand_sig_pairs(base, banded, pair_fps, id_col)
 
 
@@ -326,7 +336,7 @@ def _expand_sig_pairs(base: DataFrame, banded: DataFrame,
 
 
 def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
-                 band_arr):
+                 band_arr, max_bucket_size: int | None = None):
     """MinHash front-end for the shared banding core: builds the
     membership base (id, _sfp, _bhs) from a `minhash` column — _sfp is
     the md5 of the full signature (the uniform join key; joining on the
@@ -339,7 +349,7 @@ def _lsh_banding(signatures: DataFrame, id_col: str, bands: int,
         "|", F.transform(F.col("minhash"), lambda v: v.cast("string"))))
     base = _ckpt_tracked(signatures.select(
         F.col(id_col), sig_fp.alias("_sfp"), band_arr.alias("_bhs")))
-    banded, pair_fps = _banded_sig_pairs(base, bands)
+    banded, pair_fps = _banded_sig_pairs(base, bands, max_bucket_size)
     return base, banded, pair_fps
 
 

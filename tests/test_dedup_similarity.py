@@ -475,3 +475,24 @@ def test_embedding_cap_keeps_identical_vector_recall(spark):
            pairs.where("id_a < 100 AND id_b < 100").collect()}
     lifecycle.release_tracked()
     assert len(got) == 20 * 19 // 2     # all clone pairs, despite the cap
+
+
+def test_lsh_bucket_cap_bounds_groups_keeps_identical_recall(spark):
+    """The shared-core bucket cap on the MinHash path: join groups are
+    bounded at the cap, and identical-text pairs survive regardless
+    (they bypass banding via the membership expansion)."""
+    from lswms_forage_etl_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in
+            range(12)] + \
+           [(100 + i, f"completely different text number {i} about "
+             f"spark shuffles and joins") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, num_hashes=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(
+        sigs, bands=4, num_hashes=16, max_bucket_size=2).collect()}
+    from lswms_forage_etl_spark import lifecycle
+    lifecycle.release_tracked()
+    clone_pairs = {(a, b) for a, b in pairs if a < 100 and b < 100}
+    assert clone_pairs == {(a, b) for a in range(12) for b in range(12)
+                           if a < b}
