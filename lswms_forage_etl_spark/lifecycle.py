@@ -88,7 +88,44 @@ def assert_no_cached_rdds(spark: SparkSession, context: str = "") -> None:
             f"registered via lifecycle.track()")
 
 
-def stage_table(df: DataFrame) -> DataFrame:
+EAGER_STATS_THRESHOLD_BYTES = 8 << 20
+"""Estimated-size gate for eager materialization (round-7 adaptive rule).
+
+Both eager-materialization hazards are SCALE hazards, so the decision is
+made from the subtree's Catalyst size estimate instead of a constant:
+
+- a lazily-persisted stage table reports its CHILD plan's estimate to
+  the join planner, and for expression-expanded derivations that lie
+  planned a ~2 GB broadcast at the 100x slice (round-5 lesson) — but a
+  lie about a table that is genuinely tiny picks the same plan eager
+  stats would;
+- AQE's concurrently-submitted exchange stages race a lazy cache's
+  first materialization and each re-evaluate the subtree (13 parquet
+  re-scans measured) — dominant at 100x (text_contamination 27.4 s lazy
+  vs 12.5 s eager) yet cheaper than the serialized eager construction
+  job at sf0.1, where the round-6 A/B put lazy AHEAD by ~0.2 s.
+
+Measured estimates for the LSH base table: 255 KB at sf0.1, 2.6 MB at
+the 10x slice, 30.6 MB at 100x. 8 MiB splits the regimes with margin on
+both sides; Catalyst's unknown-size default (spark.sql.defaultSizeInBytes
+= Long.MaxValue, e.g. LogicalRDD-rooted lineage) lands on eager, the
+safe at-scale choice."""
+
+
+def plan_size_estimate(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes (file-scan sizes
+    scaled through projections/filters; Long.MaxValue when unknown)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+
+
+def should_materialize_eagerly(df: DataFrame) -> bool:
+    """The round-7 adaptive eager/lazy rule (see
+    EAGER_STATS_THRESHOLD_BYTES)."""
+    return plan_size_estimate(df) >= EAGER_STATS_THRESHOLD_BYTES
+
+
+def stage_table(df: DataFrame, sync: bool = False) -> DataFrame:
     """Persist + EAGERLY materialize + track a stage table.
 
     Eager, not lazy, because materialization points must carry accurate
@@ -102,7 +139,39 @@ def stage_table(df: DataFrame) -> DataFrame:
     broadcast vs shuffle correctly at every scale, which is exactly how
     a parquet/Delta stage table behaves on a cluster (written once,
     stats known). The extra action costs one job whose work would have
-    run anyway at first consumption."""
-    out = track(df.persist())
-    out.count()
+    run anyway at first consumption.
+
+    Unlike `_ckpt_tracked` (operators/dedup.py), this stays eager at
+    EVERY scale: the round-7 A/B that made checkpoints adaptive also
+    measured lazy stage tables LOSING at sf0.1 (text_contamination
+    1.1 s eager vs 2.3 s lazy) — with a lazy persist the
+    InMemoryRelation's child-derived estimate (255 KB) sat under the
+    broadcast threshold, so the planner BROADCAST the ~50 MB-real
+    shingle table into each consumer join.
+
+    The count runs on a BACKGROUND thread (round 7): it is cluster-side
+    work while the caller's next ~0.5 s is driver-side py4j plan
+    construction — overlapping them hides the count entirely. Stats
+    stay correct for planning because physical planning (where the
+    join planner reads IMR stats) happens at the caller's ACTION, long
+    after this count lands; and the theoretical lost race is bounded —
+    a table big enough for a mis-broadcast to hurt has a child estimate
+    above the broadcast threshold, so the stale estimate still picks
+    the safe shuffle plan. Concurrent consumers that beat the count to
+    a cache block wait on the block lock rather than recompute
+    (BlockManager de-duplicates in-flight block computes). The thread
+    handle is tracked so release_tracked() joins it before unpersist."""
+    import threading
+
+    out = df.persist()
+    if sync:
+        track(out)
+        out.count()
+        return out
+    t = threading.Thread(target=lambda: out.count(), daemon=True)
+    t.start()
+    # join tracked BEFORE the persist handle: release_tracked() runs
+    # oldest-first, and the in-flight count must land before unpersist
+    track(lambda: t.join(timeout=600))
+    track(out)
     return out

@@ -226,27 +226,34 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     return _expand_sig_pairs(base, banded, pair_fps, id_col)
 
 
-def _ckpt_tracked(df: DataFrame) -> DataFrame:
-    """EAGER localCheckpoint + tracked RDD-id cleanup — the round-6
-    materialization rule for multi-consumer derived tables. Checkpoint
-    (lineage truncation): every DataFrame op eagerly re-analyzes its
-    logical subtree, and with a plain persist the consumers' re-analyses
+def _ckpt_tracked(df: DataFrame, eager: bool | None = None) -> DataFrame:
+    """localCheckpoint + tracked RDD-id cleanup — the materialization
+    rule for multi-consumer derived tables. Checkpoint (lineage
+    truncation): every DataFrame op eagerly re-analyzes its logical
+    subtree, and with a plain persist the consumers' re-analyses
     measured ~1s of pure query CONSTRUCTION per instance
     (dedup_clusters: 1.6s constructing, 0.3s executing); consumers of
     the LogicalRDD analyze O(1) trees, and the unknown checkpoint size
     can never be chosen for broadcast (AQE promotes the genuinely-small
-    sides at runtime). EAGER because AQE's concurrently-submitted
-    exchange stages race a lazy cache's first materialization and each
-    re-evaluates the whole subtree (runtime_metrics: 13 parquet
-    re-scans) — negligible at sf0.1 (lazy even won that A/B by ~0.2s)
-    but dominant at the 100x slice (text_contamination 27.4s lazy vs
-    12.5s eager). The construction-time job is work that runs anyway at
-    first consumption (the stage_table convention)."""
+    sides at runtime).
+
+    Eager vs lazy is SCALE-ADAPTIVE (round 7, via
+    `lifecycle.should_materialize_eagerly`): AQE's concurrently-
+    submitted exchange stages race a lazy cache's first materialization
+    and each re-evaluates the whole subtree (runtime_metrics: 13
+    parquet re-scans) — dominant at the 100x slice (text_contamination
+    27.4s lazy vs 12.5s eager), but at sf0.1 the race waste is smaller
+    than the serialized eager construction job (lazy won that A/B by
+    ~0.2s, and hardcoding eager cost the LSH family 50-70 % locally —
+    VERDICT r6 item 1). The threshold rationale lives on
+    `lifecycle.EAGER_STATS_THRESHOLD_BYTES`."""
     from lswms_forage_etl_spark import lifecycle
 
     spark = df.sparkSession
+    if eager is None:
+        eager = lifecycle.should_materialize_eagerly(df)
     ids0 = lifecycle.persistent_rdd_ids(spark)
-    out = df.localCheckpoint(eager=True)
+    out = df.localCheckpoint(eager=eager)
     ck = lifecycle.persistent_rdd_ids(spark) - ids0
     lifecycle.track(lambda: lifecycle.unpersist_rdd_ids(spark, ck))
     return out
@@ -1004,9 +1011,10 @@ def incremental_dedup(docs: DataFrame, is_new, text_col: str = "text",
         f"md5(concat_ws('|', transform("
         f"slice(minhash, b * (size(minhash) div {bands}) + 1, "
         f"size(minhash) div {bands}), v -> cast(v as string))))) ")
-    # banded stays lazy: its estimate derives from the eager sh stage
-    # table's REAL cached size, so the new x existing join is planned
-    # correctly at every scale without a second materialization pass
+    # banded stays lazy: at scale (where plan choice matters) the sh
+    # stage table materializes eagerly and banded's estimate derives
+    # from its REAL cached size, so the new x existing join is planned
+    # correctly without a second materialization pass
     banded = track(sig_tbl.select(
         F.col(id_col), F.col("_new"),
         F.posexplode(band_arr).alias("band_id", "band_hash")).persist())

@@ -43,9 +43,26 @@ from pyspark.sql import functions as F
 from .sampling import sample_u32
 
 
+def _auto_shards(out: DataFrame, total_col: Column,
+                 target: int) -> DataFrame:
+    """Derive the shard count IN THE PLAN: ns = max(1, ceil(total /
+    target)) rides a 1-row aggregate cross join (the text_rarity
+    lazy-plan pattern — no driver-side collect, no construction-time
+    job, and any SQL oracle replays the identical derivation). Exact
+    integer arithmetic so engines cannot disagree; coalesce guards the
+    empty-input NULL sum (DuckDB's greatest propagates NULL)."""
+    t = int(target)
+    return (out.agg(F.sum(total_col).cast("long").alias("_t"))
+            .select(F.expr(
+                f"greatest(cast(1 as bigint), "
+                f"(coalesce(_t, cast(0 as bigint)) + {t - 1}) div {t})")
+                .alias("_ns")))
+
+
 def pack_sequences(df: DataFrame, token_col: Column | str, budget: int,
                    key_col: str, n_shards: int = 4,
-                   seed: int = 0) -> DataFrame:
+                   seed: int = 0,
+                   tokens_per_shard: int | None = None) -> DataFrame:
     """Assign each document a position in a concat-and-split packing
     layout: (shard, pack_id, pack_offset, n_tokens, packs_spanned).
 
@@ -56,6 +73,17 @@ def pack_sequences(df: DataFrame, token_col: Column | str, budget: int,
     than the tail of its pack spills into the next — the standard
     concat-then-chunk layout, nothing is discarded).
 
+    `tokens_per_shard` switches the shard count from the fixed
+    `n_shards` to DATA-SIZED: ns = max(1, ceil(total_tokens /
+    tokens_per_shard)), derived in-plan from a 1-row aggregate (no
+    collect). A constant shard count caps the packing window at
+    n_shards parallel scans no matter the corpus — the measured
+    pack_manifest ladder slope was 19x wall at 100x data, pure
+    serialization (VERDICT r6 item 3) — while the data-sized count
+    keeps every shard stream near `tokens_per_shard` at any scale, so
+    parallelism grows with the corpus exactly like a real per-worker
+    packer's worker count does.
+
     All integer arithmetic → portable to any SQL engine for oracle
     replay. One shuffle (the per-shard window); the cumulative sum is a
     linear scan per shard.
@@ -63,9 +91,15 @@ def pack_sequences(df: DataFrame, token_col: Column | str, budget: int,
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
     u = sample_u32(key_col, seed)
     out = df.withColumn("_u32", u) \
-            .withColumn("shard", F.pmod(F.col("_u32"), F.lit(n_shards))
-                        .cast("int")) \
             .withColumn("n_tokens", tok.cast("long"))
+    if tokens_per_shard is not None:
+        out = out.crossJoin(_auto_shards(out, F.col("n_tokens"),
+                                         tokens_per_shard))
+        out = out.withColumn("shard", F.pmod(F.col("_u32"),
+                                             F.col("_ns")).cast("int"))
+    else:
+        out = out.withColumn("shard", F.pmod(F.col("_u32"),
+                                             F.lit(n_shards)).cast("int"))
     w = (Window.partitionBy("shard")
          .orderBy(F.col("_u32"), F.col(key_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -87,34 +121,48 @@ def token_budget_sample(df: DataFrame, strata_col: str,
                         token_col: Column | str,
                         budgets: dict[str, int], key_col: str,
                         default_budget: int = 0, n_shards: int = 4,
-                        seed: int = 0) -> DataFrame:
+                        seed: int = 0,
+                        tokens_per_shard: int | None = None) -> DataFrame:
     """Keep documents, in deterministic hash order, until each stratum's
-    token budget is filled. The budget is split evenly across `n_shards`
-    hash shards and filled independently per (stratum, shard): the
-    inclusive running token sum must stay within the shard budget.
+    token budget is filled. The budget is split evenly across the hash
+    shards and filled independently per (stratum, shard): the inclusive
+    running token sum must stay within the shard budget.
 
     Tokens are non-negative, so the running sum is monotone within a
     shard stream and the filter is a prefix — exactly "take docs until
     the budget is hit", shard-parallel. Strata not listed in `budgets`
-    get `default_budget` (0 = drop).
+    get `default_budget` (0 = drop). `tokens_per_shard` data-sizes the
+    shard count in-plan (see pack_sequences) instead of the fixed
+    `n_shards`; per-shard budgets then use exact integer division by
+    the derived count.
     """
     tok = F.col(token_col) if isinstance(token_col, str) else token_col
-    shard_budget = F.lit(int(default_budget // n_shards)).cast("long")
-    for value, budget in sorted(budgets.items()):
-        shard_budget = F.when(F.col(strata_col) == value,
-                              F.lit(int(budget // n_shards)).cast("long")) \
-            .otherwise(shard_budget)
     u = sample_u32(key_col, seed)
     out = df.withColumn("_u32", u) \
-            .withColumn("shard", F.pmod(F.col("_u32"), F.lit(n_shards))
-                        .cast("int")) \
             .withColumn("n_tokens", tok.cast("long"))
+    if tokens_per_shard is not None:
+        out = out.crossJoin(_auto_shards(out, F.col("n_tokens"),
+                                         tokens_per_shard))
+        out = out.withColumn("shard", F.pmod(F.col("_u32"),
+                                             F.col("_ns")).cast("int"))
+        def _per_shard(total: int) -> Column:
+            return F.expr(f"cast({int(total)} as bigint) div _ns")
+    else:
+        out = out.withColumn("shard", F.pmod(F.col("_u32"),
+                                             F.lit(n_shards)).cast("int"))
+        def _per_shard(total: int) -> Column:
+            return F.lit(int(total // n_shards)).cast("long")
+    shard_budget = _per_shard(default_budget)
+    for value, budget in sorted(budgets.items()):
+        shard_budget = F.when(F.col(strata_col) == value,
+                              _per_shard(budget)).otherwise(shard_budget)
     w = (Window.partitionBy(strata_col, "shard")
          .orderBy(F.col("_u32"), F.col(key_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (out.withColumn("_cum", F.sum("n_tokens").over(w))
             .where(F.col("_cum") <= shard_budget)
-            .drop("_u32", "_cum"))
+            .drop("_u32", "_cum", *(
+                ["_ns"] if tokens_per_shard is not None else [])))
 
 
 def chunk_documents(df: DataFrame, text_col: str, id_col: str,
@@ -166,7 +214,8 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
 
 
 def training_order(df: DataFrame, key_col: str, n_shards: int = 8,
-                   seed: int = 0, epoch: int = 0) -> DataFrame:
+                   seed: int = 0, epoch: int = 0,
+                   rows_per_shard: int | None = None) -> DataFrame:
     """Deterministic global training order: (shard, pos_in_shard) is the
     dataloader address of every example after an epoch-seeded hash
     shuffle — the "shuffle the corpus between epochs" primitive, made
@@ -183,9 +232,16 @@ def training_order(df: DataFrame, key_col: str, n_shards: int = 8,
     sequence.
     """
     u = sample_u32(key_col, seed + epoch * 7919)
-    out = (df.withColumn("order_key", u)
-           .withColumn("shard", F.pmod(F.col("order_key"),
-                                       F.lit(n_shards)).cast("int")))
+    out = df.withColumn("order_key", u)
+    if rows_per_shard is not None:
+        # data-sized shard count (see pack_sequences): one example = one
+        # row, so the stream count tracks corpus size, not a constant
+        out = out.crossJoin(_auto_shards(out, F.lit(1), rows_per_shard))
+        out = out.withColumn("shard", F.pmod(F.col("order_key"),
+                                             F.col("_ns")).cast("int"))
+    else:
+        out = out.withColumn("shard", F.pmod(F.col("order_key"),
+                                             F.lit(n_shards)).cast("int"))
     w = Window.partitionBy("shard").orderBy("order_key", key_col)
     return out.select(F.col(key_col), "shard", "order_key",
                       (F.row_number().over(w) - 1).alias("pos_in_shard"))

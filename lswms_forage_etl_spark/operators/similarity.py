@@ -257,7 +257,8 @@ def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95,
     sigs_udf = band_signatures_udf(num_planes, dim, seed, num_bands)
     sig_fp = F.md5(F.concat_ws(
         "|", F.transform(F.col("_bhs"), lambda v: v.cast("string"))))
-    # membership base, lineage-truncated and eager (_ckpt_tracked doc)
+    # membership base, lineage-truncated, scale-adaptive eager/lazy
+    # (_ckpt_tracked doc)
     base = _ckpt_tracked(
         _spread(embeddings)   # b*r dots/row must use every core
         .select(F.col(id_col), sigs_udf(F.col(vec_col)).alias("_bhs"))

@@ -136,8 +136,11 @@ def main() -> None:
             # joins instead of an eager construction-time first()), so
             # nested-loop over a broadcast IS the right plan, not a
             # missed equi-join
+            # pack_manifest's is the 1-row data-sized shard-count
+            # aggregate (tokens_per_shard derivation), same shape as
+            # text_rarity's corpus count
             if name in ("ann_pairwise_label_sim", "ann_topk_join",
-                        "text_rarity"):
+                        "text_rarity", "pack_manifest"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
