@@ -971,19 +971,24 @@ def q_pack_sequences(spark, sf):
 def q_pack_manifest(spark, sf):
     """Per-shard manifest of the packing layout — what a training
     launcher reads to size workers. The shard count is DATA-SIZED
-    (tokens_per_shard=131072, i.e. 512 packs of 256 tokens per stream,
-    derived in-plan from a 1-row total-tokens aggregate): a constant
+    (rows_per_shard=1280, ~512 packs of 256 tokens per stream at the
+    corpus's ~100-token docs, derived in-plan from a count-only 1-row
+    aggregate Catalyst prunes the tokenizer out of): a constant
     n_shards capped the packing window at 4 parallel scans and made the
     100x ladder wall pure serialization, 19x (VERDICT r6 item 3) —
     data-sizing grows parallelism with the corpus the way a per-worker
     packer's worker count does. Manifest columns: docs, PHYSICAL packs
     (max(pack_id + packs_spanned), counting packs a long document
     spills through), and token totals per shard."""
+    from lswms_forage_etl_spark.operators.dedup import _spread
     from lswms_forage_etl_spark.operators.packing import shard_manifest
-    d = _t(spark, sf, "documents").select(
-        "doc_id", T.bpe_ish_token_count("text").alias("n_tok"))
+    # _spread: the regex tokenizer is the whole 100x wall (7-8 s of the
+    # 8.5 s ladder point) and a ~58 MB single-table scan arrives as ~4
+    # splits — spread the raw text so the tokenize stage uses every core
+    d = _spread(_t(spark, sf, "documents").select("doc_id", "text")) \
+        .select("doc_id", T.bpe_ish_token_count("text").alias("n_tok"))
     packed = pack_sequences(d, "n_tok", budget=256, key_col="doc_id",
-                            tokens_per_shard=131072)
+                            rows_per_shard=1280)
     return shard_manifest(packed)
 
 
@@ -2394,8 +2399,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, {_bpe} AS n_tokens, {_u32} AS u
           FROM documents),
         ns AS (SELECT greatest(CAST(1 AS BIGINT),
-                 (coalesce(sum(n_tokens), CAST(0 AS BIGINT)) + 131071)
-                 // 131072) AS _ns FROM d),
+                 (count(*) + 1279) // 1280) AS _ns FROM documents),
         s AS (SELECT doc_id, n_tokens, u, CAST(u % _ns AS INT) AS shard
               FROM d CROSS JOIN ns),
         c AS (

@@ -36,11 +36,21 @@ BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """BPE-ish proxy: alnum runs + individual punctuation marks, counted
-    with one match-all regex — a cheap, deterministic stand-in for a real
-    BPE count. The pattern avoids lookarounds so any RE2-class engine
-    (including the DuckDB oracle) computes the identical count."""
-    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0))
+    """BPE-ish proxy: alnum runs + individual punctuation marks — a
+    cheap, deterministic stand-in for a real BPE count. The pattern
+    avoids lookarounds so any RE2-class engine (including the DuckDB
+    oracle, which still counts via len(regexp_extract_all)) computes
+    the identical count.
+
+    Counted by REPLACE ARITHMETIC, not by materializing the match
+    array: collapse each alnum run to one char, strip whitespace, take
+    the length. regexp_extract_all allocated an array of match strings
+    per document just to size() it — the allocation was the entire
+    pack_manifest 100x ladder wall (measured 7.9 s extract-all vs
+    0.8 s replace-count over 6M docs, value-identical on every row)."""
+    c = _c(col)
+    return F.length(F.regexp_replace(
+        F.regexp_replace(c, r"[A-Za-z0-9]+", "x"), r"\s", ""))
 
 
 def punct_ratio(col: Column | str) -> Column:
