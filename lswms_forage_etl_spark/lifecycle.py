@@ -125,7 +125,7 @@ def should_materialize_eagerly(df: DataFrame) -> bool:
     return plan_size_estimate(df) >= EAGER_STATS_THRESHOLD_BYTES
 
 
-def stage_table(df: DataFrame, sync: bool = False) -> DataFrame:
+def stage_table(df: DataFrame, sync: bool | None = None) -> DataFrame:
     """Persist + EAGERLY materialize + track a stage table.
 
     Eager, not lazy, because materialization points must carry accurate
@@ -149,21 +149,28 @@ def stage_table(df: DataFrame, sync: bool = False) -> DataFrame:
     broadcast threshold, so the planner BROADCAST the ~50 MB-real
     shingle table into each consumer join.
 
-    The count runs on a BACKGROUND thread (round 7): it is cluster-side
-    work while the caller's next ~0.5 s is driver-side py4j plan
-    construction — overlapping them hides the count entirely. Stats
-    stay correct for planning because physical planning (where the
-    join planner reads IMR stats) happens at the caller's ACTION, long
-    after this count lands; and the theoretical lost race is bounded —
-    a table big enough for a mis-broadcast to hurt has a child estimate
-    above the broadcast threshold, so the stale estimate still picks
-    the safe shuffle plan. Concurrent consumers that beat the count to
-    a cache block wait on the block lock rather than recompute
-    (BlockManager de-duplicates in-flight block computes). The thread
+    Whether the count BLOCKS is scale-adaptive (same estimate gate as
+    `_ckpt_tracked`): below the threshold it runs on a BACKGROUND
+    thread — cluster-side work while the caller's next ~0.5 s is
+    driver-side py4j plan construction, so overlapping hides the count
+    entirely (measured: dedup_lsh_pairs 1.28 s sync vs ~1.0 s async at
+    sf0.1). Above the threshold it blocks: there the count is LONG
+    (the subtree is the expensive part) and the caller's consumers
+    reach their action while the cache is still materializing — the
+    racing evaluations cost more than the serialization (measured:
+    text_eval_overlap at the 100x slice, 12.0 s sync vs 20.9 s async).
+    For the async path, stats stay correct for planning because
+    physical planning (where the join planner reads IMR stats) happens
+    at the caller's ACTION, after the short count lands; a mis-planned
+    lost race is bounded — a table big enough for a mis-broadcast to
+    hurt has a child estimate above the broadcast threshold, so the
+    stale estimate still picks the safe shuffle plan. The thread
     handle is tracked so release_tracked() joins it before unpersist."""
     import threading
 
     out = df.persist()
+    if sync is None:
+        sync = should_materialize_eagerly(df)
     if sync:
         track(out)
         out.count()
