@@ -1379,7 +1379,7 @@ def q_ann_pq_trained(spark, sf):
     from lswms_forage_etl_spark.operators.similarity import (
         pq_encode, pq_train_codebook_dist)
     emb = _t(spark, sf, "embeddings")
-    cb = pq_train_codebook_dist(emb, iters=2)
+    cb = pq_train_codebook_dist(emb, iters=2, dim=64)
     return pq_encode(emb, cb)
 
 
@@ -1394,7 +1394,7 @@ def q_corpus_cluster_balance(spark, sf):
     from lswms_forage_etl_spark.operators.similarity import (
         kmeans_train, l2_assign)
     emb = _t(spark, sf, "embeddings")
-    cents = kmeans_train(emb, k=8, iters=2)
+    cents = kmeans_train(emb, k=8, iters=2, dim=64)
     asg = l2_assign(emb, cents).select("vec_id", "cent_id", "l2_scaled")
     return group_cap(asg, ["cent_id"], k=30, key_col="vec_id")
 
@@ -1409,7 +1409,7 @@ def q_kmeans_assign(spark, sf):
     from lswms_forage_etl_spark.operators.similarity import (
         kmeans_train, l2_assign)
     emb = _t(spark, sf, "embeddings")
-    cents = kmeans_train(emb, k=8, iters=2)
+    cents = kmeans_train(emb, k=8, iters=2, dim=64)
     return l2_assign(emb, cents).select("vec_id", "cent_id", "l2_scaled")
 
 
@@ -3262,18 +3262,22 @@ def oracle_sql() -> dict[str, str]:
           SELECT (row_number() OVER (
                     ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003,
                              vec_id)) - 1 AS cent_id, v AS cv
-          FROM e
+          FROM ec
           ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
           LIMIT 8),
         {_km_iter(1, 'c0')},
         {_km_iter(2, 'c1')},
+        ez AS (SELECT vec_id,
+                      CASE WHEN len(v) = 64 THEN v ELSE
+                        list_transform(range(0, 64), x -> 0.0) END AS v
+               FROM e),
         df AS (
           SELECT e.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, 65),
                    j -> CAST(floor((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])
                                    * 1000000000000) AS BIGINT)))
                    AS BIGINT) AS dist
-          FROM e CROSS JOIN c2 c),
+          FROM ez e CROSS JOIN c2 c),
         asg AS (
           SELECT vec_id, CAST(cent_id AS INT) AS cent_id,
                  dist AS l2_scaled
@@ -3337,12 +3341,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT (row_number() OVER (
                     ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003,
                              vec_id)) - 1 AS code, v AS cv
-          FROM e
+          FROM ec
           ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
           LIMIT 16),
         subs AS (SELECT unnest(range(0, 8)) AS s),
         {_pq_iter(1, 'pc0')},
         {_pq_iter(2, 'pc1')},
+        -- final encode over ALL rows with the Spark side's zero-fill
+        -- for wrong-length/NULL vectors (ADVICE r6, as in kmeans_assign)
+        ez AS (SELECT vec_id,
+                      CASE WHEN len(v) = 64 THEN v ELSE
+                        list_transform(range(0, 64), x -> 0.0) END AS v
+               FROM e),
         fd AS (
           SELECT e.vec_id, subs.s, c.code,
                  CAST(list_sum(list_transform(
@@ -3351,7 +3361,7 @@ def oracle_sql() -> dict[str, str]:
                    x -> CAST(floor((e.v[x] - c.cv[x]) * (e.v[x] - c.cv[x])
                                    * 1000000000000) AS BIGINT)))
                    AS BIGINT) AS dist
-          FROM e CROSS JOIN subs CROSS JOIN pc2 c),
+          FROM ez e CROSS JOIN subs CROSS JOIN pc2 c),
         fb AS (SELECT vec_id, s, code FROM (
                  SELECT *, row_number() OVER (PARTITION BY vec_id, s
                            ORDER BY dist, code) AS rn FROM fd)
@@ -3432,18 +3442,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT (row_number() OVER (
                     ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003,
                              vec_id)) - 1 AS cent_id, v AS cv
-          FROM e
+          FROM ec
           ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id
           LIMIT 8),
         {_km_iter(1, 'c0')},
         {_km_iter(2, 'c1')},
+        -- final pass over ALL rows: wrong-length/NULL vectors zero-fill
+        -- exactly like the Spark side's l2_assign (a bare e.v[j] would
+        -- yield NULL distances instead — latent divergence, ADVICE r6)
+        ez AS (SELECT vec_id,
+                      CASE WHEN len(v) = 64 THEN v ELSE
+                        list_transform(range(0, 64), x -> 0.0) END AS v
+               FROM e),
         df AS (
           SELECT e.vec_id, c.cent_id,
                  CAST(list_sum(list_transform(range(1, 65),
                    j -> CAST(floor((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])
                                    * 1000000000000) AS BIGINT)))
                    AS BIGINT) AS dist
-          FROM e CROSS JOIN c2 c)
+          FROM ez e CROSS JOIN c2 c)
         SELECT vec_id, CAST(cent_id AS INT) AS cent_id,
                dist AS l2_scaled
         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id

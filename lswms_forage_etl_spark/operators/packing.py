@@ -297,7 +297,6 @@ def write_training_shards(packed: DataFrame, docs: DataFrame, path: str,
     Partition overwrite is DYNAMIC: a re-run replaces only the shard
     partitions it writes, not the whole path."""
     import json
-    import os
 
     from pyspark.sql import types as T
 
@@ -317,9 +316,19 @@ def write_training_shards(packed: DataFrame, docs: DataFrame, path: str,
                             "n_packs": int(r["n_packs"]),
                             "n_tokens": int(r["n_tokens"])}
           for r in rows}
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "_shard_manifest.json"), "w") as fh:
-        json.dump(js, fh, indent=1, sort_keys=True)
+    # the manifest goes through the Hadoop FileSystem API, same as the
+    # parquet write — a local open() would silently write nowhere
+    # useful for an HDFS/object-store path (ADVICE r6)
+    spark = packed.sparkSession
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    mpath = hpath(path.rstrip("/") + "/_shard_manifest.json")
+    fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(mpath, True)
+    try:
+        stream.write(bytearray(
+            json.dumps(js, indent=1, sort_keys=True).encode()))
+    finally:
+        stream.close()
     schema = T.StructType([
         T.StructField("shard", packed.schema["shard"].dataType),
         T.StructField("n_docs", T.LongType()),

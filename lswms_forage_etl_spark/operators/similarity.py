@@ -527,7 +527,8 @@ def l2_assign(embeddings: DataFrame, cents: list[list[float]],
 def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  round_dp: int = 6,
-                 seeds: list[list[float]] | None = None) -> list[list[float]]:
+                 seeds: list[list[float]] | None = None,
+                 dim: int | None = None) -> list[list[float]]:
     """DISTRIBUTED Lloyd iterations — the trainer the engine lacked
     (VERDICT r5 item 2): unlike pq_train_codebook's bounded-sample
     driver numpy, every assignment pass here scans the FULL corpus
@@ -544,10 +545,17 @@ def kmeans_train(embeddings: DataFrame, k: int = 8, iters: int = 2,
     fixed-iteration run is bit-reproducible in DuckDB (the
     kmeans_assign oracle replays both iterations in SQL). An empty
     cluster keeps its previous centroid (the pq_train convention).
-    Seeds default to the deterministic multiplicative-hash pick."""
+    Seeds default to the deterministic multiplicative-hash pick —
+    restricted to `dim`-length vectors when `dim` is given: a dirty
+    (short/long/NULL) vector landing in the seed window would make the
+    centroid matrix ragged and crash the Arrow pass, and the oracle
+    replays the same len-filtered pick (ADVICE r6, pinned by
+    tests/test_oracle_dirty_vectors.py)."""
     if seeds is None:
+        pool = (embeddings if dim is None
+                else embeddings.where(F.size(vec_col) == dim))
         seeds = [cv for _, cv in ivf_centroid_rows(
-            embeddings, k, id_col, vec_col)]
+            pool, k, id_col, vec_col)]
     cents = [list(map(float, cv)) for cv in seeds]
     dim = len(cents[0])
     scale = 10 ** round_dp
@@ -857,7 +865,8 @@ def pq_train_codebook(embeddings: DataFrame, ks: int = 16, m: int = 8,
 def pq_train_codebook_dist(embeddings: DataFrame, ks: int = 16, m: int = 8,
                            iters: int = 2, id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           round_dp: int = 6) -> list[list[float]]:
+                           round_dp: int = 6,
+                           dim: int | None = None) -> list[list[float]]:
     """DISTRIBUTED PQ codebook training — k-means per subspace over the
     FULL corpus, not pq_train_codebook's bounded driver sample (VERDICT
     r5 item 2). Each Lloyd iteration is exactly two distributed steps:
@@ -874,8 +883,12 @@ def pq_train_codebook_dist(embeddings: DataFrame, ks: int = 16, m: int = 8,
     same contract as the sampled trainer."""
     if ks > 16:
         raise ValueError(f"ks={ks} codes need >4 bits; pack breaks")
+    # same seed rule as kmeans_train: with `dim` given, dirty vectors
+    # never enter the seed window (ADVICE r6)
+    pool = (embeddings if dim is None
+            else embeddings.where(F.size(vec_col) == dim))
     cb = [list(map(float, cv))
-          for cv in pq_codebook(embeddings, ks, id_col, vec_col)]
+          for cv in pq_codebook(pool, ks, id_col, vec_col)]
     dim = len(cb[0])
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")

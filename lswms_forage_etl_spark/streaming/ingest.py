@@ -93,6 +93,35 @@ def ingest_stream(spark: SparkSession, input_dir: str,
             .drop("fp", "_ingest_ts"))
 
 
+def _index_fs(spark: SparkSession, known_fp_table: str):
+    """(FileSystem, Path-factory) for the index path."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(known_fp_table).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def recover_index(spark: SparkSession, known_fp_table: str) -> bool:
+    """Crash recovery for the fingerprint-index swap (ADVICE r6): the
+    live path is empty only between the swap's two renames, and a crash
+    exactly there leaves the previous index at `.bak`. Restore it so
+    the next run's `spark.read.parquet(known_fp_table)` sees the
+    pre-crash index instead of failing. Returns True if a restore
+    happened. A no-op when the live index exists (the normal case —
+    a stale .bak from a crash AFTER the second rename is ignored and
+    cleaned up by the next successful swap)."""
+    fs, hpath = _index_fs(spark, known_fp_table)
+    live, bak = hpath(known_fp_table), hpath(known_fp_table.rstrip("/")
+                                             + ".bak")
+    if fs.exists(live) or not fs.exists(bak):
+        return False
+    if not fs.rename(bak, live):
+        raise IOError(
+            f"fingerprint-index recovery failed: could not rename "
+            f"{known_fp_table}.bak back to {known_fp_table}")
+    return True
+
+
 def run_ingest_once(spark: SparkSession, input_dir: str,
                     known_fp_table: str, out_dir: str,
                     checkpoint_dir: str, **kwargs) -> None:
@@ -102,6 +131,7 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
 
     The index refresh derives from the corpus output itself, so the
     NEXT run's anti-join sees everything this run ingested."""
+    recover_index(spark, known_fp_table)
     out = ingest_stream(spark, input_dir, known_fp_table, **kwargs)
     q = (out.writeStream
          .format("parquet")
@@ -126,18 +156,22 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
     tmp = known_fp_table.rstrip("/") + ".tmp-swap"
     bak = known_fp_table.rstrip("/") + ".bak"
     merged.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(known_fp_table).getFileSystem(
-        spark._jsc.hadoopConfiguration())
+    fs, hpath = _index_fs(spark, known_fp_table)
     # the old index steps ASIDE (rename, not delete) so a failed swap
     # is recoverable: the live path is empty only between the two
-    # renames, and both .bak and .tmp-swap survive a crash there for
-    # next-run recovery. Renames are metadata ops on HDFS/local; a
-    # filesystem without atomic rename (object stores) should version
-    # the index path instead.
+    # renames, a crash exactly there is healed by recover_index() at
+    # the top of the next run (ADVICE r6), and both renames' return
+    # values are CHECKED — an unchecked false from the first rename
+    # would delete nothing and then overwrite-swap a live index.
+    # Renames are metadata ops on HDFS/local; a filesystem without
+    # atomic rename (object stores) should version the index path
+    # instead.
     fs.delete(hpath(bak), True)
-    fs.rename(hpath(known_fp_table), hpath(bak))
+    if not fs.rename(hpath(known_fp_table), hpath(bak)):
+        fs.delete(hpath(tmp), True)   # live index untouched; just clean
+        raise IOError(
+            f"fingerprint-index swap failed: could not step "
+            f"{known_fp_table} aside to {bak}")
     if not fs.rename(hpath(tmp), hpath(known_fp_table)):
         fs.rename(hpath(bak), hpath(known_fp_table))   # roll back
         raise IOError(
