@@ -118,3 +118,77 @@ def test_ingest_dedup_state_evicted_after_watermark(spark, tmp_path):
     got3 = run([(4, GOOD, "en", "s", len(GOOD),
                  t0 + dt.timedelta(hours=4))])
     assert got3 == {1, 3, 4}
+
+
+LONG = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango")
+LONG_MUT = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+            "kilo lima mike november oscar papa quebec romeo sierra zulu")
+FRESH = ("binary search trees rotate nodes to stay balanced under "
+         "adversarial insertion orders and deletions at every depth")
+FRESH_MUT = ("binary search trees rotate nodes to stay balanced under "
+             "adversarial insertion orders and deletions at any depth")
+
+
+def test_ingest_near_dup_dropped_across_batches(spark, tmp_path):
+    """VERDICT r6 item 5: with a signature index wired in, a NEAR
+    duplicate (exact word-3-shingle jaccard >= 0.5, different
+    fingerprint) of an indexed doc is dropped at ingest — including a
+    near-dup of a doc ingested by an EARLIER batch of this same loop,
+    proving survivors' signatures enter the persistent index."""
+    from pyspark.sql import functions as F
+
+    from lswms_forage_etl_spark.functions.text import fingerprint
+    from lswms_forage_etl_spark.operators.dedup import (
+        minhash_signatures, ngram_jaccard)
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "fp_index")
+    sidx = str(tmp_path / "sig_index")
+
+    # precondition: the mutations ARE near-dups by the exact measure
+    pre = spark.createDataFrame(
+        [(1, LONG), (2, LONG_MUT), (3, FRESH), (4, FRESH_MUT)],
+        "doc_id long, text string")
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard(
+        pre, spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    ).collect()}
+    assert jac[(1, 2)] >= 0.5 and jac[(3, 4)] >= 0.5
+    fps = pre.select("doc_id", fingerprint("text").alias("fp")).collect()
+    fpm = {r["doc_id"]: r["fp"] for r in fps}
+    assert fpm[1] != fpm[2] and fpm[3] != fpm[4]   # exact gate blind
+
+    # seed: corpus index + signature index contain LONG only
+    seed = spark.createDataFrame([(100, LONG)], "doc_id long, text string")
+    seed.select(fingerprint("text").alias("fp")) \
+        .write.mode("overwrite").parquet(idx)
+    minhash_signatures(seed).write.mode("overwrite").parquet(sidx)
+
+    # batch 1: LONG_MUT is a near-dup of the INDEXED doc -> dropped;
+    # FRESH is genuinely new -> survives
+    _write_docs(spark, inp, [
+        (11, LONG_MUT, "en", "src0", len(LONG_MUT)),
+        (12, FRESH, "en", "src0", len(FRESH)),
+    ])
+    run_ingest_once(spark, inp, idx, out, ckpt, sig_index_table=sidx)
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {12}
+
+    # batch 2 (across batches): FRESH_MUT is a near-dup of batch 1's
+    # SURVIVOR -> dropped because the survivor's signature entered the
+    # index; a brand-new doc still lands
+    _write_docs(spark, inp, [
+        (13, FRESH_MUT, "en", "src1", len(FRESH_MUT)),
+        (14, THIRD, "en", "src1", len(THIRD)),
+    ])
+    run_ingest_once(spark, inp, idx, out, ckpt, sig_index_table=sidx)
+    ids2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids2 == {12, 14}
+
+    # the signature index now covers seed + both survivors
+    assert spark.read.parquet(sidx).count() == 3
+    # idempotence: nothing new -> nothing changes
+    run_ingest_once(spark, inp, idx, out, ckpt, sig_index_table=sidx)
+    assert spark.read.parquet(out).count() == 2
