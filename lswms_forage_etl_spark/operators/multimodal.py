@@ -75,6 +75,32 @@ def synth_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def synth_ppm_media(docs: DataFrame, height: int = 3) -> DataFrame:
+    """REAL image payloads from `documents`, built entirely in JVM
+    expressions: each doc becomes a valid binary PPM (P6) whose pixel
+    raster is the first `width*height*3` bytes of the UTF-8 text
+    (width = 4 + doc_id % 8; docs too short are filtered out). The
+    payloads round-trip through `decode_image_bytes` — this is what makes
+    the mm_decode query end-to-end honest: a spec-conformant header is
+    parsed, not echoed. concat/substring both operate on BinaryType
+    JVM-side; no Python in the build."""
+    w = (F.pmod(F.col("doc_id"), F.lit(8)) + F.lit(4)).cast("int")
+    npix = w * F.lit(height * 3)
+    raw = F.encode(F.col("text"), "UTF-8")
+    header = F.encode(
+        F.concat(F.lit("P6\n"), F.col("width").cast("string"),
+                 F.lit(f" {height}\n255\n")), "UTF-8")
+    return (docs
+            .select(F.col("doc_id").alias("media_id"), w.alias("width"),
+                    F.lit(height).alias("height"), raw.alias("raw"),
+                    npix.alias("npix"))
+            .where(F.octet_length("raw") >= F.col("npix"))
+            .select("media_id", "width", "height",
+                    F.concat(header,
+                             F.expr("substring(raw, 1, npix)"))
+                    .alias("payload")))
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Scan-side media stats — payload size + metadata projection; all
     JVM expressions (the 'does the plumbing prune/push down' check)."""
@@ -138,20 +164,130 @@ def byte_histogram(media: DataFrame, bins: int = 16,
     return src.mapInPandas(extract, schema=out_schema)
 
 
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Pure-numpy netpbm encoder: (H, W) uint8 -> binary PGM (P5),
+    (H, W, 3) uint8 -> binary PPM (P6). Test-fixture twin of
+    `decode_image_bytes` — round-trips bit-for-bit."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic = b"P5"
+        h, w = a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic = b"P6"
+        h, w = a.shape[:2]
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
+    return magic + b"\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Pure-numpy uncompressed 24-bit BMP encoder (BITMAPINFOHEADER,
+    BI_RGB, bottom-up rows, 4-byte row padding). Input (H, W, 3) uint8
+    in RGB order; stored as BGR per the format."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H,W,3) uint8, got {a.shape}")
+    h, w = a.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    pix = rows.tobytes()
+    header = (b"BM"
+              + (54 + len(pix)).to_bytes(4, "little")   # file size
+              + b"\x00\x00\x00\x00"
+              + (54).to_bytes(4, "little")               # pixel offset
+              + (40).to_bytes(4, "little")               # info header size
+              + w.to_bytes(4, "little")
+              + h.to_bytes(4, "little", signed=True)     # bottom-up
+              + (1).to_bytes(2, "little")                # planes
+              + (24).to_bytes(2, "little")               # bpp
+              + (0).to_bytes(4, "little")                # BI_RGB
+              + len(pix).to_bytes(4, "little")
+              + b"\x00" * 16)
+    return header + pix
+
+
+def _parse_netpbm(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PGM (P5) / PPM (P6) header — whitespace-separated
+    width, height, maxval with '#' comments — and return (width, height,
+    flat uint8 pixel array). Raster starts one whitespace byte after
+    maxval, per the netpbm spec."""
+    channels = 3 if buf[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and buf[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed netpbm header")
+        fields.append(int(buf[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pos += 1  # exactly one whitespace byte before the raster
+    n = w * h * channels
+    pix = np.frombuffer(buf, dtype=np.uint8, count=n, offset=pos)
+    return w, h, pix
+
+
+def _parse_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse an uncompressed (BI_RGB) 24-bit or 8-bit BMP and return
+    (width, height, flat uint8 pixel array in row-major top-down order,
+    BGR byte order for 24-bit). Handles bottom-up (positive height) and
+    top-down (negative height) layouts and 4-byte row padding."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    off = int.from_bytes(buf[10:14], "little")
+    w = int.from_bytes(buf[18:22], "little", signed=True)
+    h = int.from_bytes(buf[22:26], "little", signed=True)
+    bpp = int.from_bytes(buf[28:30], "little")
+    compression = int.from_bytes(buf[30:34], "little")
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"only uncompressed 8/24-bit BMP supported "
+            f"(bpp={bpp}, compression={compression})")
+    nch = bpp // 8
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(buf, dtype=np.uint8, count=h * stride,
+                         offset=off).reshape(h, stride)[:, :w * nch]
+    if not top_down:
+        rows = rows[::-1]
+    return w, h, np.ascontiguousarray(rows).reshape(-1)
+
+
+def decode_image_bytes(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Real pure-numpy image decode: dispatch on the magic bytes to the
+    netpbm (P5/P6) or uncompressed-BMP kernel. Compressed formats (JPEG/
+    PNG) need codec libraries absent from this container and raise
+    ``NotImplementedError`` — the dispatch point a PIL-backed kernel
+    would extend."""
+    if buf[:2] in (b"P5", b"P6"):
+        return _parse_netpbm(buf)
+    if buf[:2] == b"BM":
+        return _parse_bmp(buf)
+    raise NotImplementedError(
+        f"unsupported image magic {buf[:2]!r}: only netpbm (P5/P6) and "
+        "uncompressed BMP decode without external codec libraries")
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads to (decoded_width, decoded_height, mean_intensity).
 
-    Real decoding needs PIL/ffmpeg (absent in this container) — attempting
-    it raises ``NotImplementedError``. With ``fake=True`` a deterministic
-    stand-in (first/last byte arithmetic) exercises the identical Arrow
-    path so schema, batching, and partitioning are all testable."""
-    if not fake:
-        # a real PIL/ffmpeg decode kernel would replace the loop body
-        # below; the Arrow plumbing (schema, batching, partitioning) is
-        # identical and is what fake=True exercises
-        raise NotImplementedError(
-            "media decode requires PIL/ffmpeg which are not installed; "
-            "pass fake=True for the deterministic test stand-in")
+    The real path (`fake=False`) runs `decode_image_bytes` — an actual
+    pure-numpy netpbm/BMP decode — per payload inside the Arrow batch
+    loop: dimensions come from the parsed header (NOT the metadata
+    struct) and mean_intensity is the exact integer pixel sum divided
+    once. Payloads in formats needing absent codec libs (JPEG/PNG) raise.
+    With ``fake=True`` a deterministic stand-in (metadata echo + raw byte
+    mean) exercises the identical Arrow path for opaque payloads."""
 
     out_schema = StructType([
         StructField("media_id", LongType(), False),
@@ -160,7 +296,8 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
         StructField("mean_intensity", DoubleType(), True),
     ])
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def decode_fake(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             w, h, m = [], [], []
             for buf, meta in zip(pdf["payload"], pdf["meta"]):
@@ -176,8 +313,32 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
                                 "decoded_height": pd.array(h, dtype="Int32"),
                                 "mean_intensity": m})
 
-    return media.select("media_id", "payload", "meta").mapInPandas(
-        decode, schema=out_schema)
+    def decode_real(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, m = [], [], []
+            for buf in pdf["payload"]:
+                if buf is None:
+                    w.append(None); h.append(None); m.append(None)
+                    continue
+                dw, dh, pix = decode_image_bytes(bytes(buf))
+                w.append(dw)
+                h.append(dh)
+                # exact integer sum, one float division — oracle's avg()
+                # over the same bytes reproduces it bit-for-bit
+                m.append(float(int(pix.sum(dtype=np.int64)) / len(pix))
+                         if len(pix) else 0.0)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "decoded_width": pd.array(w, dtype="Int32"),
+                                "decoded_height": pd.array(h, dtype="Int32"),
+                                "mean_intensity": m})
+
+    if fake:
+        return media.select("media_id", "payload", "meta").mapInPandas(
+            decode_fake, schema=out_schema)
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    return _spread(media.select("media_id", "payload")).mapInPandas(
+        decode_real, schema=out_schema)
 
 
 def patch_grid(media: DataFrame, width: int = 32,
