@@ -3550,8 +3550,7 @@ def oracle_sql() -> dict[str, str]:
         b AS (SELECT media_id, w,
                      ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT
                        AS byte
-              FROM f, (SELECT unnest(range(0, n)) AS j)
-              WHERE j < w * 9)
+              FROM f, (SELECT unnest(range(0, w * 9)) AS j))
         SELECT media_id, w AS decoded_width,
                CAST(3 AS INT) AS decoded_height,
                {_pr("avg(byte)", 9)} AS mean_intensity

@@ -84,5 +84,84 @@ def test_decode_media_fake_and_gate(spark):
     # payload of doc 0 is all 'x' (120): mean intensity exactly 120
     assert byid[0]["mean_intensity"] == 120.0
     assert byid[0]["decoded_width"] == (10 * 7) % 1920 + 16
-    with pytest.raises(NotImplementedError):
-        decode_media(m, fake=False)
+    # real path on OPAQUE payloads: building the plan is lawful (the
+    # decode is lazy), the per-payload magic-byte gate raises at
+    # ACTION time inside the Arrow stage (round-8 contract)
+    lazy = decode_media(m, fake=False)
+    with pytest.raises(Exception, match="unsupported image magic"):
+        lazy.collect()
+
+
+def test_decode_media_real_ppm_payloads(spark):
+    """The real decode path end-to-end on spec-conformant PPM payloads
+    built by synth_ppm_media: header-parsed dimensions and the exact
+    raster mean (every text byte is 'x' = 120)."""
+    from lswms_forage_etl_spark.operators.multimodal import synth_ppm_media
+    rows = decode_media(synth_ppm_media(_docs(spark)), fake=False).collect()
+    # docs 8-11 are the ones long enough for their w*3*3-byte raster
+    assert {r["media_id"] for r in rows} == {8, 9, 10, 11}
+    for r in rows:
+        assert r["decoded_width"] == r["media_id"] % 8 + 4
+        assert r["decoded_height"] == 3
+        assert r["mean_intensity"] == 120.0
+
+
+def test_ppm_pgm_roundtrip():
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_image_bytes, encode_ppm)
+    rgb = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    w, h, pix = decode_image_bytes(encode_ppm(rgb))
+    assert (w, h) == (4, 5)
+    assert np.array_equal(pix, rgb.reshape(-1))
+    grey = np.arange(6 * 7, dtype=np.uint8).reshape(6, 7)   # P5 path
+    w, h, pix = decode_image_bytes(encode_ppm(grey))
+    assert (w, h) == (7, 6)
+    assert np.array_equal(pix, grey.reshape(-1))
+
+
+def test_netpbm_comment_and_bad_headers():
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_image_bytes)
+    buf = b"P5\n# a comment\n4 2\n255\n" + bytes(range(8))
+    w, h, pix = decode_image_bytes(buf)
+    assert (w, h) == (4, 2) and np.array_equal(pix, np.arange(8))
+    with pytest.raises(ValueError, match="malformed"):
+        decode_image_bytes(b"P6\nnot-a-number\n")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_image_bytes(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+
+def test_bmp_roundtrip_24bit_with_padding():
+    """w=5 forces a padded stride (15 -> 16) — the exact case a naive
+    reshape corrupts; decode returns top-down BGR regardless of the
+    stored layout."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_image_bytes, encode_bmp)
+    rgb = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    expect = rgb[:, :, ::-1].reshape(-1)                  # top-down BGR
+    for top_down in (False, True):
+        w, h, pix = decode_image_bytes(encode_bmp(rgb, top_down=top_down))
+        assert (w, h) == (5, 3)
+        assert np.array_equal(pix, expect), f"top_down={top_down}"
+
+
+def test_bmp_roundtrip_8bit():
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_image_bytes, encode_bmp)
+    grey = np.arange(4 * 6, dtype=np.uint8).reshape(4, 6)
+    for top_down in (False, True):
+        w, h, pix = decode_image_bytes(encode_bmp(grey, top_down=top_down))
+        assert (w, h) == (6, 4)
+        assert np.array_equal(pix, grey.reshape(-1)), f"top_down={top_down}"
+
+
+def test_decode_dispatch_gates():
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_image_bytes, encode_bmp)
+    with pytest.raises(NotImplementedError, match="unsupported image magic"):
+        decode_image_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    # compressed / exotic-depth BMPs hit the documented in-format gate
+    buf = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
+    buf[30:34] = (1).to_bytes(4, "little")                 # BI_RLE8
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_image_bytes(bytes(buf))
