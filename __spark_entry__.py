@@ -1510,7 +1510,18 @@ def q_dedup_incremental(spark, sf):
         docs, F.expr("cast(substring(source, 4) as int) >= 15"))
 
 
-def q_text_eval_overlap(spark, sf):
+# Gram-key width for text_eval_overlap, in md5 hex chars (4 bits each).
+# 16 (64 bits) halves the staged bytes and join shuffle vs full md5 and
+# is collision-safe at bench scales: with n distinct grams, expected
+# colliding PAIRS ~ n^2 / 2^65 — ~1e-2 at the 100x slice's 5.6e8 grams.
+# At a true 100 TB corpus (~1e12 grams) that birthday term reaches
+# ~2.7e4 false gram matches; set 32 (full 128-bit md5) there — the
+# oracle derives from the same constant, so both engines move together
+# (VERDICT r8 item 7).
+EVAL_OVERLAP_KEY_HEX = 16
+
+
+def q_text_eval_overlap(spark, sf, key_hex_chars: int | None = None):
     """The canonical n-gram decontamination recipe (GPT-3 appendix /
     Llama): flag every TRAIN document sharing ANY 8-token n-gram with
     the eval split (sources split by parity; 8 rather than 13 because
@@ -1531,6 +1542,7 @@ def q_text_eval_overlap(spark, sf):
     exchange. 100x wall 15.2 s -> ~11 s, sf0.1 1.42 -> ~0.8 s."""
     from lswms_forage_etl_spark.functions.text import ngram_array
     from lswms_forage_etl_spark.operators.dedup import _spread
+    kh = key_hex_chars or EVAL_OVERLAP_KEY_HEX
     docs = _t(spark, sf, "documents")
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
                     lambda t: t != "")
@@ -1546,13 +1558,41 @@ def q_text_eval_overlap(spark, sf):
         "doc_id", split,
         F.explode(F.array_distinct(
             F.transform(ngram_array(toks, 8),
-                        lambda g: F.substring(F.md5(g), 1, 16))))
+                        lambda g: F.substring(F.md5(g), 1, kh))))
         .alias("gfp")))
     ev = grams.where(F.col("split") == 1).select("gfp")
     return (grams.where(F.col("split") == 0)
             .join(ev, "gfp", "semi")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams")))
+
+
+def _eval_overlap_sql(key_hex_chars: int) -> str:
+    """text_eval_overlap oracle, parameterized on the gram-key width so
+    it tracks `EVAL_OVERLAP_KEY_HEX` (and so tests can pin Spark/DuckDB
+    parity at the widened 32-char setting too)."""
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(substring(source, 4) AS INT) % 2 AS split,
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, split, unnest(list_distinct(
+                 CASE WHEN len(toks) >= 8 THEN
+                   list_transform(range(0, len(toks) - 7),
+                     i -> substring(md5(array_to_string(
+                            toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)],
+                            ' ')), 1, {key_hex_chars}))
+                 ELSE [] END)) AS gfp
+          FROM t),
+        ev AS (SELECT DISTINCT gfp FROM g WHERE split = 1)
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
+        FROM g JOIN ev USING (gfp)
+        WHERE g.split = 0
+        GROUP BY g.doc_id
+    """
 
 
 def q_dedup_bloom_probe(spark, sf):
@@ -3406,29 +3446,9 @@ def oracle_sql() -> dict[str, str]:
 
     # n-gram decontamination: any shared 8-gram between a train doc and
     # the eval split flags the train doc (distinct grams per doc on
-    # BOTH sides so the count is of distinct shared n-grams)
-    sql["text_eval_overlap"] = r"""
-        WITH t AS (
-          SELECT doc_id,
-                 CAST(substring(source, 4) AS INT) % 2 AS split,
-                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                             x -> x <> '') AS toks
-          FROM documents),
-        g AS (
-          SELECT doc_id, split, unnest(list_distinct(
-                 CASE WHEN len(toks) >= 8 THEN
-                   list_transform(range(0, len(toks) - 7),
-                     i -> substring(md5(array_to_string(
-                            toks[CAST(i + 1 AS INT):CAST(i + 8 AS INT)],
-                            ' ')), 1, 16))
-                 ELSE [] END)) AS gfp
-          FROM t),
-        ev AS (SELECT DISTINCT gfp FROM g WHERE split = 1)
-        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_ngrams
-        FROM g JOIN ev USING (gfp)
-        WHERE g.split = 0
-        GROUP BY g.doc_id
-    """
+    # BOTH sides so the count is of distinct shared n-grams); gram-key
+    # width comes from the SAME constant as the Spark side
+    sql["text_eval_overlap"] = _eval_overlap_sql(EVAL_OVERLAP_KEY_HEX)
 
     # Bloom-prefiltered incremental dedup: the Bloom stage is pruning
     # only (no false negatives; exact verify removes false positives),
