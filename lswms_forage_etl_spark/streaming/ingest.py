@@ -7,19 +7,19 @@ Composition per micro-batch:
 
   readStream (file source, schema-enforced)
     -> scan-side C4-style gates (token count, quality score, lang allow)
-    -> STREAM-STATIC anti-join against the persistent fingerprint index
-       (the already-ingested corpus; static side re-read per micro-batch,
-       so index updates between batches are picked up automatically)
     -> streaming dropDuplicates on the fingerprint WITHIN the stream
        (Spark-native keyed state — catches dups that arrive in the same
        or later micro-batches; state survives restarts via the
        checkpoint. The custom applyInPandasWithState variant with
        event-time TTL lives in stateful.stream_exact_dedup — built-in
        state is preferred here because the full row must pass through)
-    -> writeStream to partitioned parquet + checkpoint
-       (near-dup topology: foreachBatch instead — exact gate +
-       signature probe + survivor append + O(batch) index appends all
-       inside the micro-batch; see run_ingest_once / _gate_and_land)
+    -> foreachBatch (`_gate_and_land`): exact anti-join against the
+       persistent fingerprint index (read per batch with a FRESH file
+       listing, so each batch sees the previous batch's appends),
+       optional near-dup signature probe, survivor append, O(batch)
+       index appends. `ingest_stream` can still wire the anti-join
+       INTO the stream (stream-static join) for continuous custom-sink
+       topologies that never mutate the index mid-run.
 
 Scale notes: the anti-join keys on the uniform 128-bit fingerprint (a
 broadcast when the index is small, shuffle hash join when not); state
@@ -217,13 +217,14 @@ def _swap_table(spark: SparkSession, table: str, merged: DataFrame) -> None:
 
 
 def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
-                   sig_index_table: str, out_dir: str,
+                   sig_index_table: str | None, out_dir: str,
                    near_dup_threshold: float = 0.5,
                    num_hashes: int = 16, bands: int = 8) -> None:
-    """The near-dup ingest micro-batch body (runs inside foreachBatch):
+    """The ingest micro-batch body (runs inside foreachBatch):
     exact-gate the batch against the CURRENT fp index, probe the
-    remainder against the signature index, append survivors to the
-    corpus, then append the survivors' fp / signature rows to the two
+    remainder against the signature index (when `sig_index_table` is
+    set — the exact-only path skips the probe), append survivors to
+    the corpus, then append the survivors' fp / signature rows to the
     indexes.
 
     Why appends and not swaps: survivors passed the exact left-anti
@@ -253,33 +254,39 @@ def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
     spark = batch_df.sparkSession
     known = spark.read.parquet(known_fp_table).select("fp")
     fresh = (batch_df.withColumn("fp", fingerprint("text"))
-             .join(known, "fp", "left_anti").persist())
-    try:
-        sig_index = spark.read.parquet(sig_index_table)
-        flagged = near_dup_flagged(fresh.drop("fp"), sig_index,
-                                   threshold=near_dup_threshold,
-                                   num_hashes=num_hashes, bands=bands)
-        # ONE materialization, lineage TRUNCATED (localCheckpoint, not
-        # persist): the index appends below write to paths this plan
-        # READS, and an append to a read path makes CacheManager
-        # re-cache every dependent cached plan — a persisted survivor
-        # batch would re-run its anti-join against the just-appended
-        # index and silently empty itself before the sig write
-        # (round-9 measured: 0-row signature appends). The checkpoint
-        # pins the batch as a LogicalRDD with no path dependency.
-        survivors = fresh.join(flagged, "doc_id", "left_anti") \
-            .localCheckpoint()
-    finally:
-        fresh.unpersist()
+             .join(known, "fp", "left_anti"))
+    # ONE materialization, lineage TRUNCATED (localCheckpoint, not
+    # persist): the index appends below write to paths this plan
+    # READS, and an append to a read path makes CacheManager
+    # re-cache every dependent cached plan — a persisted survivor
+    # batch would re-run its anti-join against the just-appended
+    # index and silently empty itself before the sig write
+    # (round-9 measured: 0-row signature appends). The checkpoint
+    # pins the batch as a LogicalRDD with no path dependency.
+    if sig_index_table is None:
+        survivors = fresh.localCheckpoint()
+    else:
+        fresh = fresh.persist()
+        try:
+            sig_index = spark.read.parquet(sig_index_table)
+            flagged = near_dup_flagged(fresh.drop("fp"), sig_index,
+                                       threshold=near_dup_threshold,
+                                       num_hashes=num_hashes, bands=bands)
+            survivors = fresh.join(flagged, "doc_id", "left_anti") \
+                .localCheckpoint()
+        finally:
+            fresh.unpersist()
     if not survivors.head(1):
         return
     (survivors.drop("fp").write.mode("append")
      .partitionBy("lang").parquet(out_dir))
     survivors.select("fp").write.mode("append").parquet(known_fp_table)
-    from lswms_forage_etl_spark.operators.dedup import minhash_signatures
-    minhash_signatures(survivors.select("doc_id", "text"),
-                       num_hashes=num_hashes) \
-        .write.mode("append").parquet(sig_index_table)
+    if sig_index_table is not None:
+        from lswms_forage_etl_spark.operators.dedup import (
+            minhash_signatures)
+        minhash_signatures(survivors.select("doc_id", "text"),
+                           num_hashes=num_hashes) \
+            .write.mode("append").parquet(sig_index_table)
 
 
 def run_ingest_once(spark: SparkSession, input_dir: str,
@@ -290,31 +297,32 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
                     num_hashes: int = 16, bands: int = 8,
                     **kwargs) -> None:
     """One availableNow pass: process every currently-visible file,
-    append survivors to the corpus, and refresh the fingerprint index
-    (idempotent — a re-run with the same checkpoint processes nothing).
-    The index refresh derives from the corpus output itself, so the
-    NEXT run's anti-join sees everything this run ingested.
+    append survivors to the corpus, and keep the fingerprint index
+    current (idempotent — a re-run with the same checkpoint processes
+    nothing).
 
-    With `sig_index_table` set, the run also gates NEAR-duplicates
-    (VERDICT r6 missing #2) — the stream's sink is `foreachBatch`
-    running `_gate_and_land`: exact fp gate vs the live index, banded
-    asymmetric signature probe (`near_dup_flagged` + Broder estimate),
-    survivor append, and O(batch) index appends, all inside the
+    Both paths share ONE foreachBatch topology (`_gate_and_land`,
+    round-9 unification): exact fp gate vs the live index (fresh file
+    listing per batch), optional banded asymmetric signature probe
+    (`near_dup_flagged` + Broder estimate) when `sig_index_table` is
+    set, survivor append, and O(batch) index appends — all inside the
     micro-batch so the checkpoint's exactly-once contract covers the
-    whole pipeline and batch N+1 probes against batch N's survivors. A
-    mutated boilerplate page — new fingerprint, jaccard >= threshold
-    against an ingested doc — is dropped at ingest instead of passing
-    the exact-fp gate. Index compaction (the appends accrue one file
-    set per batch) is ordinary parquet maintenance, outside this loop.
+    whole pipeline and batch N+1 gates against batch N's survivors.
+    (The previous exact-only path re-derived the fp index from the
+    WHOLE corpus and rewrote it per run — O(corpus) work a 100 TB
+    ingest cannot pay, and its crash window between the sink commit
+    and the index swap lost index entries permanently; the in-batch
+    append is covered by batch replay + the exact re-gate.)
+
+    With the probe on, a mutated boilerplate page — new fingerprint,
+    jaccard >= threshold against an ingested doc — is dropped at
+    ingest instead of passing the exact-fp gate. The appends accrue
+    one file set per batch; `compact_index` is the maintenance op.
 
     Crash-window semantics are documented on `_gate_and_land`."""
     recover_index(spark, known_fp_table)
-    if sig_index_table is None:
-        _stream_to(spark, input_dir, known_fp_table, out_dir,
-                   checkpoint_dir, **kwargs)
-        _refresh_fp_index(spark, known_fp_table, out_dir)
-        return
-    recover_index(spark, sig_index_table)
+    if sig_index_table is not None:
+        recover_index(spark, sig_index_table)
     # known_fp_table=None: the exact gate lives in the batch body (a
     # plan-time stream-static anti-join would pin a file listing that
     # the in-run index appends invalidate)
@@ -333,30 +341,20 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
     q.awaitTermination()
 
 
-def _stream_to(spark: SparkSession, input_dir: str,
-               known_fp_table: str, out_dir: str,
-               checkpoint_dir: str, **kwargs) -> None:
-    """The availableNow stream pass: gated/exact-deduped -> parquet at
-    `out_dir` (exactly-once via the checkpoint)."""
-    out = ingest_stream(spark, input_dir, known_fp_table, **kwargs)
-    q = (out.writeStream
-         .format("parquet")
-         .option("path", out_dir)
-         .option("checkpointLocation", checkpoint_dir)
-         .partitionBy("lang")
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
+def compact_index(spark: SparkSession, table: str,
+                  target_bytes: int = 128 << 20) -> int:
+    """Compact an append-mode index's accumulated per-batch file sets
+    into ~`target_bytes` parquet parts via the atomic two-rename swap
+    (`_swap_table`; a crash mid-swap is healed by `recover_index`).
+    Returns the part count written.
 
-
-def _refresh_fp_index(spark: SparkSession, known_fp_table: str,
-                      out_dir: str) -> None:
-    """fp index := old index UNION fps(out_dir), atomically swapped."""
-    fs, hpath = _index_fs(spark, out_dir)
-    if not fs.exists(hpath(out_dir)):
-        return                          # stream produced no output
-    merged = (spark.read.parquet(known_fp_table).select("fp")
-              .unionAll(spark.read.parquet(out_dir)
-                        .select(fingerprint("text").alias("fp")))
-              .distinct())
-    _swap_table(spark, known_fp_table, merged)
+    This is the maintenance half of the O(batch) ingest-append design:
+    ingest never pays more than its own batch, and the O(index) rewrite
+    runs here, on a cadence (e.g. when the file count crosses a
+    threshold), exactly like parquet/Delta small-file compaction. One
+    round-robin shuffle, no skew (fp/minhash rows are uniform)."""
+    fs, hpath = _index_fs(spark, table)
+    size = int(fs.getContentSummary(hpath(table)).getLength())
+    parts = max(1, -(-size // target_bytes))
+    _swap_table(spark, table, spark.read.parquet(table).repartition(parts))
+    return parts

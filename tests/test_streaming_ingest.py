@@ -226,3 +226,35 @@ def test_ingest_gate_replay_idempotent(spark, tmp_path):
     # index set semantics held through the replay: seed + 2 survivors
     assert spark.read.parquet(idx).count() == 3
     assert spark.read.parquet(sidx).count() == 3
+
+
+def test_compact_index_and_crash_recovery(spark, tmp_path):
+    """The maintenance half of the O(batch) append design: compaction
+    merges the per-batch file sets without changing the row set, via
+    the checked two-rename swap; a crash between the renames (live
+    path gone, .bak present) is healed by recover_index."""
+    import glob
+    import os
+
+    from lswms_forage_etl_spark.streaming.ingest import (
+        compact_index, recover_index)
+
+    idx = str(tmp_path / "fp_index")
+    # three append batches -> >= 3 part-file sets
+    for b in range(3):
+        spark.createDataFrame([(f"fp{b}{i}",) for i in range(4)],
+                              "fp string").write.mode("append").parquet(idx)
+    before = {r["fp"] for r in spark.read.parquet(idx).collect()}
+    assert len(glob.glob(f"{idx}/part-*.parquet")) >= 3
+    parts = compact_index(spark, idx, target_bytes=1 << 30)
+    assert parts == 1
+    assert len(glob.glob(f"{idx}/part-*.parquet")) == 1
+    assert {r["fp"] for r in spark.read.parquet(idx).collect()} == before
+    assert not os.path.exists(idx + ".bak")   # swap cleaned up
+
+    # crash window: live renamed aside, second rename never happened
+    os.rename(idx, idx + ".bak")
+    assert recover_index(spark, idx) is True
+    assert {r["fp"] for r in spark.read.parquet(idx).collect()} == before
+    # normal case: live exists -> recovery is a no-op
+    assert recover_index(spark, idx) is False
