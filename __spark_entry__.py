@@ -1468,6 +1468,84 @@ def q_sample_global_k(spark, sf):
             .select("doc_id", "lang", "source"))
 
 
+def q_sample_weighted_k(spark, sf):
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis-
+    Spirakis exponential keys): k=100 documents weighted by n_chars —
+    e = -ln(u)/w over the deterministic hash-uniform u, k smallest keys
+    win. One scan-side expression + TakeOrdered; the sample is a pure
+    function of the keys, so engines/retries/partitionings agree on
+    the exact member set. ekey is emitted milli-scaled (keys are
+    ~1e-5) so the 6-dp portable rounding keeps signal."""
+    from lswms_forage_etl_spark.operators.sampling import weighted_sample_k
+    docs = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    out = weighted_sample_k(docs, 100, "n_chars", "doc_id")
+    return out.select(
+        "doc_id", "n_chars",
+        pround(F.col("_ekey") * F.lit(1000.0), 6).alias("ekey_milli"))
+
+
+BM25_QUERY_TERMS = ("vector", "stream", "window")
+
+
+def q_text_bm25_topk(spark, sf):
+    """Okapi BM25 top-20 retrieval for a literal term query — the
+    sparse-lexical complement to the ANN family (hard-negative mining,
+    contamination triage, dataset search). Scoring follows the repo's
+    exact-integer convention (operators/retrieval.py): 1e6-scaled
+    integer idf (text_rarity's div), per-term contributions floored
+    into int64, EXACT integer sum — ordering and the k-cut are integer
+    comparisons, so engines cannot disagree; one display division at
+    the end."""
+    from lswms_forage_etl_spark.operators.retrieval import bm25_topk
+    out = bm25_topk(_t(spark, sf, "documents"),
+                    list(BM25_QUERY_TERMS), k=20)
+    return out.select(
+        "doc_id", "score12",
+        pround(F.col("score12").cast("double") / F.lit(1e12), 6)
+        .alias("bm25"))
+
+
+def _bm25_sql(terms, k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """text_bm25_topk oracle, generated from the SAME constants/literal
+    computation as operators/retrieval.bm25_topk (k1+1 etc. go through
+    identical float repr, so both engines parse the same double)."""
+    kk1 = float(k1) + 1.0
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms))
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df{i}"
+        for i in range(len(terms)))
+    contribs = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN CAST(floor("
+        f"CAST((1000000 * n) // df{i} AS DOUBLE)"
+        f" * (CAST(tf{i} AS DOUBLE) * {kk1!r})"
+        f" / (CAST(tf{i} AS DOUBLE) + {float(k1)!r} * ({1.0 - float(b)!r}"
+        f" + {float(b)!r} * (CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+        f" * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(len(terms)))
+    return rf"""
+        WITH t AS (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS toks
+                   FROM documents),
+        d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, {tf_cols}
+              FROM t),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl, {dfs}
+              FROM d),
+        c AS (SELECT doc_id, {contribs} AS score12 FROM d, s)
+        SELECT doc_id, score12,
+               {_pr("CAST(score12 AS DOUBLE) / 1000000000000.0", 6)} AS bm25
+        FROM c WHERE score12 > 0
+        ORDER BY score12 DESC, doc_id
+        LIMIT {k}
+    """
+
+
 def q_mm_patches(spark, sf):
     """ViT-style patch tiling: payload bytes as a 32-wide row-major
     image, 8x8 patches, per-patch byte count + mean intensity — one row
@@ -1762,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_patches": q_mm_patches,
         "text_rarity": q_text_rarity,
         "sample_global_k": q_sample_global_k,
+        "sample_weighted_k": q_sample_weighted_k,
+        "text_bm25_topk": q_text_bm25_topk,
         "dedup_remove_spans": q_dedup_remove_spans,
         "kmeans_assign": q_kmeans_assign,
         "dedup_bloom_probe": q_dedup_bloom_probe,
@@ -3513,6 +3593,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang, source FROM documents
         ORDER BY {_u32}, doc_id LIMIT 200
     """
+
+    # Efraimidis-Spirakis weighted without-replacement sample: the
+    # exponential key replays the Spark expression exactly (same
+    # hash-uniform u, same -ln(u)/w op order)
+    sql["sample_weighted_k"] = f"""
+        WITH d AS (SELECT doc_id, n_chars, {_u32} AS u32
+                   FROM documents
+                   WHERE n_chars IS NOT NULL AND n_chars > 0),
+        e AS (SELECT doc_id, n_chars,
+                     -ln((CAST(u32 AS DOUBLE) + 0.5) / 4294967296.0)
+                       / CAST(n_chars AS DOUBLE) AS ekey
+              FROM d)
+        SELECT doc_id, n_chars, {_pr("ekey * 1000.0", 6)} AS ekey_milli
+        FROM e ORDER BY ekey, doc_id LIMIT 100
+    """
+
+    # BM25 top-k: generated from the same constants as the Spark
+    # operator (see _bm25_sql / operators/retrieval.py)
+    sql["text_bm25_topk"] = _bm25_sql(BM25_QUERY_TERMS)
 
     # rare-token density: exact integer scaled-IDF (1e6*N // df) per
     # occurrence, one portable-rounded float division at the end

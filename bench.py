@@ -59,6 +59,9 @@ HEADLINE = [
     "dedup_remove_spans",
     "kmeans_assign",
     "dedup_bloom_probe",
+    # round-9 additions
+    "text_bm25_topk",
+    "sample_weighted_k",
 ]
 
 

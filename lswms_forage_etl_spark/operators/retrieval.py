@@ -1,0 +1,89 @@
+"""Sparse lexical retrieval over the corpus: BM25 top-k.
+
+The retrieval half a training-data pipeline needs next to ANN
+(operators/similarity.py): given literal query terms, score every
+document by Okapi BM25 and return the k best — the primitive behind
+hard-negative mining, contamination triage ("which training docs does
+this eval question retrieve?") and dataset search.
+
+Engine-portable scoring (the repo's exact-integer float convention,
+CLAUDE.md): idf is the text_rarity 1e6-scaled integer
+``(1e6 * N) div df`` (log-free — cross-engine ``ln`` is libm-dependent
+in the last ulp), each term's contribution is floored at 1e-6 into an
+int64, and the per-doc score is their EXACT integer sum — associative,
+so partial aggregation order, retries, and the DuckDB oracle cannot
+disagree; ordering and top-k cut on the integer score are fully
+deterministic. One float division at the end for display.
+
+Scale shape:
+  * per-term tf is a scan-side ``size(filter(tokens, = term))`` — no
+    explode, no shuffle for the tf pass (|Q| literal terms; an
+    inverted-index join is the shape for |Q| at corpus scale).
+  * corpus stats (N, Σdl, per-term df) ride ONE 1-row aggregate
+    cross-joined into the scan (bounded BroadcastNestedLoop over a
+    single row — the text_rarity lazy-plan pattern; no eager
+    construction-time action).
+  * the top-k is orderBy+limit = TakeOrdered: per-partition partial
+    top-k, driver merges k rows/partition — never a full sort.
+
+Reference parity: the reference engine has no retrieval operator; this
+extends the text-analysis family (SURVEY §2-beyond) the way dedup/ANN
+extend it, with the same oracle discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Top-`k` documents by Okapi BM25 against `query_terms`.
+
+    Output: (id_col, bm25) — bm25 = score12 / 1e12 where score12 is the
+    exact int64 sum of per-term contributions
+    ``floor(idf6 * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)) * 1e6)``
+    with ``idf6 = (1e6 * N) div df``. Docs matching no term are
+    dropped. Ties (and the k-th cut) break on the integer score then
+    `id_col` — deterministic across engines and partitionings."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    def _tf(term: str):
+        # factory, not a default-arg lambda: F.filter treats a 2-param
+        # callable as (element, index) and would bind `term` to the
+        # index column
+        return F.size(F.filter("_toks", lambda t: t == F.lit(term)))
+
+    cols = [F.size("_toks").cast("long").alias("dl")]
+    for i, q in enumerate(query_terms):
+        cols.append(_tf(q).cast("long").alias(f"tf{i}"))
+    base = (docs.select(F.col(id_col), toks.alias("_toks"))
+            .select(id_col, *cols))
+    aggs = [F.count(F.lit(1)).alias("_n"),
+            F.sum("dl").cast("long").alias("_sumdl")]
+    for i in range(len(query_terms)):
+        aggs.append(F.sum((F.col(f"tf{i}") > 0).cast("long"))
+                    .cast("long").alias(f"df{i}"))
+    stats = base.agg(*aggs)
+    # one 1-row-side cross join (bounded BNLJ — the text_rarity corpus-
+    # count pattern); one F.expr per literal-heavy contribution chain
+    kk1 = float(k1) + 1.0
+    terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN CAST(floor("
+        f"CAST((1000000 * _n) DIV df{i} AS DOUBLE)"
+        f" * (CAST(tf{i} AS DOUBLE) * {kk1!r})"
+        f" / (CAST(tf{i} AS DOUBLE) + {float(k1)!r} * ({1.0 - float(b)!r}"
+        f" + {float(b)!r} * (CAST(dl AS DOUBLE)"
+        f" / (CAST(_sumdl AS DOUBLE) / CAST(_n AS DOUBLE)))))"
+        f" * 1000000.0) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(len(query_terms)))
+    return (base.crossJoin(stats)
+            .select(F.col(id_col), F.expr(terms).alias("_score12"))
+            .where(F.col("_score12") > 0)
+            .orderBy(F.col("_score12").desc(), id_col).limit(k)
+            .select(id_col, F.col("_score12").alias("score12")))

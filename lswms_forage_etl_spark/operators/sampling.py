@@ -127,3 +127,31 @@ def assign_splits(df: DataFrame, fractions: dict[str, float],
     for name, th in reversed(bounds):
         expr = F.when(u < F.lit(th), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def weighted_sample_k(df: DataFrame, k: int, weight_col,
+                      key_col: str, seed: int = 0) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement (the
+    Efraimidis-Spirakis A-ES one-pass algorithm): each row draws the
+    exponential key e = -ln(u) / w from its deterministic hash-uniform
+    u; the k SMALLEST keys are exactly a without-replacement sample
+    with inclusion proportional to weight. Rows with NULL or
+    non-positive weight carry zero selection mass and are excluded.
+
+    u = (u32(key) + 0.5) / 2^32 lies strictly inside (0, 1), so ln is
+    always finite; the key is a pure function of (seed, row key,
+    weight), so retries, engines and partitionings agree on the exact
+    member set — the property the whole sampling family guarantees and
+    df.sample() does not.
+
+    Scale shape: the key is one scan-side expression; selection is
+    orderBy+limit = TakeOrdered (per-partition partial top-k, driver
+    merges k rows per partition) — no shuffle of the data, no full
+    sort, any corpus size. The returned `_ekey` column lets callers
+    re-rank or audit the draw."""
+    c = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = ((sample_u32(key_col, seed).cast("double") + F.lit(0.5))
+         / F.lit(float(U32_SPAN)))
+    return (df.where(c.isNotNull() & (c > 0))
+            .withColumn("_ekey", -F.log(u) / c.cast("double"))
+            .orderBy("_ekey", key_col).limit(k))

@@ -1,0 +1,95 @@
+"""BM25 retrieval and weighted without-replacement sampling: ranking
+semantics, weight-proportionality, determinism across partitionings.
+(Cross-engine value parity is owned by the oracle gate —
+text_bm25_topk / sample_weighted_k in check_oracle.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.operators.retrieval import bm25_topk
+from lswms_forage_etl_spark.operators.sampling import weighted_sample_k
+
+
+def _corpus(spark):
+    rows = [
+        (1, "vector vector vector index probe"),          # dense in 'vector'
+        (2, "vector " + "filler " * 60),                  # one hit, long doc
+        (3, "stream stream window join"),                 # two query terms
+        (4, "join filter scan merge"),                    # no query term
+        (5, "window"),                                    # single short hit
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_ranking_semantics(spark):
+    out = bm25_topk(_corpus(spark), ["vector", "stream", "window"], k=10)
+    rows = out.collect()
+    byid = {r["doc_id"]: r["score12"] for r in rows}
+    # no-term doc excluded
+    assert 4 not in byid
+    assert set(byid) == {1, 2, 3, 5}
+    # tf saturation + length normalization: dense short doc 1 beats the
+    # long single-hit doc 2 on the same term
+    assert byid[1] > byid[2]
+    # two matched terms (3) outscore one long-doc hit (2)
+    assert byid[3] > byid[2]
+    # ordering is integer-score desc
+    scores = [r["score12"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_k_cut_and_empty_query(spark):
+    out = bm25_topk(_corpus(spark), ["vector", "stream", "window"], k=2)
+    assert out.count() == 2
+    with pytest.raises(ValueError):
+        bm25_topk(_corpus(spark), [])
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    # 200 unit-weight rows + one row with overwhelming weight: the heavy
+    # row's exponential key -ln(u)/1e9 is ~1e-9 scale, always smallest
+    rows = [(i, 1) for i in range(200)] + [(999, 1_000_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample_k(df, 10, "w", "doc_id")
+    ids = [r["doc_id"] for r in got.collect()]
+    assert len(ids) == 10
+    assert 999 in ids
+    # exact member set is partitioning-invariant
+    ids2 = [r["doc_id"]
+            for r in weighted_sample_k(df.repartition(13), 10, "w",
+                                       "doc_id").collect()]
+    assert ids == ids2
+    # keys are sorted ascending and positive/finite
+    keys = [r["_ekey"] for r in got.collect()]
+    assert keys == sorted(keys)
+    assert all(k > 0 and math.isfinite(k) for k in keys)
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (5, 7)],
+        "doc_id long, w long")
+    ids = {r["doc_id"] for r in weighted_sample_k(df, 10, "w",
+                                                  "doc_id").collect()}
+    assert ids == {1, 5}
+
+
+def test_weighted_sample_frequency_tracks_weight(spark):
+    """Statistical: over many independent draws (different seeds), a
+    weight-10 row should be selected ~10x as often as a weight-1 row
+    when k=1 of a small population (exact single-draw probability is
+    w_i / sum(w))."""
+    df = spark.createDataFrame(
+        [(1, 10)] + [(i, 1) for i in range(2, 12)],
+        "doc_id long, w long")   # total weight 20, heavy has p=0.5
+    wins = 0
+    n = 60
+    for seed in range(n):
+        top = weighted_sample_k(df, 1, "w", "doc_id", seed=seed).collect()
+        wins += top[0]["doc_id"] == 1
+    # p=0.5, n=60 -> mean 30, sd ~3.9; accept 4 sd
+    assert abs(wins - 30) < 16, wins

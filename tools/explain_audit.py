@@ -139,8 +139,10 @@ def main() -> None:
             # pack_manifest's is the 1-row data-sized shard-count
             # aggregate (tokens_per_shard derivation), same shape as
             # text_rarity's corpus count
+            # text_bm25_topk's is its 1-row corpus-stats aggregate
+            # (N, sum_dl, per-term df), the text_rarity shape
             if name in ("ann_pairwise_label_sim", "ann_topk_join",
-                        "text_rarity", "pack_manifest"):
+                        "text_rarity", "pack_manifest", "text_bm25_topk"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
