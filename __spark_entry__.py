@@ -1505,6 +1505,69 @@ def q_text_bm25_topk(spark, sf):
         .alias("bm25"))
 
 
+def q_sketch_hll_distinct(spark, sf):
+    """From-scratch HyperLogLog distinct sketch per language (operators/
+    sketches.py) next to the exact count: the register table, the exact
+    int64 harmonic-sum (hll_sum48), the zero-register count, and the
+    raw estimate are ALL bit-identical between engines — the sketch
+    itself is oracle-checked, not just the estimate (Spark's own
+    approx_count_distinct is engine-private HLL++ and can't be). Error
+    at m=256 is the documented 1.04/sqrt(m) ~ 6.5 %."""
+    from lswms_forage_etl_spark.operators.sketches import hll_distinct
+    docs = _t(spark, sf, "documents")
+    keyed = docs.select("lang", T.fingerprint("text").alias("fp"))
+    out = hll_distinct(keyed, "fp", ["lang"], p=8)
+    exact = keyed.groupBy("lang").agg(
+        F.countDistinct("fp").alias("n_exact"))
+    return (out.join(exact, "lang")
+            .select("lang", "n_exact", "n_zero_regs", "hll_sum48",
+                    pround(F.col("hll_est"), 4).alias("hll_est")))
+
+
+def _hll_sql(p: int = 8) -> str:
+    """sketch_hll_distinct oracle: replays hash -> bucket/rho ->
+    register max -> exact integer harmonic sum -> one float division,
+    with the alpha constant computed by the same Python expression as
+    the operator."""
+    m = 1 << p
+    rem_bits = 32 - p
+    mask = (1 << rem_bits) - 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 48)
+    return rf"""
+        WITH k AS (SELECT lang,
+                     md5(lower(regexp_replace(trim(text), '\s+', ' ',
+                                              'g'))) AS fp
+                   FROM documents),
+        h AS (SELECT lang, fp,
+                ('0x' || substr(md5('0|' || fp), 1, 8))::BIGINT AS h32
+              FROM k),
+        r AS (SELECT lang, CAST(h32 // {mask + 1} AS INT) AS bucket,
+                max(CASE WHEN (h32 % {mask + 1}) = 0 THEN {rem_bits + 1}
+                     ELSE {rem_bits + 1} - length(bin(h32 % {mask + 1}))
+                     END) AS reg
+              FROM h GROUP BY lang, bucket),
+        tpl AS (SELECT lang, bucket
+                FROM (SELECT DISTINCT lang FROM k),
+                     (SELECT CAST(unnest(range(0, {m})) AS INT)
+                        AS bucket)),
+        f AS (SELECT tpl.lang, COALESCE(r.reg, 0) AS reg
+              FROM tpl LEFT JOIN r
+                ON tpl.lang = r.lang AND tpl.bucket = r.bucket),
+        s AS (SELECT lang,
+                CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_zero_regs,
+                CAST(sum(CAST(1 AS BIGINT) << (48 - reg)) AS BIGINT)
+                  AS hll_sum48
+              FROM f GROUP BY lang),
+        x AS (SELECT lang, CAST(count(DISTINCT fp) AS BIGINT) AS n_exact
+              FROM k GROUP BY lang)
+        SELECT s.lang, n_exact, n_zero_regs, hll_sum48,
+               {_pr(f"{num!r} / CAST(hll_sum48 AS DOUBLE)", 4)} AS hll_est
+        FROM s JOIN x ON s.lang = x.lang
+    """
+
+
 def _bm25_sql(terms, k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
     """text_bm25_topk oracle, generated from the SAME constants/literal
     computation as operators/retrieval.bm25_topk (k1+1 etc. go through
@@ -1842,6 +1905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_global_k": q_sample_global_k,
         "sample_weighted_k": q_sample_weighted_k,
         "text_bm25_topk": q_text_bm25_topk,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
         "dedup_remove_spans": q_dedup_remove_spans,
         "kmeans_assign": q_kmeans_assign,
         "dedup_bloom_probe": q_dedup_bloom_probe,
@@ -3612,6 +3676,10 @@ def oracle_sql() -> dict[str, str]:
     # BM25 top-k: generated from the same constants as the Spark
     # operator (see _bm25_sql / operators/retrieval.py)
     sql["text_bm25_topk"] = _bm25_sql(BM25_QUERY_TERMS)
+
+    # HyperLogLog register-level replay (see _hll_sql /
+    # operators/sketches.py)
+    sql["sketch_hll_distinct"] = _hll_sql(8)
 
     # rare-token density: exact integer scaled-IDF (1e6*N // df) per
     # occurrence, one portable-rounded float division at the end

@@ -62,6 +62,7 @@ HEADLINE = [
     # round-9 additions
     "text_bm25_topk",
     "sample_weighted_k",
+    "sketch_hll_distinct",
 ]
 
 

@@ -1,0 +1,92 @@
+"""Distributed cardinality sketches, engine-deterministic.
+
+`hll_distinct` is a from-scratch HyperLogLog (Flajolet-Fuss-Gandouet-
+Meunier 2007) built ENTIRELY from integer expressions, so the sketch —
+not just its estimate — is bit-identical across Spark, the DuckDB
+oracle, retries, and partitionings. Spark's own approx_count_distinct
+is HLL++ with engine-private hashing/bias tables (not replayable in
+another engine, not oracle-able); this operator trades its bias
+corrections for exact reproducibility, which is what a GRADED pipeline
+needs from a sketch (the estimate's error is the documented HLL
+1.04/sqrt(m), ~6.5 % at m=256).
+
+Determinism mechanics (the repo's exact-integer float convention):
+  * the 32-bit hash is the md5-derived `sample_u32` family (portable);
+  * bucket = top `p` bits, rho = leading-zero rank of the remaining
+    32-p bits via integer `length(bin(x))` — no float log;
+  * the harmonic-mean denominator sum(2^-reg) is computed as the EXACT
+    int64 sum of 2^(48-reg) (reg <= 25 at p=8, so each term <= 2^48
+    and 2^p terms stay far under int64) — associative, no float
+    fold-order contract; ONE float division at the end.
+
+Scale shape: one shuffle to (group, bucket) registers — output is
+|groups| x m rows regardless of input size, the whole point of a
+sketch; the m-bucket template is a generated tiny relation joined to
+the group list (broadcast). Register tables MERGE by max, so
+per-partition partial aggregation (map-side combine) applies and
+incremental / streaming maintenance is a union + re-max.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_SUM_SCALE = 48  # 2^(SCALE-reg) summed exactly in int64
+
+
+def hll_registers(df: DataFrame, key_col, group_cols: list[str],
+                  p: int = 8, seed: int = 0) -> DataFrame:
+    """The (group, bucket, reg) register table — the mergeable sketch
+    state. reg = max over rows of rho(hash suffix); buckets nobody hit
+    are ABSENT (hll_estimate fills them as 0)."""
+    from lswms_forage_etl_spark.operators.sampling import sample_u32
+    h = sample_u32(key_col, seed)
+    rem_bits = 32 - p
+    bucket = F.shiftrightunsigned(h, rem_bits).cast("int")
+    rem = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    # rho = leading zeros of the rem_bits-wide suffix + 1
+    #     = rem_bits+1 - bit_length(rem); all-zero suffix -> rem_bits+1
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)) \
+        .otherwise(F.lit(rem_bits + 1) - F.length(F.bin(rem)))
+    return (df.select(*group_cols, bucket.alias("bucket"),
+                      rho.cast("int").alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").alias("reg")))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str],
+                 p: int = 8) -> DataFrame:
+    """Fold a register table to one row per group:
+    (group..., n_zero_regs, hll_sum48, hll_est). hll_sum48 is the exact
+    integer harmonic-mean denominator (x 2^48); hll_est is the raw HLL
+    estimate alpha_m * m^2 / sum(2^-reg) — emitted UNROUNDED here,
+    callers portable-round for display/oracles."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    groups = registers.select(*group_cols).distinct()
+    template = groups.crossJoin(
+        F.broadcast(registers.sparkSession.range(m)
+                    .select(F.col("id").cast("int").alias("bucket"))))
+    full = (template.join(registers, [*group_cols, "bucket"], "left")
+            .select(*group_cols,
+                    F.coalesce(F.col("reg"), F.lit(0)).alias("reg")))
+    # F.shiftleft only takes a literal bit count — column shift via SQL
+    term = F.expr(f"shiftleft(cast(1 as bigint), {HLL_SUM_SCALE} - reg)")
+    return (full.groupBy(*group_cols)
+            .agg(F.sum(F.when(F.col("reg") == 0, 1).otherwise(0))
+                 .cast("long").alias("n_zero_regs"),
+                 F.sum(term).cast("long").alias("hll_sum48"))
+            .withColumn(
+                "hll_est",
+                F.lit(alpha * m * m * float(1 << HLL_SUM_SCALE))
+                / F.col("hll_sum48").cast("double")))
+
+
+def hll_distinct(df: DataFrame, key_col, group_cols: list[str],
+                 p: int = 8, seed: int = 0) -> DataFrame:
+    """Per-group approximate distinct count of `key_col`:
+    hll_estimate(hll_registers(...)). One register shuffle, |groups|*m
+    intermediate rows, deterministic everywhere."""
+    return hll_estimate(hll_registers(df, key_col, group_cols, p, seed),
+                        group_cols, p)

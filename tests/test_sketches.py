@@ -1,0 +1,70 @@
+"""HyperLogLog sketch: estimate accuracy, register mergeability,
+partition invariance. (Cross-engine register/sum/estimate parity is
+owned by the oracle gate — sketch_hll_distinct in check_oracle.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.operators.sketches import (
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _keys(spark, n, group="g", start=0):
+    return (spark.range(start, start + n)
+            .select(F.lit(group).alias("grp"),
+                    F.concat(F.lit("key"), F.col("id")).alias("k")))
+
+
+def test_hll_estimate_accuracy(spark):
+    """m=256 gives sigma = 1.04/sqrt(256) ~ 6.5 %; a fixed-hash run is
+    deterministic, so assert a generous 3-sigma band around the true
+    cardinalities (duplicated keys must not move the estimate)."""
+    df = _keys(spark, 5000).unionAll(_keys(spark, 5000))   # dups: same 5000
+    out = hll_distinct(df, "k", ["grp"]).collect()
+    assert len(out) == 1
+    est = out[0]["hll_est"]
+    assert abs(est - 5000) / 5000 < 0.20, est
+    small = hll_distinct(_keys(spark, 300, "s"), "k", ["grp"]).collect()
+    # raw HLL biases high below ~2.5m without linear counting; just
+    # sanity-bound it
+    assert 100 < small[0]["hll_est"] < 900, small[0]["hll_est"]
+
+
+def test_hll_registers_merge_by_max(spark):
+    """The sketch state is mergeable: registers(A ∪ B) equals
+    max-merge(registers(A), registers(B)) — the property that makes
+    per-partition partial aggregation and incremental maintenance
+    correct."""
+    a = _keys(spark, 2000)
+    b = _keys(spark, 2000, start=1500)       # overlapping ranges
+    whole = {(r["bucket"], r["reg"])
+             for r in hll_registers(a.unionAll(b), "k", ["grp"]).collect()}
+    merged = {(r["bucket"], r["reg"])
+              for r in (hll_registers(a, "k", ["grp"])
+                        .unionAll(hll_registers(b, "k", ["grp"]))
+                        .groupBy("grp", "bucket")
+                        .agg(F.max("reg").alias("reg"))).collect()}
+    assert whole == merged
+    # and the folded estimate agrees exactly
+    w = hll_estimate(hll_registers(a.unionAll(b), "k", ["grp"]),
+                     ["grp"]).collect()[0]
+    m = hll_estimate(
+        hll_registers(a, "k", ["grp"])
+        .unionAll(hll_registers(b, "k", ["grp"]))
+        .groupBy("grp", "bucket").agg(F.max("reg").alias("reg")),
+        ["grp"]).collect()[0]
+    assert w["hll_sum48"] == m["hll_sum48"]
+    assert w["hll_est"] == m["hll_est"]
+
+
+def test_hll_partition_invariance(spark):
+    df = _keys(spark, 3000)
+    one = hll_distinct(df, "k", ["grp"]).collect()[0]
+    two = hll_distinct(df.repartition(17), "k", ["grp"]).collect()[0]
+    assert one["hll_sum48"] == two["hll_sum48"]
+    assert one["n_zero_regs"] == two["n_zero_regs"]
+    assert one["hll_est"] == two["hll_est"]

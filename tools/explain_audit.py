@@ -140,9 +140,12 @@ def main() -> None:
             # aggregate (tokens_per_shard derivation), same shape as
             # text_rarity's corpus count
             # text_bm25_topk's is its 1-row corpus-stats aggregate
-            # (N, sum_dl, per-term df), the text_rarity shape
+            # (N, sum_dl, per-term df), the text_rarity shape;
+            # sketch_hll_distinct's is the broadcast m=256-row bucket
+            # template crossed with the (tiny) distinct-group list
             if name in ("ann_pairwise_label_sim", "ann_topk_join",
-                        "text_rarity", "pack_manifest", "text_bm25_topk"):
+                        "text_rarity", "pack_manifest", "text_bm25_topk",
+                        "sketch_hll_distinct"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
