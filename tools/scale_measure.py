@@ -38,6 +38,12 @@ QUERIES = [
     "dedup_remove_spans",
     "dedup_bloom_probe",
     "kmeans_assign",
+    "text_eval_overlap",
+    "pack_manifest",
+    # round-9 operators
+    "text_bm25_topk",
+    "sample_weighted_k",
+    "sketch_hll_distinct",
 ]
 
 
