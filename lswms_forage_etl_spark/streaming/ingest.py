@@ -74,10 +74,11 @@ def ingest_stream(spark: SparkSession, input_dir: str,
     stateful.stream_exact_dedup).
 
     Topology note: the index-owns-long-horizon division assumes the
-    index REFRESHES — the availableNow batch topology
-    (run_ingest_once) refreshes it between runs, so a post-eviction
-    duplicate is anti-joined on the next run. A single CONTINUOUS
-    .writeStream run reads the index once at plan time; there, a
+    index REFRESHES — the foreachBatch topology (run_ingest_once)
+    appends survivors' fps per batch and re-reads the index per batch,
+    so a post-eviction duplicate is anti-joined on the very next
+    batch. A single CONTINUOUS .writeStream run wiring the anti-join
+    HERE (stream-static) reads the index once at plan time; there, a
     duplicate arriving after its state evicted is admitted — for that
     topology either size dedup_ttl to the re-arrival horizon, pass
     dedup_ttl=None (unbounded state), or restart the stream on an
