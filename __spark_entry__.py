@@ -1568,6 +1568,120 @@ def _hll_sql(p: int = 8) -> str:
     """
 
 
+def q_text_bm25_join(spark, sf):
+    """Batched BM25 retrieval — the inverted-index join shape for a
+    whole QUERY TABLE (operators/retrieval.bm25_join): odd-parity
+    sources are the query set, even-parity sources the corpus; each
+    query's distinct tokens join the corpus posting list on the
+    uniform term key and the top-5 corpus docs per query survive a
+    per-query window. Same exact-integer scoring as text_bm25_topk,
+    so the ranking and k-cut are engine-deterministic."""
+    from lswms_forage_etl_spark.operators.retrieval import bm25_join
+    docs = _t(spark, sf, "documents")
+    par = F.expr("substring(source, 4)").cast("int") % 2
+    corpus = docs.where(par == 0)
+    queries = docs.where(par == 1) \
+        .select(F.col("doc_id").alias("query_id"), "text")
+    out = bm25_join(queries, corpus, k=5)
+    return out.select(
+        "query_id", "doc_id", "rank", "score12",
+        pround(F.col("score12").cast("double") / F.lit(1e12), 6)
+        .alias("bm25"))
+
+
+def _bm25_join_sql(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+    """text_bm25_join oracle — same literal computation as the Spark
+    operator (k1+1 through identical float repr)."""
+    kk1 = float(k1) + 1.0
+    contrib = (
+        f"CAST(floor(CAST((1000000 * n) // df AS DOUBLE)"
+        f" * (CAST(tf AS DOUBLE) * {kk1!r})"
+        f" / (CAST(tf AS DOUBLE) + {float(k1)!r} * ({1.0 - float(b)!r}"
+        f" + {float(b)!r} * (CAST(dl AS DOUBLE)"
+        f" / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))))"
+        f" * 1000000.0) AS BIGINT)")
+    return rf"""
+        WITH d AS (SELECT doc_id, CAST(substring(source, 4) AS INT) % 2
+                     AS par,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS toks
+                   FROM documents),
+        cl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks
+               FROM d WHERE par = 0),
+        tfp AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS term FROM cl)
+                GROUP BY doc_id, dl, term),
+        dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                  FROM tfp GROUP BY term),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM cl),
+        qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks))
+                 AS term
+               FROM d WHERE par = 1),
+        c AS (SELECT query_id, doc_id, {contrib} AS c12
+              FROM qt JOIN tfp USING (term) JOIN dfreq USING (term), s),
+        a AS (SELECT query_id, doc_id, CAST(sum(c12) AS BIGINT)
+                AS score12
+              FROM c GROUP BY query_id, doc_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score12 DESC, doc_id) AS rank FROM a)
+        SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score12,
+               {_pr("CAST(score12 AS DOUBLE) / 1000000000000.0", 6)} AS bm25
+        FROM r WHERE rank <= {k}
+    """
+
+
+def q_sketch_cms_counts(spark, sf):
+    """Count-Min Sketch frequency estimation (operators/sketches.py):
+    build the d=4 x w=1024 integer sketch over token occurrences, then
+    point-query it for the top-20 true tokens — (token, true_count,
+    cms_estimate), estimate >= truth by construction. Both the sketch
+    CELLS and the estimates are engine-deterministic, so the oracle
+    replays the whole structure. Two corpus scans (sketch build +
+    exact top-k for the comparison column); the sketch itself is d*w
+    rows and broadcasts into the probe at any corpus size."""
+    from lswms_forage_etl_spark.operators.sketches import (
+        cms_lookup, cms_table)
+    docs = _t(spark, sf, "documents")
+    occ = docs.select(F.explode(T.tokens("text")).alias("token"))
+    top = (occ.groupBy("token")
+           .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+           .orderBy(F.col("true_count").desc(), "token").limit(20))
+    est = cms_lookup(cms_table(occ, "token"), top.select("token"),
+                     "token")
+    return top.join(est, "token").select("token", "true_count",
+                                         "cms_estimate")
+
+
+def _cms_sql(d: int = 4, w: int = 1024) -> str:
+    """sketch_cms_counts oracle: same md5 cells, same min-over-rows."""
+    def cells(src: str) -> str:
+        items = ", ".join(
+            f"{{'r': {i}, 'c': ('0x' || substr(md5('{i}|' || token), 1, 8))"
+            f"::BIGINT % {w}}}" for i in range(d))
+        return (f"SELECT token, u.r AS r, u.c AS c FROM "
+                f"(SELECT token, unnest([{items}]) AS u FROM {src})")
+    return rf"""
+        WITH t AS (SELECT unnest(list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '')) AS token
+                   FROM documents),
+        cell AS ({cells('t')}),
+        cms AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n
+                FROM cell GROUP BY r, c),
+        top AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
+                FROM t GROUP BY token
+                ORDER BY true_count DESC, token LIMIT 20),
+        probe AS ({cells('top')}),
+        e AS (SELECT token,
+                CAST(min(COALESCE(n, 0)) AS BIGINT) AS cms_estimate
+              FROM probe LEFT JOIN cms USING (r, c) GROUP BY token)
+        SELECT top.token, true_count, cms_estimate
+        FROM top JOIN e USING (token)
+    """
+
+
 def _bm25_sql(terms, k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
     """text_bm25_topk oracle, generated from the SAME constants/literal
     computation as operators/retrieval.bm25_topk (k1+1 etc. go through
@@ -1906,6 +2020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted_k": q_sample_weighted_k,
         "text_bm25_topk": q_text_bm25_topk,
         "sketch_hll_distinct": q_sketch_hll_distinct,
+        "sketch_cms_counts": q_sketch_cms_counts,
+        "text_bm25_join": q_text_bm25_join,
         "dedup_remove_spans": q_dedup_remove_spans,
         "kmeans_assign": q_kmeans_assign,
         "dedup_bloom_probe": q_dedup_bloom_probe,
@@ -3680,6 +3796,12 @@ def oracle_sql() -> dict[str, str]:
     # HyperLogLog register-level replay (see _hll_sql /
     # operators/sketches.py)
     sql["sketch_hll_distinct"] = _hll_sql(8)
+
+    # Count-Min cells + min-over-rows replay (see _cms_sql)
+    sql["sketch_cms_counts"] = _cms_sql(4, 1024)
+
+    # batched BM25 retrieval (see _bm25_join_sql)
+    sql["text_bm25_join"] = _bm25_join_sql(5)
 
     # rare-token density: exact integer scaled-IDF (1e6*N // df) per
     # occurrence, one portable-rounded float division at the end

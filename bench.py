@@ -63,6 +63,8 @@ HEADLINE = [
     "text_bm25_topk",
     "sample_weighted_k",
     "sketch_hll_distinct",
+    "text_bm25_join",
+    "sketch_cms_counts",
 ]
 
 

@@ -90,3 +90,41 @@ def hll_distinct(df: DataFrame, key_col, group_cols: list[str],
     intermediate rows, deterministic everywhere."""
     return hll_estimate(hll_registers(df, key_col, group_cols, p, seed),
                         group_cols, p)
+
+
+def cms_table(df: DataFrame, key_col, d: int = 4, w: int = 1024,
+              seed: int = 0) -> DataFrame:
+    """Count-Min Sketch table (Cormode-Muthukrishnan 2005) over the
+    occurrences of `key_col`: d independent md5-derived hash rows of w
+    counters each — (r, c, n) with n the EXACT occurrence count of
+    keys landing in that cell. One scan (the d cells per occurrence
+    explode map-side), ONE aggregation shuffle, and the output is d*w
+    rows REGARDLESS of corpus size — the fixed-size summary a 100 TB
+    frequency pass ships to the driver or broadcasts to probes.
+    Deterministic like hll_registers: same hashes, same cells, any
+    engine/partitioning; cells merge by SUM (stream/union-friendly)."""
+    from lswms_forage_etl_spark.operators.sampling import sample_u32
+    cells = F.array(*[
+        F.pmod(sample_u32(key_col, seed + i), F.lit(w)).cast("int")
+        for i in range(d)])
+    return (df.select(F.posexplode(cells).alias("r", "c"))
+            .groupBy("r", "c")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def cms_lookup(cms: DataFrame, keys: DataFrame, key_col: str,
+               d: int = 4, w: int = 1024, seed: int = 0) -> DataFrame:
+    """Point-query the sketch: estimate = min over the key's d cells
+    (never under the true count; over by at most the collision mass,
+    P[err > 2N/w] < (1/2)^d). The sketch side is d*w rows — broadcast
+    at any corpus size, so the probe is shuffle-free on the sketch."""
+    from lswms_forage_etl_spark.operators.sampling import sample_u32
+    cells = F.array(*[
+        F.pmod(sample_u32(key_col, seed + i), F.lit(w)).cast("int")
+        for i in range(d)])
+    probe = keys.select(F.col(key_col),
+                        F.posexplode(cells).alias("r", "c"))
+    return (probe.join(F.broadcast(cms), ["r", "c"], "left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
+                 .cast("long").alias("cms_estimate")))

@@ -49,6 +49,36 @@ def test_bm25_k_cut_and_empty_query(spark):
         bm25_topk(_corpus(spark), [])
 
 
+def test_bm25_join_retrieves_matching_docs(spark):
+    """A query whose rare term appears in exactly one corpus doc must
+    rank that doc first; k bounds per-query results; ranks are dense
+    from 1."""
+    from lswms_forage_etl_spark.operators.retrieval import bm25_join
+    corpus = spark.createDataFrame([
+        (1, "zebra walks far " + "pad " * 20),
+        (2, "common words join filter scan"),
+        (3, "common words merge sort scan"),
+    ], "doc_id long, text string")
+    queries = spark.createDataFrame([
+        (101, "zebra common"),
+        (102, "words scan"),
+    ], "query_id long, text string")
+    out = bm25_join(queries, corpus, k=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["query_id"], []).append(r)
+    for qid, rows in per.items():
+        assert len(rows) <= 2
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["score12"] >= rows[-1]["score12"]
+    # 'zebra' is unique to doc 1 -> its idf dominates the common terms
+    assert per[101][0]["doc_id"] == 1
+    # query 102 matches docs 2 and 3 only
+    assert {r["doc_id"] for r in per[102]} <= {2, 3}
+
+
 def test_weighted_sample_proportional_and_deterministic(spark):
     # 200 unit-weight rows + one row with overwhelming weight: the heavy
     # row's exponential key -ln(u)/1e9 is ~1e-9 scale, always smallest

@@ -68,3 +68,48 @@ def test_hll_partition_invariance(spark):
     assert one["hll_sum48"] == two["hll_sum48"]
     assert one["n_zero_regs"] == two["n_zero_regs"]
     assert one["hll_est"] == two["hll_est"]
+
+
+def test_cms_never_underestimates_and_bounds(spark):
+    """CMS guarantees estimate >= true count; with w=64 << 500 distinct
+    keys collisions are forced, so the overestimate property is
+    actually exercised (not vacuous)."""
+    from lswms_forage_etl_spark.operators.sketches import (
+        cms_lookup, cms_table)
+    # key i occurs i%7+1 times
+    rows = [(f"key{i}",) for i in range(500) for _ in range(i % 7 + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    true = {r["k"]: r["n"] for r in
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    cms = cms_table(df, "k", d=4, w=64)
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["cms_estimate"]
+           for r in cms_lookup(cms, keys, "k", d=4, w=64).collect()}
+    n_total = sum(true.values())
+    assert set(est) == set(true)
+    over = 0
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+        over += est[k] > t
+    assert over > 0                        # collisions really happened
+    # Markov bound sanity: most estimates within 2N/w of truth
+    within = sum(est[k] - true[k] <= 2 * n_total / 64 for k in true)
+    assert within / len(true) > 0.9
+
+
+def test_cms_merge_by_sum(spark):
+    """Sketches of disjoint halves SUM-merge to the whole's sketch —
+    the union/streaming-maintenance property."""
+    from lswms_forage_etl_spark.operators.sketches import cms_table
+    rows = [(f"key{i}",) for i in range(400) for _ in range(i % 5 + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    a = df.where(F.length("k") % 2 == 0)
+    b = df.where(F.length("k") % 2 == 1)
+    whole = {(r["r"], r["c"]): r["n"]
+             for r in cms_table(df, "k").collect()}
+    merged: dict = {}
+    for part in (a, b):
+        for r in cms_table(part, "k").collect():
+            merged[(r["r"], r["c"])] = \
+                merged.get((r["r"], r["c"]), 0) + r["n"]
+    assert whole == merged
