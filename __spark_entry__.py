@@ -1484,6 +1484,45 @@ def q_sample_weighted_k(spark, sf):
         pround(F.col("_ekey") * F.lit(1000.0), 6).alias("ekey_milli"))
 
 
+REBALANCE_TARGETS = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15,
+                     "zh": 0.15}
+
+
+def q_sample_rebalance(spark, sf):
+    """Rebalance the corpus to a target language mix (40 % en, 15 %
+    each other) by DERIVED per-group keep-rates — downsample-only,
+    largest achievable corpus, hash-thresholded membership
+    (operators/sampling.rebalance_to_target). The kept SET is a pure
+    function of the counts and keys, so the oracle replays membership
+    row-for-row; group counts and the binding min stay in-plan (no
+    collect at any number of groups)."""
+    from lswms_forage_etl_spark.operators.sampling import (
+        rebalance_to_target)
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return rebalance_to_target(docs, "lang", REBALANCE_TARGETS,
+                               "doc_id").select("doc_id", "lang")
+
+
+def _rebalance_sql(targets: dict[str, float]) -> str:
+    """sample_rebalance oracle — same targets dict, same float ops."""
+    case = "CASE lang " + " ".join(
+        f"WHEN '{g}' THEN {t!r}" for g, t in targets.items()) + " END"
+    return f"""
+        WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng
+                   FROM documents GROUP BY lang),
+        t AS (SELECT lang, ng, CAST({case} AS DOUBLE) AS tg FROM c
+              WHERE {case} IS NOT NULL AND {case} > 0),
+        s AS (SELECT min(ng / tg) AS scale FROM t),
+        r AS (SELECT lang,
+                CAST(floor(LEAST(1.0, scale * tg / ng)
+                           * 4294967296.0) AS BIGINT) AS thr
+              FROM t, s)
+        SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        WHERE ('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)),
+                              1, 8))::BIGINT < thr
+    """
+
+
 BM25_QUERY_TERMS = ("vector", "stream", "window")
 
 
@@ -2022,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_distinct": q_sketch_hll_distinct,
         "sketch_cms_counts": q_sketch_cms_counts,
         "text_bm25_join": q_text_bm25_join,
+        "sample_rebalance": q_sample_rebalance,
         "dedup_remove_spans": q_dedup_remove_spans,
         "kmeans_assign": q_kmeans_assign,
         "dedup_bloom_probe": q_dedup_bloom_probe,
@@ -3802,6 +3842,9 @@ def oracle_sql() -> dict[str, str]:
 
     # batched BM25 retrieval (see _bm25_join_sql)
     sql["text_bm25_join"] = _bm25_join_sql(5)
+
+    # derived-rate mix rebalancing (see _rebalance_sql)
+    sql["sample_rebalance"] = _rebalance_sql(REBALANCE_TARGETS)
 
     # rare-token density: exact integer scaled-IDF (1e6*N // df) per
     # occurrence, one portable-rounded float division at the end

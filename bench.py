@@ -65,6 +65,7 @@ HEADLINE = [
     "sketch_hll_distinct",
     "text_bm25_join",
     "sketch_cms_counts",
+    "sample_rebalance",
 ]
 
 

@@ -155,3 +155,41 @@ def weighted_sample_k(df: DataFrame, k: int, weight_col,
     return (df.where(c.isNotNull() & (c > 0))
             .withColumn("_ekey", -F.log(u) / c.cast("double"))
             .orderBy("_ekey", key_col).limit(k))
+
+
+def rebalance_to_target(df: DataFrame, group_col: str,
+                        targets: dict[str, float], key_col: str,
+                        seed: int = 0) -> DataFrame:
+    """Downsample-only rebalancing to a TARGET group mix (the Pile/
+    Dolma data-mixing step where the weights are DERIVED from the
+    corpus rather than given — contrast corpus_mix, which applies
+    given weights): with n_g rows per group and target fraction t_g,
+    the largest corpus achievable without upsampling scales to
+    ``scale = min_g(n_g / t_g)`` and keeps ``keep_g = scale * t_g /
+    n_g`` of group g (exactly 1.0 for the binding group), decided per
+    row by the deterministic hash threshold u32(key) < floor(keep_g *
+    2^32) — the whole family's engine/retry/partitioning-invariance.
+
+    Everything stays IN-PLAN: group counts are one aggregation whose
+    result broadcast-joins back, and the binding min rides a 1-row
+    aggregate cross join — no driver collect at any corpus size, so
+    the same plan serves 5 languages or 5 million domains. Groups
+    absent from `targets` are dropped (target mass 0)."""
+    tmap = F.create_map(*[F.lit(x) for kv in targets.items()
+                          for x in kv])
+    counts = (df.groupBy(group_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("_ng"))
+              .withColumn("_tg", tmap[F.col(group_col)].cast("double"))
+              .where(F.col("_tg").isNotNull() & (F.col("_tg") > 0)))
+    scale = counts.agg(F.min(F.col("_ng") / F.col("_tg"))
+                       .alias("_scale"))
+    rates = (counts.crossJoin(scale)
+             .select(group_col,
+                     F.floor(F.least(
+                         F.lit(1.0),
+                         F.col("_scale") * F.col("_tg") / F.col("_ng"))
+                         * F.lit(float(U32_SPAN)))
+                     .cast("long").alias("_thr")))
+    return (df.join(F.broadcast(rates), group_col)
+            .where(sample_u32(key_col, seed) < F.col("_thr"))
+            .drop("_thr"))

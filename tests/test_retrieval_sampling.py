@@ -108,6 +108,32 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     assert ids == {1, 5}
 
 
+def test_rebalance_to_target_mix(spark):
+    """Derived-rate rebalancing: the binding group (scarcest relative
+    to its target) is kept whole, other groups downsample to
+    approximate the target mix, unlisted groups drop."""
+    from lswms_forage_etl_spark.operators.sampling import (
+        rebalance_to_target)
+    rows = ([(i, "big") for i in range(3000)]
+            + [(10_000 + i, "small") for i in range(300)]
+            + [(20_000 + i, "other") for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = rebalance_to_target(df, "g", {"big": 0.5, "small": 0.5},
+                              "doc_id")
+    got = {r["g"]: r["n"] for r in
+           out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "other" not in got
+    # binding group: small (300/0.5=600 < 3000/0.5) -> kept whole
+    assert got["small"] == 300
+    # big downsampled toward ~300 (hash Bernoulli: ~10% rate on 3000)
+    assert abs(got["big"] - 300) < 75, got["big"]
+    # determinism across partitionings
+    out2 = rebalance_to_target(df.repartition(13), "g",
+                               {"big": 0.5, "small": 0.5}, "doc_id")
+    assert {r["doc_id"] for r in out.collect()} == \
+        {r["doc_id"] for r in out2.collect()}
+
+
 def test_weighted_sample_frequency_tracks_weight(spark):
     """Statistical: over many independent draws (different seeds), a
     weight-10 row should be selected ~10x as often as a weight-1 row

@@ -145,7 +145,8 @@ def main() -> None:
             # template crossed with the (tiny) distinct-group list
             if name in ("ann_pairwise_label_sim", "ann_topk_join",
                         "text_rarity", "pack_manifest", "text_bm25_topk",
-                        "sketch_hll_distinct", "text_bm25_join"):
+                        "sketch_hll_distinct", "text_bm25_join",
+                        "sample_rebalance"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
