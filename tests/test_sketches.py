@@ -113,3 +113,50 @@ def test_cms_merge_by_sum(spark):
             merged[(r["r"], r["c"])] = \
                 merged.get((r["r"], r["c"]), 0) + r["n"]
     assert whole == merged
+
+
+def test_hll_streaming_maintenance(spark, tmp_path):
+    """The sketch maintains INCREMENTALLY in a streaming loop: per
+    micro-batch, registers(batch) max-merge into a persisted register
+    table (localCheckpoint before the overwrite — the round-9
+    recacheByPath/read-path lesson), and after all batches the table
+    equals the batch-built sketch of the full corpus, estimate
+    included."""
+    inp = str(tmp_path / "in")
+    reg = str(tmp_path / "registers")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "grp string, k string"
+    spark.createDataFrame([], "grp string, bucket int, reg int") \
+        .write.parquet(reg)
+
+    def gate(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        new = hll_registers(batch_df, "k", ["grp"])
+        merged = (sp.read.parquet(reg).unionAll(new)
+                  .groupBy("grp", "bucket")
+                  .agg(F.max("reg").alias("reg"))
+                  .localCheckpoint())          # truncate: target path in lineage
+        merged.write.mode("overwrite").parquet(reg)
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(inp)
+        q = (spark.readStream.schema(schema).parquet(inp)
+             .writeStream.foreachBatch(gate)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    b1 = [("g", f"key{i}") for i in range(1500)]
+    b2 = [("g", f"key{i}") for i in range(1000, 2500)]   # overlap
+    run(b1)
+    run(b2)
+    whole = hll_registers(
+        spark.createDataFrame(b1 + b2, schema), "k", ["grp"])
+    assert {(r["bucket"], r["reg"]) for r in
+            spark.read.parquet(reg).collect()} == \
+        {(r["bucket"], r["reg"]) for r in whole.collect()}
+    streamed = hll_estimate(spark.read.parquet(reg), ["grp"]).collect()[0]
+    batch = hll_estimate(whole, ["grp"]).collect()[0]
+    assert streamed["hll_sum48"] == batch["hll_sum48"]
+    assert abs(streamed["hll_est"] - 2500) / 2500 < 0.20
