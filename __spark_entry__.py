@@ -1628,9 +1628,12 @@ def q_text_bm25_join(spark, sf):
         .alias("bm25"))
 
 
-def _bm25_join_sql(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
+def _bm25_join_sql(k: int = 5, k1: float = 1.2, b: float = 0.75,
+                   champions: int = 32) -> str:
     """text_bm25_join oracle — same literal computation as the Spark
-    operator (k1+1 through identical float repr)."""
+    operator (k1+1 through identical float repr), including the
+    champion-list pruning (per-term top-c postings by tf desc, doc_id;
+    df stays the TRUE pre-pruning document frequency)."""
     kk1 = float(k1) + 1.0
     contrib = (
         f"CAST(floor(CAST((1000000 * n) // df AS DOUBLE)"
@@ -1653,13 +1656,17 @@ def _bm25_join_sql(k: int = 5, k1: float = 1.2, b: float = 0.75) -> str:
                 GROUP BY doc_id, dl, term),
         dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
                   FROM tfp GROUP BY term),
+        ch AS (SELECT doc_id, dl, term, tf FROM
+                 (SELECT *, row_number() OVER (PARTITION BY term
+                          ORDER BY tf DESC, doc_id) AS rn FROM tfp)
+               WHERE rn <= {champions}),
         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM cl),
         qt AS (SELECT doc_id AS query_id, unnest(list_distinct(toks))
                  AS term
                FROM d WHERE par = 1),
         c AS (SELECT query_id, doc_id, {contrib} AS c12
-              FROM qt JOIN tfp USING (term) JOIN dfreq USING (term), s),
+              FROM qt JOIN ch USING (term) JOIN dfreq USING (term), s),
         a AS (SELECT query_id, doc_id, CAST(sum(c12) AS BIGINT)
                 AS score12
               FROM c GROUP BY query_id, doc_id),

@@ -91,6 +91,7 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
 
 def bm25_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
               k1: float = 1.2, b: float = 0.75,
+              champions: int | None = 32,
               id_col: str = "doc_id", text_col: str = "text",
               query_id: str = "query_id") -> DataFrame:
     """Batched BM25 retrieval for a QUERY TABLE — the inverted-index
@@ -110,10 +111,19 @@ def bm25_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     oracle and the graded slices.
 
     Scale shape: postings build is one groupBy shuffle on (doc, term);
-    the retrieval join shuffles on the term key alone (skew = stopword
-    terms — the real-world fix is impact-ordered postings/WAND
-    pruning, out of scope; the synthetic vocab is uniform). Corpus
-    stats ride the 1-row aggregate cross join."""
+    the retrieval join shuffles on the term key alone. The hazard is
+    stopword terms — a term in q queries and d docs contributes q*d
+    join rows, QUADRATIC when common terms dominate (measured: the
+    synthetic 30-word vocab makes every term a stopword and the full
+    join degenerated to ~170M contribution rows / 80 s at sf0.1).
+    `champions` is the standard IR fix (champion lists / impact-first
+    pruning, Manning et al. IR ch.7): keep only each term's top-c
+    postings by (tf desc, id) — one window over the posting build —
+    so join volume is bounded by |query terms| * c, LINEAR in |Q| at
+    every corpus size, and candidates score exactly over the terms
+    that nominated them. Ranking becomes the documented champion-list
+    approximation of full BM25 (exact for docs champion in every
+    query term; `champions=None` restores the exact full join)."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda t: t != "")
     cl = corpus.select(F.col(id_col), toks.alias("_toks")) \
@@ -123,6 +133,13 @@ def bm25_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .agg(F.count(F.lit(1)).cast("long").alias("tf")))
     dfreq = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
+    if champions is not None:
+        # df stays the TRUE document frequency (computed above, before
+        # pruning) — only the posting rows eligible to score shrink
+        wch = Window.partitionBy("term").orderBy(
+            F.col("tf").desc(), id_col)
+        post = (post.withColumn("_ch", F.row_number().over(wch))
+                .where(F.col("_ch") <= champions).drop("_ch"))
     stats = cl.agg(F.count(F.lit(1)).alias("_n"),
                    F.sum("dl").cast("long").alias("_sumdl"))
     qterms = (queries.select(F.col(query_id), toks.alias("_qt"))

@@ -44,6 +44,9 @@ QUERIES = [
     "text_bm25_topk",
     "sample_weighted_k",
     "sketch_hll_distinct",
+    "text_bm25_join",
+    "sketch_cms_counts",
+    "sample_rebalance",
 ]
 
 
