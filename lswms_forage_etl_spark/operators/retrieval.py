@@ -124,6 +124,10 @@ def bm25_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
     that nominated them. Ranking becomes the documented champion-list
     approximation of full BM25 (exact for docs champion in every
     query term; `champions=None` restores the exact full join)."""
+    # tried-and-rejected (round 9): _spread on the tokenize paths —
+    # the repartition shuffles measured WORSE (3.5-4.9 s vs 2.5-2.8 s
+    # at sf0.1); unlike the md5-heavy dedup stages, one split() per
+    # row is cheaper than the extra exchange even single-threaded
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda t: t != "")
     cl = corpus.select(F.col(id_col), toks.alias("_toks")) \
