@@ -1678,6 +1678,117 @@ def _bm25_join_sql(k: int = 5, k1: float = 1.2, b: float = 0.75,
     """
 
 
+def q_sketch_kmv_jaccard(spark, sf):
+    """Cross-language shingle-set similarity via k-minimum-values
+    sketches (operators/sketches.py): per language, the KMV sketch
+    (k=256) of its distinct word-3-shingle set; per language pair,
+    the bottom-k Jaccard estimate NEXT TO the exact Jaccard — the
+    set-similarity question HLL cannot answer. Sketch rows, the
+    union's k-cut, and both ratios are engine-deterministic, so the
+    oracle replays the whole estimator. The shingle table stages once
+    (it feeds the sketch AND the exact comparison join)."""
+    from lswms_forage_etl_spark.functions.text import ngram_array
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    from lswms_forage_etl_spark.operators.sketches import (
+        kmv_jaccard_pairs, kmv_sketch)
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "")
+    sh = stage_table(_spread(docs).select(
+        "lang", F.explode(ngram_array(toks, 3)).alias("sh")).distinct())
+    est = kmv_jaccard_pairs(kmv_sketch(sh, "sh", ["lang"]), "lang") \
+        .select(F.col("ga").alias("lang_a"), F.col("gb").alias("lang_b"),
+                "m_size", "n_shared", "kmv_jaccard")
+    na = sh.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.toDF("la", "sh")
+    b = sh.toDF("lb", "sh")
+    inter = (a.join(b, "sh").where(F.col("la") < F.col("lb"))
+             .groupBy("la", "lb")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+             .select(F.col("la").alias("lang_a"),
+                     F.col("lb").alias("lang_b"), "n_inter"))
+    ni = F.coalesce(F.col("n_inter"), F.lit(0)).cast("long")
+    return (est.join(inter, ["lang_a", "lang_b"], "left")
+            .join(na.select(F.col("lang").alias("lang_a"),
+                            F.col("n").alias("n_a")), "lang_a")
+            .join(na.select(F.col("lang").alias("lang_b"),
+                            F.col("n").alias("n_b")), "lang_b")
+            .select("lang_a", "lang_b", "n_a", "n_b",
+                    ni.alias("n_inter"),
+                    pround(ni.cast("double")
+                           / (F.col("n_a") + F.col("n_b") - ni)
+                           .cast("double"), 6).alias("jaccard_exact"),
+                    "m_size", "n_shared",
+                    pround(F.col("kmv_jaccard"), 6)
+                    .alias("kmv_jaccard")))
+
+
+def _kmv_sql(k: int = 256) -> str:
+    """sketch_kmv_jaccard oracle: same 60-bit hashes, same per-group
+    bottom-k, same union k-cut and ratios."""
+    return rf"""
+        WITH t AS (SELECT lang,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS toks
+                   FROM documents),
+        sh AS (SELECT DISTINCT lang,
+                 array_to_string(toks[CAST(i + 1 AS INT)
+                                      :CAST(i + 3 AS INT)], ' ') AS sh
+               FROM t, (SELECT unnest(range(0, len(toks) - 2)) AS i)
+               WHERE len(toks) >= 3),
+        h AS (SELECT DISTINCT lang,
+                ('0x' || substr(md5('0|' || sh), 1, 15))::BIGINT
+                  AS kmv_hash
+              FROM sh),
+        kmv AS (SELECT lang, kmv_hash FROM
+                  (SELECT lang, kmv_hash, row_number() OVER
+                     (PARTITION BY lang ORDER BY kmv_hash) AS rk
+                   FROM h)
+                WHERE rk <= {k}),
+        pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+                  FROM (SELECT DISTINCT lang FROM kmv) a,
+                       (SELECT DISTINCT lang FROM kmv) b
+                  WHERE a.lang < b.lang),
+        u AS (SELECT lang_a, lang_b, kmv_hash,
+                     max(ina) AS ina, max(inb) AS inb
+              FROM (SELECT p.lang_a, p.lang_b, s.kmv_hash,
+                           1 AS ina, 0 AS inb
+                    FROM pairs p JOIN kmv s ON s.lang = p.lang_a
+                    UNION ALL
+                    SELECT p.lang_a, p.lang_b, s.kmv_hash, 0, 1
+                    FROM pairs p JOIN kmv s ON s.lang = p.lang_b)
+              GROUP BY lang_a, lang_b, kmv_hash),
+        m AS (SELECT * FROM
+                (SELECT *, row_number() OVER (PARTITION BY lang_a,
+                         lang_b ORDER BY kmv_hash) AS rk FROM u)
+              WHERE rk <= {k}),
+        e AS (SELECT lang_a, lang_b,
+                     CAST(count(*) AS BIGINT) AS m_size,
+                     CAST(sum(ina * inb) AS BIGINT) AS n_shared
+              FROM m GROUP BY lang_a, lang_b),
+        cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                FROM sh GROUP BY lang),
+        ix AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                      CAST(count(*) AS BIGINT) AS n_inter
+               FROM sh a JOIN sh b
+                 ON a.sh = b.sh AND a.lang < b.lang
+               GROUP BY a.lang, b.lang)
+        SELECT e.lang_a, e.lang_b, ca.n AS n_a, cb.n AS n_b,
+               CAST(COALESCE(ix.n_inter, 0) AS BIGINT) AS n_inter,
+               {_pr("CAST(COALESCE(ix.n_inter, 0) AS DOUBLE) / "
+                    "CAST(ca.n + cb.n - COALESCE(ix.n_inter, 0) "
+                    "AS DOUBLE)", 6)} AS jaccard_exact,
+               m_size, n_shared,
+               {_pr("CAST(n_shared AS DOUBLE) / CAST(m_size AS DOUBLE)",
+                    6)} AS kmv_jaccard
+        FROM e
+        JOIN cnt ca ON ca.lang = e.lang_a
+        JOIN cnt cb ON cb.lang = e.lang_b
+        LEFT JOIN ix ON ix.lang_a = e.lang_a AND ix.lang_b = e.lang_b
+    """
+
+
 def q_sketch_cms_counts(spark, sf):
     """Count-Min Sketch frequency estimation (operators/sketches.py):
     build the d=4 x w=1024 integer sketch over token occurrences, then
@@ -2069,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_counts": q_sketch_cms_counts,
         "text_bm25_join": q_text_bm25_join,
         "sample_rebalance": q_sample_rebalance,
+        "sketch_kmv_jaccard": q_sketch_kmv_jaccard,
         "dedup_remove_spans": q_dedup_remove_spans,
         "kmeans_assign": q_kmeans_assign,
         "dedup_bloom_probe": q_dedup_bloom_probe,
@@ -3852,6 +3964,9 @@ def oracle_sql() -> dict[str, str]:
 
     # derived-rate mix rebalancing (see _rebalance_sql)
     sql["sample_rebalance"] = _rebalance_sql(REBALANCE_TARGETS)
+
+    # KMV bottom-k Jaccard replay (see _kmv_sql)
+    sql["sketch_kmv_jaccard"] = _kmv_sql(256)
 
     # rare-token density: exact integer scaled-IDF (1e6*N // df) per
     # occurrence, one portable-rounded float division at the end

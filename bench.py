@@ -66,6 +66,7 @@ HEADLINE = [
     "text_bm25_join",
     "sketch_cms_counts",
     "sample_rebalance",
+    "sketch_kmv_jaccard",
 ]
 
 

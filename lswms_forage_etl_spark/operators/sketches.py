@@ -29,7 +29,7 @@ incremental / streaming maintenance is a union + re-max.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 HLL_SUM_SCALE = 48  # 2^(SCALE-reg) summed exactly in int64
@@ -128,3 +128,58 @@ def cms_lookup(cms: DataFrame, keys: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("n"), F.lit(0)))
                  .cast("long").alias("cms_estimate")))
+
+
+def kmv_sketch(df: DataFrame, key_col, group_cols: list[str],
+               k: int = 256, seed: int = 0) -> DataFrame:
+    """k-minimum-values sketch per group over the DISTINCT keys: the k
+    smallest md5-derived 60-bit hash values (Beyer et al. 2007 /
+    bottom-k sketches). Unlike HLL, the hash VALUES are retained, so
+    two groups' sketches compose into intersection / Jaccard
+    estimates (`kmv_jaccard_pairs`) — the one set-similarity question
+    HLL cannot answer without inclusion-exclusion error blowup.
+
+    One distinct shuffle on (group, hash) + one per-group window;
+    output is <= k rows per group regardless of input size. 60-bit
+    hashes (15 md5 hex chars) make within-group collisions negligible
+    and identical on every engine."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), c.cast("string"))), 1, 15),
+        16, 10).cast("long")
+    base = df.select(*group_cols, h.alias("kmv_hash")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("kmv_hash")
+    return (base.withColumn("kmv_rank", F.row_number().over(w))
+            .where(F.col("kmv_rank") <= k))
+
+
+def kmv_jaccard_pairs(kmv: DataFrame, group_col: str,
+                      k: int = 256) -> DataFrame:
+    """Pairwise Jaccard estimates between every unordered group pair
+    of one sketched table: per pair, M = the k smallest hashes of the
+    two sketches' union; estimate = |{h in M : h in A and h in B}| /
+    |M| (E[est] = J(A, B); |M| < k only when the union itself is
+    smaller — the sketch is then EXACT). Everything after the sketch
+    is bounded: |groups|^2/2 pairs x <= 2k rows."""
+    g = kmv.select(F.col(group_col).alias("g"), "kmv_hash")
+    ga = g.select(F.col("g").alias("ga")).distinct()
+    gb = g.select(F.col("g").alias("gb")).distinct()
+    pairs = ga.crossJoin(gb).where(F.col("ga") < F.col("gb"))
+    sa = (pairs.join(g, F.col("g") == F.col("ga")).drop("g")
+          .select("ga", "gb", "kmv_hash",
+                  F.lit(1).alias("_a"), F.lit(0).alias("_b")))
+    sb = (pairs.join(g, F.col("g") == F.col("gb")).drop("g")
+          .select("ga", "gb", "kmv_hash",
+                  F.lit(0).alias("_a"), F.lit(1).alias("_b")))
+    u = (sa.unionAll(sb).groupBy("ga", "gb", "kmv_hash")
+         .agg(F.max("_a").alias("_ina"), F.max("_b").alias("_inb")))
+    w = Window.partitionBy("ga", "gb").orderBy("kmv_hash")
+    m = u.withColumn("_rk", F.row_number().over(w)) \
+        .where(F.col("_rk") <= k)
+    return (m.groupBy("ga", "gb")
+            .agg(F.count(F.lit(1)).cast("long").alias("m_size"),
+                 F.sum(F.col("_ina") * F.col("_inb")).cast("long")
+                 .alias("n_shared"))
+            .withColumn("kmv_jaccard",
+                        F.col("n_shared").cast("double")
+                        / F.col("m_size").cast("double")))

@@ -160,3 +160,28 @@ def test_hll_streaming_maintenance(spark, tmp_path):
     batch = hll_estimate(whole, ["grp"]).collect()[0]
     assert streamed["hll_sum48"] == batch["hll_sum48"]
     assert abs(streamed["hll_est"] - 2500) / 2500 < 0.20
+
+
+def test_kmv_jaccard_estimates(spark):
+    """Bottom-k Jaccard: on sets with known overlap the estimate lands
+    within the sketch's sampling error (sd ~ sqrt(J(1-J)/k) ~ 0.035
+    at k=256, J=0.33); when the union fits inside k the sketch is
+    EXACT."""
+    from lswms_forage_etl_spark.operators.sketches import (
+        kmv_jaccard_pairs, kmv_sketch)
+    # A = [0, 4000), B = [2000, 6000): |inter|=2000, |union|=6000, J=1/3
+    rows = ([("A", f"k{i}") for i in range(4000)]
+            + [("B", f"k{i}") for i in range(2000, 6000)])
+    df = spark.createDataFrame(rows, "g string, k string")
+    est = kmv_jaccard_pairs(kmv_sketch(df, "k", ["g"], k=256),
+                            "g", k=256).collect()[0]
+    assert est["m_size"] == 256
+    assert abs(est["kmv_jaccard"] - 1 / 3) < 0.15, est["kmv_jaccard"]
+    # small sets: union (60) < k -> exact
+    small = ([("A", f"s{i}") for i in range(40)]
+             + [("B", f"s{i}") for i in range(20, 60)])
+    sdf = spark.createDataFrame(small, "g string, k string")
+    e2 = kmv_jaccard_pairs(kmv_sketch(sdf, "k", ["g"], k=256),
+                           "g", k=256).collect()[0]
+    assert e2["m_size"] == 60 and e2["n_shared"] == 20
+    assert abs(e2["kmv_jaccard"] - 20 / 60) < 1e-12

@@ -146,7 +146,7 @@ def main() -> None:
             if name in ("ann_pairwise_label_sim", "ann_topk_join",
                         "text_rarity", "pack_manifest", "text_bm25_topk",
                         "sketch_hll_distinct", "text_bm25_join",
-                        "sample_rebalance"):
+                        "sample_rebalance", "sketch_kmv_jaccard"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
