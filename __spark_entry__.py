@@ -2064,6 +2064,37 @@ def q_corpus_vocab(spark, sf):
             .limit(100))
 
 
+def q_events_funnel(spark, sf):
+    """Ordered conversion funnel (view -> click -> purchase): each step
+    is reached only STRICTLY AFTER the previous step's reach time.
+    Every stage filters events to one type BEFORE joining (pushdown),
+    joins shuffle on the uniform user key, and reach tables shrink
+    monotonically — no full-stream window, no collect. Conversion is
+    exact-integer ppm (BIGINT div), no float contract."""
+    from lswms_forage_etl_spark.operators.funnels import funnel_summary
+    return funnel_summary(_events(spark, sf),
+                          ["view", "click", "purchase"])
+
+
+def q_events_retention(spark, sf):
+    """Weekly cohort retention matrix: cohort = ISO week of each user's
+    first event; one row per (cohort_week, week_offset) with distinct
+    active users and exact-ppm retention vs the cohort size (broadcast
+    join — cohort count is bounded by the calendar, not by users)."""
+    from lswms_forage_etl_spark.operators.funnels import cohort_retention
+    return cohort_retention(_events(spark, sf))
+
+
+def q_agg_pivot_events(spark, sf):
+    """Daily event-type pivot with an EXPLICIT value list — the implicit
+    form runs a distinct scan over the corpus first to discover pivot
+    columns; declaring them keeps this one groupBy at any scale."""
+    from lswms_forage_etl_spark.operators.funnels import pivot_event_counts
+    return pivot_event_counts(
+        _events(spark, sf),
+        ["click", "error", "purchase", "signup", "view"])
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2191,6 +2222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": q_pack_manifest,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "mm_decode_ppm": q_mm_decode_ppm,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "agg_pivot_events": q_agg_pivot_events,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4048,6 +4082,67 @@ def oracle_sql() -> dict[str, str]:
         FROM g GROUP BY token
         ORDER BY n_docs DESC, token
         LIMIT 100
+    """
+
+    # ordered funnel: each step's reach time is the earliest event of
+    # that type STRICTLY AFTER the previous step; conv is exact-int ppm
+    sql["events_funnel"] = """
+        WITH r1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        r2 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN r1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > r1.t GROUP BY 1),
+        r3 AS (SELECT e.user_id, min(e.ts) AS t
+               FROM events e JOIN r2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > r2.t GROUP BY 1),
+        c AS (SELECT 1 AS step_idx, 'view' AS step, count(*) AS n FROM r1
+              UNION ALL SELECT 2, 'click', count(*) FROM r2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM r3)
+        SELECT step_idx, step, CAST(n AS BIGINT) AS n_users,
+               CAST(CASE WHEN lag(n) OVER (ORDER BY step_idx) IS NULL
+                          OR lag(n) OVER (ORDER BY step_idx) = 0
+                         THEN 1000000
+                         ELSE n * 1000000 // lag(n) OVER (ORDER BY step_idx)
+                    END AS BIGINT) AS conv_ppm
+        FROM c
+    """
+
+    sql["events_retention"] = """
+        WITH f AS (SELECT user_id,
+                          date_trunc('week', min(CAST(ts AS DATE)))
+                            AS cohort_week
+                   FROM events GROUP BY 1),
+        a AS (SELECT DISTINCT user_id,
+                     date_trunc('week', CAST(ts AS DATE)) AS week
+              FROM events),
+        g AS (SELECT cohort_week,
+                     CAST(date_diff('day', cohort_week, week) // 7 AS INT)
+                       AS week_offset,
+                     count(DISTINCT a.user_id) AS n_users
+              FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        s AS (SELECT cohort_week, count(*) AS cohort_size
+              FROM f GROUP BY 1)
+        SELECT CAST(g.cohort_week AS DATE) AS cohort_week, week_offset,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(cohort_size AS BIGINT) AS cohort_size,
+               CAST(n_users * 1000000 // cohort_size AS BIGINT)
+                 AS retention_ppm
+        FROM g JOIN s USING (cohort_week)
+    """
+
+    sql["agg_pivot_events"] = """
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) FILTER (WHERE event_type = 'click')
+                    AS BIGINT) AS click,
+               CAST(count(*) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS error,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (WHERE event_type = 'signup')
+                    AS BIGINT) AS signup,
+               CAST(count(*) FILTER (WHERE event_type = 'view')
+                    AS BIGINT) AS view
+        FROM events GROUP BY 1
     """
 
     return sql

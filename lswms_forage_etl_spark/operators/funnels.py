@@ -1,0 +1,123 @@
+"""Event-funnel and cohort-retention analytics over event streams.
+
+Beyond the reference surface (no event concept there — the closest
+analogue is the per-date completeness scan in ``data_extraction_v2.py``
+resume logic, §2.10), but core operators for the event/telemetry side of
+a large-scale data platform: ordered conversion funnels, cohort
+retention matrices, and typed pivots.
+
+Scale shape (100 TB events):
+
+* ``funnel_reach`` — each step filters events to ONE event type before
+  any join (the filtered slice is a small fraction of the corpus), then
+  joins on ``user_id``. Every stage shuffles on the same uniform user
+  key, and reach tables shrink monotonically step over step, so the
+  expensive side of each join is a pre-filtered scan with pushdown.
+  No window over the full event stream, no per-user collect.
+* ``cohort_retention`` — two aggregations on the user key plus one
+  broadcast of per-cohort sizes (bounded by the number of cohorts, not
+  users).
+
+Ratio discipline: conversion/retention are emitted as parts-per-million
+via BIGINT floor division (``n * 1_000_000 div base``) — exact and
+engine-portable, no float rounding contract needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def funnel_reach(events: DataFrame, steps: list[str],
+                 user_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type") -> DataFrame:
+    """Per-user ordered funnel: for each user, the earliest time each
+    step was reached STRICTLY AFTER the previous step (classic ordered
+    conversion semantics). Returns one row per user who completed step 1,
+    with nullable ``t1..tk`` reach timestamps."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reach = (events.where(F.col(type_col) == steps[0])
+             .groupBy(user_col).agg(F.min(ts_col).alias("t1")))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (events.where(F.col(type_col) == step)
+               .join(reach.select(user_col, F.col(f"t{i-1}")), user_col)
+               .where(F.col(ts_col) > F.col(f"t{i-1}"))
+               .groupBy(user_col).agg(F.min(ts_col).alias(f"t{i}")))
+        reach = reach.join(nxt, user_col, "left")
+    return reach
+
+
+def funnel_summary(events: DataFrame, steps: list[str],
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type") -> DataFrame:
+    """Funnel rollup: (step_idx, step, n_users, conv_ppm) where conv_ppm
+    is the exact-integer users-retained ratio vs the previous step
+    (step 1 = 1_000_000). The per-step counts are single-row aggregates;
+    the lag window runs over k rows (k = number of steps), bounded."""
+    reach = funnel_reach(events, steps, user_col, ts_col, type_col)
+    # ONE aggregate pass over reach (a per-step union would re-execute
+    # the whole reach pipeline k times), unstacked into step rows
+    agg = reach.agg(*[F.count(F.col(f"t{i}")).alias(f"n{i}")
+                      for i in range(1, len(steps) + 1)])
+    cells = ", ".join(
+        f"{i}, '{step}', n{i}" for i, step in enumerate(steps, start=1))
+    counts = agg.select(F.expr(
+        f"stack({len(steps)}, {cells}) as (step_idx, step, n_users)"))
+    # k-row window (k = number of steps) — bounded, never corpus-sized
+    w = Window.orderBy("step_idx")
+    prev = F.lag("n_users").over(w)
+    return counts.select(
+        "step_idx", "step", "n_users",
+        F.when(prev.isNull() | (prev == 0), F.lit(PPM).cast("long"))
+        .otherwise(F.expr(f"(n_users * {PPM}) div lag(n_users) over "
+                          f"(order by step_idx)"))
+        .alias("conv_ppm"))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention: cohort_week = ISO week of each user's
+    first event; one row per (cohort_week, week_offset) with the distinct
+    active-user count and the exact-ppm retention vs the cohort size."""
+    day = F.col(ts_col).cast("date")
+    first = (events.groupBy(user_col)
+             .agg(F.min(day).alias("first_d"))
+             .withColumn("cohort_week",
+                         F.date_trunc("week", F.col("first_d"))
+                         .cast("date"))
+             .select(user_col, "cohort_week"))
+    active = (events.select(
+        user_col,
+        F.date_trunc("week", day).cast("date").alias("week"))
+        .distinct())
+    j = active.join(first, user_col)
+    grid = (j.groupBy(
+        "cohort_week",
+        (F.datediff("week", "cohort_week") / 7).cast("int")
+        .alias("week_offset"))
+        .agg(F.countDistinct(user_col).alias("n_users")))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    return (grid.join(F.broadcast(sizes), "cohort_week")
+            .select("cohort_week", "week_offset", "n_users", "cohort_size",
+                    F.expr(f"(n_users * {PPM}) div cohort_size")
+                    .alias("retention_ppm")))
+
+
+def pivot_event_counts(events: DataFrame, event_types: list[str],
+                       ts_col: str = "ts",
+                       type_col: str = "event_type") -> DataFrame:
+    """Daily event-type pivot with an EXPLICIT type list — at scale the
+    implicit form first runs a distinct scan over the corpus to discover
+    pivot values; passing them keeps this a single groupBy."""
+    day = F.col(ts_col).cast("date").alias("day")
+    out = (events.groupBy(day)
+           .pivot(type_col, event_types)
+           .agg(F.count(F.lit(1))))
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+                 for t in event_types])

@@ -1,0 +1,91 @@
+"""Unit tests for event-funnel / cohort-retention analytics
+(operators/funnels.py) on hand-computable fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lswms_forage_etl_spark.operators.funnels import (
+    cohort_retention,
+    funnel_reach,
+    funnel_summary,
+    pivot_event_counts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, d, h), u, t)
+         for i, (d, h, u, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string")
+
+
+def test_funnel_strict_ordering(spark):
+    # u1 completes in order; u2 clicks BEFORE viewing (click must not
+    # count); u3 views only; u4 never views (excluded from step 1)
+    ev = _ev(spark, [
+        (1, 1, 1, "view"), (1, 2, 1, "click"), (2, 3, 1, "purchase"),
+        (1, 1, 2, "click"), (1, 2, 2, "view"), (1, 3, 2, "click"),
+        (1, 5, 3, "view"),
+        (1, 1, 4, "purchase"),
+    ])
+    reach = {r["user_id"]: r for r in
+             funnel_reach(ev, ["view", "click", "purchase"]).collect()}
+    assert set(reach) == {1, 2, 3}
+    assert reach[1]["t3"] == dt.datetime(2024, 1, 2, 3)
+    # u2's only counted click is the one AFTER the view
+    assert reach[2]["t2"] == dt.datetime(2024, 1, 1, 3)
+    assert reach[2]["t3"] is None
+    assert reach[3]["t2"] is None
+
+    s = {r["step"]: r for r in
+         funnel_summary(ev, ["view", "click", "purchase"]).collect()}
+    assert (s["view"]["n_users"], s["click"]["n_users"],
+            s["purchase"]["n_users"]) == (3, 2, 1)
+    assert s["view"]["conv_ppm"] == 1_000_000
+    assert s["click"]["conv_ppm"] == 2 * 1_000_000 // 3
+    assert s["purchase"]["conv_ppm"] == 500_000
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # strict > : a click at exactly the view instant does not convert
+    ev = _ev(spark, [(1, 1, 1, "view"), (1, 1, 1, "click")])
+    r = funnel_reach(ev, ["view", "click"]).collect()[0]
+    assert r["t2"] is None
+
+
+def test_cohort_retention_grid(spark):
+    # u1 first active week of Jan 1 (Mon), returns week of Jan 8;
+    # u2 only week 1; u3 first active week 2
+    ev = _ev(spark, [
+        (1, 1, 1, "view"), (8, 1, 1, "view"),
+        (2, 1, 2, "view"),
+        (9, 1, 3, "view"),
+    ])
+    rows = {(r["cohort_week"].isoformat(), r["week_offset"]): r
+            for r in cohort_retention(ev).collect()}
+    w1, w2 = "2024-01-01", "2024-01-08"
+    assert rows[(w1, 0)]["n_users"] == 2
+    assert rows[(w1, 0)]["retention_ppm"] == 1_000_000
+    assert rows[(w1, 1)]["n_users"] == 1
+    assert rows[(w1, 1)]["retention_ppm"] == 500_000
+    assert rows[(w2, 0)]["n_users"] == 1
+    assert rows[(w2, 0)]["cohort_size"] == 1
+
+
+def test_pivot_counts_fill_zero(spark):
+    ev = _ev(spark, [
+        (1, 1, 1, "view"), (1, 2, 2, "view"), (1, 3, 1, "click"),
+        (2, 1, 1, "view"),
+    ])
+    out = {r["day"].isoformat(): r for r in
+           pivot_event_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert out["2024-01-01"]["view"] == 2
+    assert out["2024-01-01"]["click"] == 1
+    assert out["2024-01-01"]["purchase"] == 0
+    assert out["2024-01-02"]["view"] == 1
+    # explicit value list means unseen types still appear as columns
+    assert set(out["2024-01-02"].asDict()) == {
+        "day", "view", "click", "purchase"}
