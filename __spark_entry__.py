@@ -2095,6 +2095,20 @@ def q_agg_pivot_events(spark, sf):
         ["click", "error", "purchase", "signup", "view"])
 
 
+def q_text_textrank(spark, sf):
+    """TextRank keyword ranking: 10 fixed-point iterations of damped
+    PageRank over the adjacent-token co-occurrence graph, vocab-capped
+    at 24 nodes. All arithmetic is BIGINT (quantized transition probs,
+    exact integer sums), so the iterative result is bit-stable under
+    any partitioning and the oracle replays the identical recurrence as
+    10 unrolled CTEs. Corpus-scale work = two single-shuffle
+    aggregations; the iterations run on the persisted <=V^2 transition
+    table, independent of corpus size."""
+    from lswms_forage_etl_spark.operators.graphrank import textrank_tokens
+    return textrank_tokens(_t(spark, sf, "documents"),
+                           vocab_size=24, iterations=10)
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2225,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "agg_pivot_events": q_agg_pivot_events,
+        "text_textrank": q_text_textrank,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4143,6 +4158,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) FILTER (WHERE event_type = 'view')
                     AS BIGINT) AS view
         FROM events GROUP BY 1
+    """
+
+    # TextRank: the integer PageRank recurrence unrolled as one CTE per
+    # iteration — identical BIGINT arithmetic to operators/graphrank.py
+    # (S=1e9, Q=1e6, damping 85/100; sum() is HUGEINT in DuckDB -> CAST)
+    tr_iters = "".join(
+        f""",
+        r{k + 1} AS (SELECT tp.dst AS token,
+                     CAST(150000000 +
+                          (85 * sum(r.r * tp.pq // 1000000)) // 100
+                          AS BIGINT) AS r
+              FROM tp JOIN r{k} r ON r.token = tp.src GROUP BY 1)"""
+        for k in range(10))
+    sql["text_textrank"] = rf"""
+        WITH t AS (SELECT list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        tok AS (SELECT unnest(toks) AS token FROM t),
+        vocab AS (SELECT token FROM tok GROUP BY token
+                  ORDER BY count(*) DESC, token LIMIT 24),
+        i AS (SELECT toks, unnest(range(1, len(toks))) AS k
+              FROM t WHERE len(toks) >= 2),
+        pr AS (SELECT toks[k] AS a, toks[k + 1] AS b
+               FROM i WHERE toks[k] <> toks[k + 1]),
+        e0 AS (SELECT a AS src, b AS dst FROM pr
+               UNION ALL SELECT b, a FROM pr),
+        ev AS (SELECT src, dst FROM e0
+               WHERE src IN (SELECT token FROM vocab)
+                 AND dst IN (SELECT token FROM vocab)),
+        e AS (SELECT src, dst, count(*) AS w FROM ev GROUP BY 1, 2),
+        o AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw
+              FROM e GROUP BY 1),
+        tp AS (SELECT e.src, e.dst,
+                      CAST(e.w * 1000000 // o.outw AS BIGINT) AS pq
+               FROM e JOIN o USING (src)),
+        r0 AS (SELECT DISTINCT src AS token,
+                      CAST(1000000000 AS BIGINT) AS r FROM tp){tr_iters}
+        SELECT token, r AS rank_scaled FROM r10
     """
 
     return sql

@@ -1,0 +1,101 @@
+"""Unit tests for exact-integer PageRank / TextRank
+(operators/graphrank.py): the Spark result must equal a pure-Python
+replay of the same BIGINT recurrence, bit for bit."""
+
+from __future__ import annotations
+
+from lswms_forage_etl_spark.lifecycle import release_tracked
+from lswms_forage_etl_spark.operators.graphrank import (
+    DAMPING_PCT,
+    PROB_SCALE,
+    RANK_SCALE,
+    adjacent_token_pairs,
+    pagerank_int,
+    textrank_tokens,
+    token_vocab_top,
+)
+
+
+def _py_pagerank(edges, iterations=10, damping=DAMPING_PCT):
+    """Reference replay: identical integer arithmetic, plain dicts."""
+    out = {}
+    for s, d, w in edges:
+        out[s] = out.get(s, 0) + w
+    trans = [(s, d, w * PROB_SCALE // out[s]) for s, d, w in edges]
+    nodes = sorted({s for s, _, _ in trans})
+    r = {n: RANK_SCALE for n in nodes}
+    base = RANK_SCALE * (100 - damping) // 100
+    for _ in range(iterations):
+        c = {}
+        for s, d, p in trans:
+            c[d] = c.get(d, 0) + r[s] * p // PROB_SCALE
+        r = {d: base + (damping * cv) // 100 for d, cv in c.items()}
+    return r
+
+
+def test_pagerank_matches_python_replay(spark):
+    # undirected triangle + pendant, as both-direction edges
+    und = [("a", "b", 3), ("b", "c", 2), ("a", "c", 1), ("c", "d", 5)]
+    edges = und + [(d, s, w) for s, d, w in und]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["token"]: r["rank_scaled"]
+           for r in pagerank_int(df, iterations=10).collect()}
+    release_tracked()
+    assert got == _py_pagerank(edges, iterations=10)
+    # heavier-linked node outranks the pendant
+    assert got["c"] > got["d"]
+
+
+def test_pagerank_distributed_path_identical(spark):
+    # driver_gate_edges=0 forces the at-scale DataFrame loop; the
+    # BIGINT recurrence must produce the same integers bit for bit
+    und = [("a", "b", 3), ("b", "c", 2), ("a", "c", 1), ("c", "d", 5)]
+    edges = und + [(d, s, w) for s, d, w in und]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["token"]: r["rank_scaled"]
+           for r in pagerank_int(df, iterations=7,
+                                 driver_gate_edges=0).collect()}
+    release_tracked()
+    assert got == _py_pagerank(edges, iterations=7)
+
+
+def test_adjacent_pairs_symmetric_no_self_loops(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y y z"), (2, "x")], "doc_id long, text string")
+    rows = [(r["src"], r["dst"])
+            for r in adjacent_token_pairs(docs).collect()]
+    # "y y" self-loop dropped; single-token doc contributes nothing
+    assert sorted(rows) == [("x", "y"), ("y", "x"), ("y", "z"),
+                            ("z", "y")]
+
+
+def test_vocab_cap_deterministic_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a b c a b"), (2, "c a")], "doc_id long, text string")
+    # counts: b=3, a=3, c=2 -> top2 = a, b (count desc, token asc)
+    top = {r["token"] for r in token_vocab_top(docs, 2).collect()}
+    assert top == {"a", "b"}
+
+
+def test_textrank_end_to_end_replay(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark scan join scan spark"), (2, "join scan join rare")],
+        "doc_id long, text string")
+    # vocab top-3: scan(4) join(3) spark(2) — 'rare'(1) excluded
+    got = {r["token"]: r["rank_scaled"]
+           for r in textrank_tokens(docs, vocab_size=3,
+                                    iterations=10).collect()}
+    release_tracked()
+    und = []
+    for toks in (["spark", "scan", "join", "scan", "spark"],
+                 ["join", "scan", "join"]):  # 'rare' edge dropped
+        for i in range(len(toks) - 1):
+            if toks[i] != toks[i + 1]:
+                und.append((toks[i], toks[i + 1]))
+    counts = {}
+    for a, b in und:
+        for e in ((a, b), (b, a)):
+            counts[e] = counts.get(e, 0) + 1
+    edges = [(s, d, w) for (s, d), w in counts.items()]
+    assert got == _py_pagerank(edges, iterations=10)
+    assert set(got) == {"spark", "scan", "join"}
