@@ -2109,6 +2109,38 @@ def q_text_textrank(spark, sf):
                            vocab_size=24, iterations=10)
 
 
+def q_text_phrase_search(spark, sf):
+    """Exact phrase query ('hash join') via positional-posting
+    intersection: postings filtered to the phrase terms inside the
+    tokenize scan (one corpus pass, persisted), then one semi join per
+    additional term on the uniform (doc, pos) key. Returns matching
+    docs with occurrence counts and the first 0-based token position."""
+    from lswms_forage_etl_spark.operators.retrieval import phrase_search
+    return phrase_search(_t(spark, sf, "documents"), ["hash", "join"])
+
+
+def q_text_collocations(spark, sf):
+    """Collocation detection: ordered adjacent bigrams scored by the
+    exact-integer Dice coefficient (ppm). The bigram tail is pruned by
+    min count BEFORE the unigram joins — at corpus scale the tail IS
+    the bigram table; the token-key joins are the documented AQE
+    skew-split site."""
+    from lswms_forage_etl_spark.operators.graphrank import (
+        collocations_dice)
+    return collocations_dice(_t(spark, sf, "documents"),
+                             min_pair_count=20)
+
+
+def q_text_char_diversity(spark, sf):
+    """Character-collision (Simpson) index per doc as exact-integer
+    ppm — the distribution-based gibberish gate (a 'aaaa...' doc
+    collides near 1e6, natural text near 1/alphabet). No log(), no
+    float contract; one explode + two-phase aggregation on the uniform
+    (doc, char) key."""
+    from lswms_forage_etl_spark.operators.graphrank import char_diversity
+    return char_diversity(_t(spark, sf, "documents"))
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2240,6 +2272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "agg_pivot_events": q_agg_pivot_events,
         "text_textrank": q_text_textrank,
+        "text_phrase_search": q_text_phrase_search,
+        "text_collocations": q_text_collocations,
+        "text_char_diversity": q_text_char_diversity,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4197,6 +4232,63 @@ def oracle_sql() -> dict[str, str]:
         r0 AS (SELECT DISTINCT src AS token,
                       CAST(1000000000 AS BIGINT) AS r FROM tp){tr_iters}
         SELECT token, r AS rank_scaled FROM r10
+    """
+
+    # phrase search: replay position matching over the token list
+    # (Spark positions are 0-based; DuckDB list indices 1-based)
+    sql["text_phrase_search"] = r"""
+        WITH t AS (SELECT doc_id, list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        m AS (SELECT doc_id,
+                     list_filter(range(1, len(toks)),
+                                 i -> toks[i] = 'hash'
+                                      AND toks[i + 1] = 'join') AS hits
+              FROM t)
+        SELECT doc_id,
+               CAST(len(hits) AS BIGINT) AS n_matches,
+               CAST(hits[1] - 1 AS INT) AS first_pos
+        FROM m WHERE len(hits) > 0
+    """
+
+    # collocations: Dice = 2*f(ab)/(f(a)+f(b)) in exact-integer ppm
+    sql["text_collocations"] = r"""
+        WITH t AS (SELECT list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        i AS (SELECT toks, unnest(range(1, len(toks))) AS k
+              FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT toks[k] AS tok_a, toks[k + 1] AS tok_b
+               FROM i WHERE toks[k] <> toks[k + 1]),
+        cab AS (SELECT tok_a, tok_b, count(*) AS pair_count
+                FROM bg GROUP BY 1, 2 HAVING count(*) >= 20),
+        u AS (SELECT token, count(*) AS c
+              FROM (SELECT unnest(toks) AS token FROM t) GROUP BY 1)
+        SELECT tok_a, tok_b, CAST(pair_count AS BIGINT) AS pair_count,
+               CAST(2 * pair_count * 1000000 // (ua.c + ub.c) AS BIGINT)
+                 AS dice_ppm
+        FROM cab JOIN u ua ON ua.token = tok_a
+                 JOIN u ub ON ub.token = tok_b
+    """
+
+    # Simpson character-collision index, exact-integer ppm
+    sql["text_char_diversity"] = """
+        WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+                   FROM documents),
+        pc AS (SELECT doc_id, ch, count(*) AS c
+               FROM c WHERE ch <> '' GROUP BY 1, 2),
+        a AS (SELECT doc_id,
+                     CAST(sum(c * (c - 1)) AS BIGINT) AS coll,
+                     CAST(sum(c) AS BIGINT) AS n_chars
+              FROM pc GROUP BY 1)
+        SELECT doc_id, n_chars,
+               CASE WHEN n_chars >= 2
+                    THEN CAST(coll * 1000000
+                              // (n_chars * (n_chars - 1)) AS BIGINT)
+               END AS collision_ppm
+        FROM a
     """
 
     return sql

@@ -43,11 +43,13 @@ DAMPING_PCT = 85
 
 
 def adjacent_token_pairs(docs: DataFrame, text_col: str = "text",
-                         ) -> DataFrame:
-    """Directed adjacent-token co-occurrence rows (both directions per
-    adjacency, self-loops dropped) — the TextRank window-2 graph. The
-    shifted-slice zip builds pairs without re-tokenizing per element
-    (the round-5 interpreted-HOF lesson)."""
+                         ordered: bool = False) -> DataFrame:
+    """Adjacent-token co-occurrence rows, self-loops dropped. Default
+    emits BOTH directions per adjacency (the undirected TextRank
+    window-2 graph); ``ordered=True`` keeps reading-order bigrams
+    (collocation statistics). The shifted-slice zip builds pairs
+    without re-tokenizing per element (the round-5 interpreted-HOF
+    lesson)."""
     toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                     lambda t: t != "")
     d = docs.select(toks.alias("toks"))
@@ -59,6 +61,9 @@ def adjacent_token_pairs(docs: DataFrame, text_col: str = "text",
                      .alias("p"))
              .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
              .where(F.col("a") != F.col("b")))
+    if ordered:
+        return pairs.select(F.col("a").alias("src"),
+                            F.col("b").alias("dst"))
     # both directions via ONE explode — a self-union would duplicate
     # the corpus scan (each union branch re-reads the source)
     return (pairs.select(F.explode(F.array(
@@ -173,3 +178,64 @@ def textrank_tokens(docs: DataFrame, vocab_size: int = 24,
     edges = (in_vocab.groupBy("src", "dst")
              .agg(F.count(F.lit(1)).alias("w")))
     return pagerank_int(edges, iterations)
+
+
+def collocations_dice(docs: DataFrame, min_pair_count: int = 5,
+                      text_col: str = "text") -> DataFrame:
+    """Collocation detection: ordered adjacent bigrams scored by the
+    Dice coefficient 2*f(ab)/(f(a)+f(b)), emitted as exact-integer ppm
+    (2*f(ab)*1e6 div (f(a)+f(b))) — overflow-safe (2e6 * f(ab) stays
+    far under int64) and engine-portable with no float contract, unlike
+    log-based PMI. Output: (tok_a, tok_b, pair_count, dice_ppm).
+
+    Scale shape: the bigram tail is pruned by min_pair_count BEFORE the
+    unigram joins (the tail dominates the bigram table at corpus
+    scale); the two token-key joins are the classic skew-join site
+    (frequent words concentrate) — AQE skew-split handles byte-level
+    skew there, and the unigram side aggregates map-side first."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    # consumed twice (tok_a and tok_b joins) — persist or each join
+    # side re-runs the corpus-scale unigram aggregation (size-adaptive
+    # eager/lazy per the round-7 rule)
+    uni = stage_table(
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    pairs = adjacent_token_pairs(docs, text_col, ordered=True)
+    cab = (pairs.groupBy(F.col("src").alias("tok_a"),
+                         F.col("dst").alias("tok_b"))
+           .agg(F.count(F.lit(1)).alias("pair_count"))
+           .where(F.col("pair_count") >= min_pair_count))
+    ua = uni.select(F.col("token").alias("tok_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("token").alias("tok_b"), F.col("c").alias("cb"))
+    return (cab.join(ua, "tok_a").join(ub, "tok_b")
+            .select("tok_a", "tok_b", "pair_count",
+                    F.expr("(2 * pair_count * 1000000) div (ca + cb)")
+                    .alias("dice_ppm")))
+
+
+def char_diversity(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Character-collision (Simpson) index per document: the
+    probability two random character draws collide,
+    sum_i c_i*(c_i-1) / (n*(n-1)), as exact-integer ppm. High values
+    flag low-entropy/gibberish text (aaaa...) without any log() —
+    the same quality-gate family as Gopher/C4 but distribution-based.
+    Docs with n < 2 are emitted with collision_ppm = NULL.
+
+    One explode + two-phase aggregation: the (doc, char) key is
+    uniform (char cardinality bounds the fan-in per doc), map-side
+    combine absorbs the per-char counts before the shuffle."""
+    chars = F.filter(F.split(F.col(text_col), ""),
+                     lambda c: c != "")
+    per_char = (docs.select(id_col, F.explode(chars).alias("ch"))
+                .groupBy(id_col, "ch")
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_char.groupBy(id_col)
+            .agg(F.sum(F.expr("c * (c - 1)")).alias("_coll"),
+                 F.sum("c").alias("n_chars"))
+            .select(id_col, "n_chars",
+                    F.when(F.col("n_chars") >= 2,
+                           F.expr("(_coll * 1000000)"
+                                  " div (n_chars * (n_chars - 1))"))
+                    .alias("collision_ppm")))

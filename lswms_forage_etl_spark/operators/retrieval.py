@@ -168,3 +168,41 @@ def bm25_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .where(F.col("rank") <= k)
             .select(query_id, id_col, F.col("rank").cast("int").alias("rank"),
                     "score12"))
+
+
+def phrase_search(docs: DataFrame, phrase: list[str],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase query over a positional posting list — the classic
+    IR position-intersection: a match at position p requires token
+    p+i == phrase[i] for every i. Output one row per matching doc:
+    (id_col, n_matches BIGINT, first_pos INT; positions 0-based).
+
+    Scale shape: postings are filtered to the phrase's terms INSIDE the
+    tokenize scan (one corpus pass), persisted once, and the k-1
+    position-intersection joins run over that filtered slice on the
+    uniform composite key (doc, pos) — never over raw postings. For a
+    2-term phrase of frequent words the cached slice can rival a
+    re-scan's cost at extreme scale; for longer phrases or selective
+    terms (the common case) the single-pass build wins, and
+    MEMORY_AND_DISK persistence spills rather than fails."""
+    from lswms_forage_etl_spark.lifecycle import stage_table
+    from lswms_forage_etl_spark.operators.dedup import _spread
+
+    if not phrase:
+        raise ValueError("phrase needs at least one token")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    post = (_spread(docs.select(id_col, toks.alias("_toks")))
+            .select(id_col, F.posexplode("_toks").alias("pos", "token"))
+            .where(F.col("token").isin(list(set(phrase)))))
+    post = stage_table(post.select(id_col, "pos", "token"), sync=True)
+    cur = (post.where(F.col("token") == phrase[0])
+           .select(id_col, "pos"))
+    for i, w in enumerate(phrase[1:], start=1):
+        nxt = (post.where(F.col("token") == w)
+               .select(id_col, (F.col("pos") - i).alias("pos")))
+        cur = cur.join(nxt, [id_col, "pos"], "left_semi")
+    return (cur.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.min("pos").cast("int").alias("first_pos")))

@@ -99,3 +99,28 @@ def test_textrank_end_to_end_replay(spark):
     edges = [(s, d, w) for (s, d), w in counts.items()]
     assert got == _py_pagerank(edges, iterations=10)
     assert set(got) == {"spark", "scan", "join"}
+
+
+def test_collocations_dice_exact(spark):
+    from lswms_forage_etl_spark.operators.graphrank import (
+        collocations_dice)
+    docs = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "x y q")], "doc_id long, text string")
+    rows = {(r["tok_a"], r["tok_b"]): r for r in
+            collocations_dice(docs, min_pair_count=2).collect()}
+    # f(x y)=3; unigrams: x=3, y=3 -> dice = 2*3/(3+3) = 1.0
+    assert set(rows) == {("x", "y")}
+    r = rows[("x", "y")]
+    assert r["pair_count"] == 3
+    assert r["dice_ppm"] == 2 * 3 * 1_000_000 // (3 + 3)
+
+
+def test_char_diversity_bounds(spark):
+    from lswms_forage_etl_spark.operators.graphrank import char_diversity
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd"), (3, "a")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in char_diversity(docs).collect()}
+    assert got[1]["collision_ppm"] == 1_000_000      # all same char
+    assert got[2]["collision_ppm"] == 0              # all distinct
+    assert got[3]["collision_ppm"] is None           # n < 2 undefined
+    assert got[2]["n_chars"] == 4

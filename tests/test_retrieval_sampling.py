@@ -149,3 +149,33 @@ def test_weighted_sample_frequency_tracks_weight(spark):
         wins += top[0]["doc_id"] == 1
     # p=0.5, n=60 -> mean 30, sd ~3.9; accept 4 sd
     assert abs(wins - 30) < 16, wins
+
+
+def test_phrase_search_positions_and_counts(spark):
+    from lswms_forage_etl_spark.lifecycle import release_tracked
+    from lswms_forage_etl_spark.operators.retrieval import phrase_search
+    docs = spark.createDataFrame(
+        [(1, "hash join beats hash join here"),
+         (2, "join hash"),                    # reversed — no match
+         (3, "hash hash join"),               # match at pos 1
+         (4, "nothing relevant")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           phrase_search(docs, ["hash", "join"]).collect()}
+    release_tracked()
+    assert set(got) == {1, 3}
+    assert (got[1]["n_matches"], got[1]["first_pos"]) == (2, 0)
+    assert (got[3]["n_matches"], got[3]["first_pos"]) == (1, 1)
+
+
+def test_phrase_search_three_terms_and_repeats(spark):
+    from lswms_forage_etl_spark.lifecycle import release_tracked
+    from lswms_forage_etl_spark.operators.retrieval import phrase_search
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "a b b a")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           phrase_search(docs, ["a", "b", "a"]).collect()}
+    release_tracked()
+    # doc 1: matches at 0 and 2 (overlapping allowed); doc 2: none
+    assert set(got) == {1}
+    assert (got[1]["n_matches"], got[1]["first_pos"]) == (2, 0)
