@@ -2141,6 +2141,55 @@ def q_text_char_diversity(spark, sf):
     return char_diversity(_t(spark, sf, "documents"))
 
 
+def q_join_multiway_topk(spark, sf):
+    """TPC-H Q3-shaped three-table star join: filtered customer
+    dimension BROADCAST into orders, the orders-lineitem join shuffling
+    on the uniform orderkey, both fact filters pushed to the scans, and
+    the final top-10 as TakeOrdered (never a full sort). Revenue is the
+    exact scaled-BIGINT sum convention (floor at 1e4, one final
+    division)."""
+    cust = (_t(spark, sf, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (_t(spark, sf, "orders")
+              .where(F.col("o_orderdate").cast("date")
+                     < F.lit("1996-06-01"))
+              .select("o_orderkey", "o_custkey",
+                      F.col("o_orderdate").cast("date")
+                      .alias("o_orderdate"), "o_orderpriority"))
+    li = (_t(spark, sf, "lineitem")
+          .where(F.col("l_shipdate").cast("date") > F.lit("1996-06-01"))
+          .select("l_orderkey",
+                  F.floor(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 10000 + 0.5)
+                  .cast("long").alias("r4")))
+    j = (orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+         .join(li, li.l_orderkey == orders.o_orderkey))
+    return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg((F.sum("r4") / 10000.0).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority"))
+
+
+def q_sketch_hll_sliding(spark, sf):
+    """7-day sliding distinct users via HLL register MERGE: each day
+    is sketched once, registers explode to the W window-ends they
+    serve and max-merge per (window_end, bucket) — the mergeability
+    property that makes sketches the at-scale answer to sliding
+    count-distinct (the exact form re-touches every raw row W times).
+    Register table, harmonic sum, and estimate all oracle-replayed."""
+    from lswms_forage_etl_spark.operators.sketches import (
+        hll_sliding_distinct)
+    ev = _events(spark, sf)
+    out = hll_sliding_distinct(ev, "user_id", F.col("ts"),
+                               window_days=7, p=8)
+    return out.select("window_end", "n_zero_regs", "hll_sum48",
+                      pround(F.col("hll_est"), 4).alias("hll_est"))
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2275,6 +2324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_search": q_text_phrase_search,
         "text_collocations": q_text_collocations,
         "text_char_diversity": q_text_char_diversity,
+        "join_multiway_topk": q_join_multiway_topk,
+        "sketch_hll_sliding": q_sketch_hll_sliding,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4289,6 +4340,70 @@ def oracle_sql() -> dict[str, str]:
                               // (n_chars * (n_chars - 1)) AS BIGINT)
                END AS collision_ppm
         FROM a
+    """
+
+    # TPC-H Q3 shape adapted to this schema (no shippriority column)
+    sql["join_multiway_topk"] = """
+        WITH j AS (
+          SELECT l.l_orderkey,
+                 CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000 + 0.5) AS BIGINT) AS r4,
+                 CAST(o.o_orderdate AS DATE) AS o_orderdate,
+                 o.o_orderpriority
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'BUILDING'
+            AND CAST(o.o_orderdate AS DATE) < DATE '1996-06-01'
+            AND CAST(l.l_shipdate AS DATE) > DATE '1996-06-01')
+        SELECT l_orderkey,
+               CAST(sum(r4) AS BIGINT) / 10000.0 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM j GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """
+
+    # sliding-window HLL merge: day registers -> window expansion ->
+    # max-merge -> same harmonic fold as _hll_sql (p=8, seed=0)
+    _m, _rb = 256, 24
+    _mask1 = (1 << _rb)
+    _alpha = 0.7213 / (1.0 + 1.079 / _m)
+    _num = _alpha * _m * _m * float(1 << 48)
+    sql["sketch_hll_sliding"] = f"""
+        WITH k AS (SELECT CAST(ts AS DATE) AS day, user_id AS k
+                   FROM events),
+        h AS (SELECT day,
+                ('0x' || substr(md5(concat('0|', k)), 1, 8))::BIGINT
+                  AS h32
+              FROM k),
+        r AS (SELECT day, CAST(h32 // {_mask1} AS INT) AS bucket,
+                max(CASE WHEN (h32 % {_mask1}) = 0 THEN {_rb + 1}
+                     ELSE {_rb + 1} - length(bin(h32 % {_mask1}))
+                     END) AS reg
+              FROM h GROUP BY 1, 2),
+        x AS (SELECT CAST(day + to_days(CAST(j AS INT)) AS DATE) AS window_end, bucket, reg
+              FROM r, (SELECT unnest(range(0, 7)) AS j)),
+        mg AS (SELECT window_end, bucket, max(reg) AS reg
+               FROM x GROUP BY 1, 2),
+        tpl AS (SELECT window_end, bucket
+                FROM (SELECT DISTINCT window_end FROM mg),
+                     (SELECT CAST(unnest(range(0, {_m})) AS INT)
+                        AS bucket)),
+        f AS (SELECT tpl.window_end, COALESCE(mg.reg, 0) AS reg
+              FROM tpl LEFT JOIN mg
+                ON tpl.window_end = mg.window_end
+               AND tpl.bucket = mg.bucket),
+        s AS (SELECT window_end,
+                CAST(sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_zero_regs,
+                CAST(sum(CAST(1 AS BIGINT) << (48 - reg)) AS BIGINT)
+                  AS hll_sum48
+              FROM f GROUP BY window_end)
+        SELECT window_end, n_zero_regs, hll_sum48,
+               {_pr(f"{_num!r} / CAST(hll_sum48 AS DOUBLE)", 4)}
+                 AS hll_est
+        FROM s
     """
 
     return sql

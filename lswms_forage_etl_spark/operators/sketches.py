@@ -183,3 +183,34 @@ def kmv_jaccard_pairs(kmv: DataFrame, group_col: str,
             .withColumn("kmv_jaccard",
                         F.col("n_shared").cast("double")
                         / F.col("m_size").cast("double")))
+
+
+def hll_sliding_distinct(df: DataFrame, key_col, date_col,
+                         window_days: int = 7, p: int = 8,
+                         seed: int = 0) -> DataFrame:
+    """Sliding-window distinct via register MERGE — the operation that
+    makes a sketch worth carrying at scale: an exact W-day sliding
+    count-distinct re-touches every raw row W times, while registers
+    merge by max, so each day is sketched ONCE (|days| x m rows) and
+    every window is a bounded max-regroup of m-row day sketches.
+
+    Window semantics: window_end covers days [end-W+1, end]; each
+    day's registers are exploded to the W window-ends they serve
+    (the hopping-window expansion of window_sliding_mean), then
+    max-merged per (window_end, bucket). Ends run to max_day + W - 1
+    (trailing partial windows included — deterministic without a
+    global max-date pass)."""
+    c = date_col if not isinstance(date_col, str) else F.col(date_col)
+    keyed = df.select(c.cast("date").alias("day"),
+                      (key_col if not isinstance(key_col, str)
+                       else F.col(key_col)).alias("_k"))
+    regs = hll_registers(keyed, "_k", ["day"], p, seed)
+    expanded = regs.select(
+        F.explode(F.sequence(
+            F.col("day"),
+            F.date_add(F.col("day"), window_days - 1)))
+        .alias("window_end"),
+        "bucket", "reg")
+    merged = (expanded.groupBy("window_end", "bucket")
+              .agg(F.max("reg").alias("reg")))
+    return hll_estimate(merged, ["window_end"], p)

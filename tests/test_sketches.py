@@ -185,3 +185,27 @@ def test_kmv_jaccard_estimates(spark):
                            "g", k=256).collect()[0]
     assert e2["m_size"] == 60 and e2["n_shared"] == 20
     assert abs(e2["kmv_jaccard"] - 20 / 60) < 1e-12
+
+
+def test_hll_sliding_equals_batch_union(spark):
+    """A sliding window's merged registers must equal the sketch of the
+    window's raw rows — merge-by-max is lossless for HLL state."""
+    import datetime as dt
+    from lswms_forage_etl_spark.operators.sketches import (
+        hll_distinct, hll_sliding_distinct)
+    rows = [(dt.date(2024, 1, 1 + d % 5), 100 * d + i)
+            for d in range(5) for i in range(40)]
+    df = spark.createDataFrame(rows, "day date, uid long")
+    slid = {r["window_end"]: r for r in
+            hll_sliding_distinct(df, "uid", F.col("day"),
+                                 window_days=3, p=6).collect()}
+    # window ending Jan 3 covers days 1-3: sketch those raw rows directly
+    sub = df.where(F.col("day") <= dt.date(2024, 1, 3)) \
+            .withColumn("g", F.lit(1))
+    direct = hll_distinct(sub, "uid", ["g"], p=6).collect()[0]
+    got = slid[dt.date(2024, 1, 3)]
+    assert got["hll_sum48"] == direct["hll_sum48"]
+    assert got["n_zero_regs"] == direct["n_zero_regs"]
+    assert got["hll_est"] == direct["hll_est"]
+    # trailing partial windows exist out to max_day + W - 1
+    assert dt.date(2024, 1, 5 + 2) in slid
