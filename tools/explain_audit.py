@@ -143,10 +143,13 @@ def main() -> None:
             # (N, sum_dl, per-term df), the text_rarity shape;
             # sketch_hll_distinct's is the broadcast m=256-row bucket
             # template crossed with the (tiny) distinct-group list
+            # sketch_hll_sliding shares sketch_hll_distinct's bounded
+            # m=256-row bucket-template cross join (hll_estimate)
             if name in ("ann_pairwise_label_sim", "ann_topk_join",
                         "text_rarity", "pack_manifest", "text_bm25_topk",
                         "sketch_hll_distinct", "text_bm25_join",
-                        "sample_rebalance", "sketch_kmv_jaccard"):
+                        "sample_rebalance", "sketch_kmv_jaccard",
+                        "sketch_hll_sliding"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
