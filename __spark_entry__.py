@@ -2190,6 +2190,19 @@ def q_sketch_hll_sliding(spark, sf):
                       pround(F.col("hll_est"), 4).alias("hll_est"))
 
 
+def q_sketch_quantile_bins(spark, sf):
+    """Mergeable fixed-width-bin quantile sketch (the deterministic
+    cousin of KLL/t-digest): histogram state merges by sum, the rank
+    cut runs over the bounded bin table with exact-ppm integer rank
+    arithmetic, and the p50/p90/p99 bin edges hash-match the oracle's
+    identical replay. Error bound = one bin width ($100 here)."""
+    from lswms_forage_etl_spark.operators.sketches import binned_quantiles
+    li = _t(spark, sf, "lineitem")
+    return binned_quantiles(li, F.col("l_extendedprice"),
+                            ["l_returnflag"],
+                            [500000, 900000, 990000], bin_width=100)
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2326,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_diversity": q_text_char_diversity,
         "join_multiway_topk": q_join_multiway_topk,
         "sketch_hll_sliding": q_sketch_hll_sliding,
+        "sketch_quantile_bins": q_sketch_quantile_bins,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4404,6 +4418,32 @@ def oracle_sql() -> dict[str, str]:
                {_pr(f"{_num!r} / CAST(hll_sum48 AS DOUBLE)", 4)}
                  AS hll_est
         FROM s
+    """
+
+    # binned quantile sketch: identical histogram + exact-ppm rank cut
+    sql["sketch_quantile_bins"] = """
+        WITH sk AS (SELECT l_returnflag,
+                           CAST(floor(l_extendedprice / 100.0) AS BIGINT)
+                             AS bin,
+                           count(*) AS c
+                    FROM lineitem GROUP BY 1, 2),
+        cum AS (SELECT l_returnflag, bin,
+                       CAST(sum(c) OVER (PARTITION BY l_returnflag
+                                         ORDER BY bin) AS BIGINT) AS _cum,
+                       CAST(sum(c) OVER (PARTITION BY l_returnflag)
+                            AS BIGINT) AS _n
+                FROM sk)
+        SELECT l_returnflag, CAST(max(_n) AS BIGINT) AS n,
+               CAST(min(CASE WHEN _cum >= (_n * 500000 + 999999)
+                                          // 1000000
+                             THEN bin END) * 100 AS BIGINT) AS q500000,
+               CAST(min(CASE WHEN _cum >= (_n * 900000 + 999999)
+                                          // 1000000
+                             THEN bin END) * 100 AS BIGINT) AS q900000,
+               CAST(min(CASE WHEN _cum >= (_n * 990000 + 999999)
+                                          // 1000000
+                             THEN bin END) * 100 AS BIGINT) AS q990000
+        FROM cum GROUP BY l_returnflag
     """
 
     return sql

@@ -214,3 +214,48 @@ def hll_sliding_distinct(df: DataFrame, key_col, date_col,
     merged = (expanded.groupBy("window_end", "bucket")
               .agg(F.max("reg").alias("reg")))
     return hll_estimate(merged, ["window_end"], p)
+
+
+def binned_quantile_sketch(df: DataFrame, value_col, group_cols: list[str],
+                           bin_width: int) -> DataFrame:
+    """Mergeable quantile-sketch state: (group, bin, c) histogram over
+    fixed-width bins (bin = floor(value / bin_width), one IEEE division
+    + floor — identical on any engine). Merges by SUM, so map-side
+    combine applies and incremental maintenance is a union + re-sum;
+    state is bounded by the value range / bin_width, not by rows.
+    Quantile error is bounded by one bin width — the fixed-universe
+    cousin of KLL/t-digest that stays engine-deterministic."""
+    c = value_col if not isinstance(value_col, str) else F.col(value_col)
+    return (df.select(*group_cols,
+                      F.floor(c / F.lit(float(bin_width)))
+                      .cast("long").alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def binned_quantiles(df: DataFrame, value_col, group_cols: list[str],
+                     probs_ppm: list[int], bin_width: int) -> DataFrame:
+    """Per-group approximate quantiles from the binned sketch: quantile
+    p is the LOWER EDGE of the smallest bin whose cumulative count
+    reaches ceil(p * n), with p carried as exact ppm integers
+    (needed = (n * p_ppm + 999999) div 1e6 — no float boundary at the
+    rank cut). Output: (group..., n, q<ppm> BIGINT value edges...).
+
+    The rank scan is a window over the SKETCH (bins per group, bounded
+    by range/bin_width), never over raw rows."""
+    sk = binned_quantile_sketch(df, value_col, group_cols, bin_width)
+    w = (Window.partitionBy(*group_cols).orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wn = (Window.partitionBy(*group_cols)
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    cum = sk.select(*group_cols, "bin", "c",
+                    F.sum("c").over(w).alias("_cum"),
+                    F.sum("c").over(wn).alias("_n"))
+    aggs = [F.max("_n").cast("long").alias("n")]
+    for p in probs_ppm:
+        needed = F.expr(f"(_n * {p} + 999999) div 1000000")
+        aggs.append(
+            (F.min(F.when(F.col("_cum") >= needed, F.col("bin")))
+             * bin_width).cast("long").alias(f"q{p}"))
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -209,3 +209,28 @@ def test_hll_sliding_equals_batch_union(spark):
     assert got["hll_est"] == direct["hll_est"]
     # trailing partial windows exist out to max_day + W - 1
     assert dt.date(2024, 1, 5 + 2) in slid
+
+
+def test_binned_quantiles_vs_exact(spark):
+    """The sketch quantile must land within one bin width of the exact
+    percentile, and the sketch state must merge by sum."""
+    from lswms_forage_etl_spark.operators.sketches import (
+        binned_quantile_sketch, binned_quantiles)
+    vals = [(float(v), "g") for v in range(1, 1001)]  # 1..1000 uniform
+    df = spark.createDataFrame(vals, "v double, g string")
+    out = binned_quantiles(df, "v", ["g"], [500000, 990000],
+                           bin_width=10).collect()[0]
+    assert out["n"] == 1000
+    # exact p50 = 500 -> bin edge in [490, 500]; p99 = 990
+    assert abs(out["q500000"] - 500) <= 10
+    assert abs(out["q990000"] - 990) <= 10
+    # merge-by-sum: sketch(all) == sketch(half1) union sketch(half2) re-sum
+    h1 = binned_quantile_sketch(
+        df.where(F.col("v") <= 500), "v", ["g"], 10)
+    h2 = binned_quantile_sketch(
+        df.where(F.col("v") > 500), "v", ["g"], 10)
+    merged = (h1.unionByName(h2).groupBy("g", "bin")
+              .agg(F.sum("c").alias("c")))
+    direct = binned_quantile_sketch(df, "v", ["g"], 10)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, direct.collect())))
