@@ -2203,6 +2203,39 @@ def q_sketch_quantile_bins(spark, sf):
                             [500000, 900000, 990000], bin_width=100)
 
 
+def q_events_anomaly(spark, sf):
+    """Trailing-window z-score anomaly flags on daily event counts,
+    evaluated with cleared denominators — (m*x-s)^2 > sigma^2 *
+    (m*sxx - s^2) — so the flag is pure BIGINT comparison (no sqrt,
+    no division, no float contract). The window runs over the daily
+    aggregate, never raw events."""
+    from lswms_forage_etl_spark.operators.funnels import anomaly_flags
+    return anomaly_flags(_events(spark, sf), sigma=2, trailing_days=7)
+
+
+def q_join_outer_full(spark, sf):
+    """Full-outer join completeness: BUILDING-segment customers vs
+    per-customer order counts — rows survive from EITHER side, keys
+    coalesced, presence flagged. At scale a full outer cannot
+    broadcast (both sides must shuffle); the orderkey agg side is
+    pre-aggregated so the join runs on the shrunken key table."""
+    cust = (_t(spark, sf, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey",
+                    pround(F.col("c_acctbal"), 2).alias("acctbal")))
+    oc = (_t(spark, sf, "orders")
+          .groupBy(F.col("o_custkey").alias("c_custkey"))
+          .agg(F.count(F.lit(1)).alias("n_orders")))
+    j = cust.join(oc, "c_custkey", "full_outer")
+    return j.select(
+        "c_custkey",
+        F.col("acctbal").alias("acctbal"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("long")
+        .alias("n_orders"),
+        F.col("acctbal").isNotNull().alias("in_segment"),
+        (F.col("n_orders").isNotNull()).alias("has_orders"))
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2340,6 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_multiway_topk": q_join_multiway_topk,
         "sketch_hll_sliding": q_sketch_hll_sliding,
         "sketch_quantile_bins": q_sketch_quantile_bins,
+        "events_anomaly": q_events_anomaly,
+        "join_outer_full": q_join_outer_full,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4444,6 +4479,43 @@ def oracle_sql() -> dict[str, str]:
                                           // 1000000
                              THEN bin END) * 100 AS BIGINT) AS q990000
         FROM cum GROUP BY l_returnflag
+    """
+
+    # integer z-score anomaly flags (cleared denominators, no float)
+    sql["events_anomaly"] = """
+        WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          count(*) AS n_events
+                   FROM events GROUP BY 1, 2),
+        w AS (SELECT event_type, day,
+                     CAST(n_events AS BIGINT) AS n_events,
+                     CAST(sum(n_events) OVER tw AS BIGINT) AS s,
+                     CAST(sum(n_events * n_events) OVER tw AS BIGINT)
+                       AS sxx,
+                     CAST(count(*) OVER tw AS BIGINT) AS m
+              FROM d
+              WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT event_type, day, n_events,
+               CASE WHEN m = 7 THEN
+                 (m * n_events - s) * (m * n_events - s)
+                   > 4 * (m * sxx - s * s)
+               END AS is_anomaly
+        FROM w
+    """
+
+    sql["join_outer_full"] = """
+        WITH cust AS (SELECT c_custkey,
+                             floor(c_acctbal * 100 + 0.5) / 100.0
+                               AS acctbal
+                      FROM customer WHERE c_mktsegment = 'BUILDING'),
+        oc AS (SELECT o_custkey AS c_custkey, count(*) AS n_orders
+               FROM orders GROUP BY 1)
+        SELECT coalesce(cust.c_custkey, oc.c_custkey) AS c_custkey,
+               acctbal,
+               CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+               acctbal IS NOT NULL AS in_segment,
+               n_orders IS NOT NULL AS has_orders
+        FROM cust FULL OUTER JOIN oc USING (c_custkey)
     """
 
     return sql

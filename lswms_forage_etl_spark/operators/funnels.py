@@ -121,3 +121,31 @@ def pivot_event_counts(events: DataFrame, event_types: list[str],
     return out.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
                  for t in event_types])
+
+
+def anomaly_flags(events: DataFrame, sigma: int = 2,
+                  trailing_days: int = 7, ts_col: str = "ts",
+                  type_col: str = "event_type") -> DataFrame:
+    """Integer-exact z-score anomaly flags on daily event counts: day d
+    is anomalous iff |x - mean| > sigma * stddev over the TRAILING
+    `trailing_days` window — evaluated without any float by clearing
+    denominators:  (m*x - s)^2 > sigma^2 * (m*sxx - s^2)  with
+    m = window row count, s = sum, sxx = sum of squares. Engine-
+    portable (no sqrt, no division) and safe in int64 for daily counts
+    up to ~1e8 ((m*x)^2 <= 9e18). Days with an incomplete trailing
+    window emit NULL. The window runs over the DAILY AGGREGATE (365
+    rows/year/type), never raw events."""
+    daily = (events.groupBy(type_col,
+                            F.col(ts_col).cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    w = (Window.partitionBy(type_col).orderBy("day")
+         .rowsBetween(-trailing_days, -1))
+    x = F.col("n_events")
+    s = F.sum(x).over(w)
+    sxx = F.sum(x * x).over(w)
+    m = F.count(x).over(w)
+    lhs = (m * x - s) * (m * x - s)
+    rhs = F.lit(sigma * sigma) * (m * sxx - s * s)
+    return (daily.select(
+        type_col, "day", "n_events",
+        F.when(m == trailing_days, lhs > rhs).alias("is_anomaly")))

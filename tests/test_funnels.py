@@ -89,3 +89,25 @@ def test_pivot_counts_fill_zero(spark):
     # explicit value list means unseen types still appear as columns
     assert set(out["2024-01-02"].asDict()) == {
         "day", "view", "click", "purchase"}
+
+
+def test_anomaly_flags_integer_zscore(spark):
+    from lswms_forage_etl_spark.operators.funnels import anomaly_flags
+    # 7 flat days at 10 events, then a 40-event spike on day 8
+    rows = []
+    eid = 0
+    for d in range(1, 9):
+        n = 10 if d <= 7 else 40
+        for i in range(n):
+            rows.append((eid, dt.datetime(2024, 1, d, i % 24), 1, "view"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string")
+    got = {r["day"].isoformat(): r
+           for r in anomaly_flags(ev, sigma=2, trailing_days=7).collect()}
+    # zero-variance trailing window + deviation -> flagged
+    assert got["2024-01-08"]["is_anomaly"] is True
+    # incomplete trailing windows emit NULL, never a verdict
+    assert all(got[f"2024-01-0{d}"]["is_anomaly"] is None
+               for d in range(1, 8))
+    assert got["2024-01-08"]["n_events"] == 40
