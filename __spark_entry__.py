@@ -2236,6 +2236,76 @@ def q_join_outer_full(spark, sf):
         (F.col("n_orders").isNotNull()).alias("has_orders"))
 
 
+def q_agg_grouping_sets(spark, sf):
+    """Arbitrary GROUPING SETS (beyond rollup/cube): per-returnflag,
+    per-linestatus, and grand-total aggregates in ONE pass — Spark
+    expands to a single expand+shuffle, not three scans. grouping_id
+    disambiguates the null-key rows from genuine NULLs."""
+    li = _t(spark, sf, "lineitem")
+    li.select("l_returnflag", "l_linestatus", "l_quantity") \
+      .createOrReplaceTempView("_gs_li")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT)
+                 AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS qty100
+        FROM _gs_li
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def q_window_ntile_rank(spark, sf):
+    """Ranking-window completeness: ntile quartiles, percent_rank and
+    cume_dist per group over a total (tie-broken) order. percent_rank
+    = (rank-1)/(n-1) is an exact small-integer ratio — portable-rounded
+    on both sides anyway for the hash contract."""
+    li = (_t(spark, sf, "lineitem")
+          .where(F.col("l_orderkey") % 100 == 0)
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+                  "l_extendedprice"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc())
+    return li.select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.ntile(4).over(w).alias("quartile"),
+        pround(F.percent_rank().over(w), 9).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 9).alias("cume"))
+
+
+def q_join_fuzzy_tokens(spark, sf):
+    """Edit-distance-1 typo pairs over the corpus vocabulary — fuzzy
+    self-join with LENGTH BLOCKING: levenshtein(a,b) <= 1 requires
+    ||a|-|b|| <= 1, so each token joins only its own and adjacent
+    length blocks (bounded candidates), and the exact integer distance
+    filters inside the block join. levenshtein is the classic DP in
+    both engines — deterministic integers, oracle-matched. Runs over
+    the part-name vocabulary (the documents vocab has no distance-1
+    pairs — this one does: cold/old, red/rod)."""
+    parts = _t(spark, sf, "part")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("p_name"))), r"\s+"),
+                    lambda t: t != "")
+    vocab = (parts.select(F.explode(toks).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("c")))
+    vocab = stage_table(vocab)
+    a = vocab.select(F.col("token").alias("tok_a"),
+                     F.col("c").alias("ca"),
+                     F.length("token").alias("la"))
+    # explode each right-side token to the length blocks it can match
+    b = (vocab.select(F.col("token").alias("tok_b"),
+                      F.col("c").alias("cb"),
+                      F.length("token").alias("lb"))
+         .select("tok_b", "cb",
+                 F.explode(F.array(F.col("lb") - 1, F.col("lb"),
+                                   F.col("lb") + 1)).alias("la")))
+    j = (a.join(b, "la")
+         .where((F.col("tok_a") < F.col("tok_b"))
+                & (F.levenshtein("tok_a", "tok_b") <= 1)))
+    return j.select("tok_a", "tok_b", "ca", "cb")
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2375,6 +2445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_bins": q_sketch_quantile_bins,
         "events_anomaly": q_events_anomaly,
         "join_outer_full": q_join_outer_full,
+        "agg_grouping_sets": q_agg_grouping_sets,
+        "window_ntile_rank": q_window_ntile_rank,
+        "join_fuzzy_tokens": q_join_fuzzy_tokens,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4516,6 +4589,47 @@ def oracle_sql() -> dict[str, str]:
                acctbal IS NOT NULL AS in_segment,
                n_orders IS NOT NULL AS has_orders
         FROM cust FULL OUTER JOIN oc USING (c_custkey)
+    """
+
+    # DuckDB GROUPING SETS + grouping() bitmask (same bit order)
+    sql["agg_grouping_sets"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS qty100
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """
+
+    sql["window_ntile_rank"] = f"""
+        WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+                           l_extendedprice
+                    FROM lineitem WHERE l_orderkey % 100 = 0)
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               CAST(ntile(4) OVER tw AS INT) AS quartile,
+               {_pr("percent_rank() OVER tw", 9)} AS pct_rank,
+               {_pr("cume_dist() OVER tw", 9)} AS cume
+        FROM li
+        WINDOW tw AS (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    """
+
+    # fuzzy pairs: semantics-level oracle (plain quadratic over the
+    # tiny vocab) — if the Spark side's length blocking ever dropped a
+    # candidate, the hash would mismatch
+    sql["join_fuzzy_tokens"] = r"""
+        WITH v AS (SELECT token, count(*) AS c
+                   FROM (SELECT unnest(list_filter(
+                           string_split_regex(trim(lower(p_name)), '\s+'),
+                           x -> x <> '')) AS token
+                         FROM part)
+                   GROUP BY 1)
+        SELECT a.token AS tok_a, b.token AS tok_b,
+               CAST(a.c AS BIGINT) AS ca, CAST(b.c AS BIGINT) AS cb
+        FROM v a JOIN v b
+          ON a.token < b.token AND levenshtein(a.token, b.token) <= 1
     """
 
     return sql

@@ -67,6 +67,14 @@ HEADLINE = [
     "sketch_cms_counts",
     "sample_rebalance",
     "sketch_kmv_jaccard",
+    # round-9 session-2 additions
+    "events_funnel",
+    "text_textrank",
+    "text_collocations",
+    "text_phrase_search",
+    "join_multiway_topk",
+    "sketch_hll_sliding",
+    "sketch_quantile_bins",
 ]
 
 
