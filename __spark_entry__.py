@@ -2306,6 +2306,35 @@ def q_join_fuzzy_tokens(spark, sf):
     return j.select("tok_a", "tok_b", "ca", "cb")
 
 
+def q_quality_audit(spark, sf):
+    """Warehouse data-quality audit: FK orphans (left-anti joins on
+    natural keys), key uniqueness, domain and null checks — ONE bounded
+    metrics row per check. Each check is a single-row aggregate; the
+    union is bounded by the checklist, never by the data."""
+    from lswms_forage_etl_spark.operators.quality import referential_audit
+    tables = {n: _t(spark, sf, n)
+              for n in ["orders", "customer", "lineitem", "part",
+                        "nation", "documents", "events"]}
+    return referential_audit(tables)
+
+
+def q_scalar_clip_outliers(spark, sf):
+    """Per-group winsorization at sketch quantiles (p1/p99 bin edges
+    from the mergeable binned sketch, broadcast back — one row per
+    group): the standard robust-scaling pass, fully deterministic
+    because the clip edges are bin-quantized integers."""
+    from lswms_forage_etl_spark.operators.sketches import winsorize
+    li = _t(spark, sf, "lineitem")
+    out = winsorize(li.select("l_orderkey", "l_linenumber",
+                              "l_returnflag", "l_extendedprice"),
+                    "l_extendedprice", ["l_returnflag"],
+                    lo_ppm=10000, hi_ppm=990000, bin_width=100)
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        pround(F.col("l_extendedprice_clipped"), 2)
+        .alias("price_clipped"))
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2448,6 +2477,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_grouping_sets": q_agg_grouping_sets,
         "window_ntile_rank": q_window_ntile_rank,
         "join_fuzzy_tokens": q_join_fuzzy_tokens,
+        "quality_audit": q_quality_audit,
+        "scalar_clip_outliers": q_scalar_clip_outliers,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4630,6 +4661,93 @@ def oracle_sql() -> dict[str, str]:
                CAST(a.c AS BIGINT) AS ca, CAST(b.c AS BIGINT) AS cb
         FROM v a JOIN v b
           ON a.token < b.token AND levenshtein(a.token, b.token) <= 1
+    """
+
+    # warehouse audit: one row per check, anti-join orphan counts
+    sql["quality_audit"] = """
+        SELECT 'fk_orders_customer' AS check_name,
+               CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+                     (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+                 AS n_violations,
+               CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_total
+        UNION ALL
+        SELECT 'fk_lineitem_orders',
+               CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'fk_lineitem_part',
+               CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                     (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'fk_customer_nation',
+               CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+                     (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+               CAST((SELECT count(*) FROM customer) AS BIGINT)
+        UNION ALL
+        SELECT 'uniq_orderkey',
+               CAST((SELECT sum(c - 1) FROM (SELECT count(*) AS c
+                     FROM orders GROUP BY o_orderkey)) AS BIGINT),
+               CAST((SELECT count(*) FROM orders) AS BIGINT)
+        UNION ALL
+        SELECT 'uniq_lineitem_key',
+               CAST((SELECT sum(c - 1) FROM (SELECT count(*) AS c
+                     FROM lineitem
+                     GROUP BY l_orderkey, l_linenumber)) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'domain_discount_0_1',
+               CAST((SELECT count(*) FILTER (WHERE NOT
+                     (l_discount BETWEEN 0.0 AND 1.0)) FROM lineitem)
+                    AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'domain_quantity_pos',
+               CAST((SELECT count(*) FILTER (WHERE l_quantity <= 0)
+                     FROM lineitem) AS BIGINT),
+               CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+        UNION ALL
+        SELECT 'null_text',
+               CAST((SELECT count(*) FILTER (WHERE text IS NULL
+                     OR length(text) = 0) FROM documents) AS BIGINT),
+               CAST((SELECT count(*) FROM documents) AS BIGINT)
+        UNION ALL
+        SELECT 'null_user',
+               CAST((SELECT count(*) FILTER (WHERE user_id IS NULL)
+                     FROM events) AS BIGINT),
+               CAST((SELECT count(*) FROM events) AS BIGINT)
+    """
+
+    # winsorize: replay the binned sketch at [p1, p99] and clamp
+    sql["scalar_clip_outliers"] = f"""
+        WITH sk AS (SELECT l_returnflag,
+                           CAST(floor(l_extendedprice / 100.0) AS BIGINT)
+                             AS bin,
+                           count(*) AS c
+                    FROM lineitem GROUP BY 1, 2),
+        cum AS (SELECT l_returnflag, bin,
+                       CAST(sum(c) OVER (PARTITION BY l_returnflag
+                                         ORDER BY bin) AS BIGINT) AS _cum,
+                       CAST(sum(c) OVER (PARTITION BY l_returnflag)
+                            AS BIGINT) AS _n
+                FROM sk),
+        q AS (SELECT l_returnflag,
+                     min(CASE WHEN _cum >= (_n * 10000 + 999999)
+                                           // 1000000
+                              THEN bin END) * 100 AS qlo,
+                     min(CASE WHEN _cum >= (_n * 990000 + 999999)
+                                           // 1000000
+                              THEN bin END) * 100 AS qhi
+              FROM cum GROUP BY 1)
+        SELECT l_orderkey, l_linenumber, li.l_returnflag,
+               {_pr("CASE WHEN l_extendedprice < qlo THEN CAST(qlo AS DOUBLE) WHEN l_extendedprice > qhi THEN CAST(qhi AS DOUBLE) ELSE l_extendedprice END", 2)}
+                 AS price_clipped
+        FROM lineitem li JOIN q USING (l_returnflag)
     """
 
     return sql

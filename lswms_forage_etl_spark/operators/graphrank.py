@@ -223,17 +223,29 @@ def char_diversity(docs: DataFrame, id_col: str = "doc_id",
     the same quality-gate family as Gopher/C4 but distribution-based.
     Docs with n < 2 are emitted with collision_ppm = NULL.
 
-    One explode + two-phase aggregation: the (doc, char) key is
-    uniform (char cardinality bounds the fan-in per doc), map-side
-    combine absorbs the per-char counts before the shuffle."""
-    chars = F.filter(F.split(F.col(text_col), ""),
-                     lambda c: c != "")
-    per_char = (docs.select(id_col, F.explode(chars).alias("ch"))
-                .groupBy(id_col, "ch")
-                .agg(F.count(F.lit(1)).alias("c")))
-    return (per_char.groupBy(id_col)
-            .agg(F.sum(F.expr("c * (c - 1)")).alias("_coll"),
-                 F.sum("c").alias("n_chars"))
+    SCAN-SIDE, no shuffle: per-char counts come from replace
+    arithmetic (c_i = len(text) - len(replace(text, ch_i, '')), the
+    round-7 BPE-count trick) over the doc's DISTINCT chars, folded
+    with an aggregate HOF — O(alphabet * n) compute per doc but zero
+    exchange. Measured at the 100x slice: explode + (doc, char)
+    shuffle 14.4 s, this 9.7 s; a sorted-run single-pass fold (struct
+    accumulator) measured 10.0 s — interpreted struct allocs eat the
+    O(n) advantage, so the simpler replace form stays. The lambda
+    references only raw COLUMN refs (cheap), not re-evaluated
+    expressions (the round-5 interpreted-HOF hazard)."""
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    t = F.col(text_col)
+    counts = F.expr(
+        f"transform(array_distinct(filter(split({text_col}, ''), "
+        f"c -> c <> '')), ch -> length({text_col}) - "
+        f"length(replace({text_col}, ch, '')))")
+    coll = F.aggregate(
+        counts, F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * (x.cast("long") - 1))
+    return (_spread(docs.select(id_col, text_col))
+            .select(id_col,
+                    F.length(t).cast("long").alias("n_chars"),
+                    coll.alias("_coll"))
             .select(id_col, "n_chars",
                     F.when(F.col("n_chars") >= 2,
                            F.expr("(_coll * 1000000)"

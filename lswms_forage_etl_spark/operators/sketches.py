@@ -259,3 +259,23 @@ def binned_quantiles(df: DataFrame, value_col, group_cols: list[str],
             (F.min(F.when(F.col("_cum") >= needed, F.col("bin")))
              * bin_width).cast("long").alias(f"q{p}"))
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def winsorize(df: DataFrame, value_col: str, group_cols: list[str],
+              lo_ppm: int = 10000, hi_ppm: int = 990000,
+              bin_width: int = 100) -> DataFrame:
+    """Per-group outlier clipping at sketch quantiles: values clamp to
+    the [p_lo, p_hi] bin edges from `binned_quantiles` (exact-ppm rank
+    cuts), joined back as a BROADCAST (one row per group). The classic
+    robust-scaling pass before model features; clip edges are bin-
+    quantized so the whole operation stays engine-deterministic."""
+    q = binned_quantiles(df, value_col, group_cols,
+                         [lo_ppm, hi_ppm], bin_width)
+    lo, hi = f"q{lo_ppm}", f"q{hi_ppm}"
+    out = df.join(F.broadcast(q.select(*group_cols, lo, hi)), group_cols)
+    v = F.col(value_col)
+    clipped = (F.when(v < F.col(lo), F.col(lo).cast("double"))
+               .when(v > F.col(hi), F.col(hi).cast("double"))
+               .otherwise(v))
+    return out.withColumn(f"{value_col}_clipped", clipped) \
+              .drop(lo, hi)

@@ -234,3 +234,21 @@ def test_binned_quantiles_vs_exact(spark):
     direct = binned_quantile_sketch(df, "v", ["g"], 10)
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, direct.collect())))
+
+
+def test_winsorize_clips_to_sketch_edges(spark):
+    from lswms_forage_etl_spark.lifecycle import release_tracked
+    from lswms_forage_etl_spark.operators.sketches import winsorize
+    vals = [(float(v), "g") for v in range(1, 101)] + [(1000.0, "g")]
+    df = spark.createDataFrame(vals, "v double, g string")
+    out = winsorize(df, "v", ["g"], lo_ppm=100000, hi_ppm=900000,
+                    bin_width=10)
+    rows = out.collect()
+    release_tracked()
+    clipped = {r["v"]: r["v_clipped"] for r in rows}
+    # the 1000.0 outlier clamps to the p90 bin edge; mid values pass
+    assert clipped[1000.0] < 1000.0
+    assert clipped[50.0] == 50.0
+    assert clipped[1.0] >= 1.0  # clamped UP to the p10 edge or kept
+    lo = min(v for v in clipped.values())
+    assert lo >= 10.0 - 10  # within one bin of exact p10
