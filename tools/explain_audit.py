@@ -144,12 +144,15 @@ def main() -> None:
             # sketch_hll_distinct's is the broadcast m=256-row bucket
             # template crossed with the (tiny) distinct-group list
             # sketch_hll_sliding shares sketch_hll_distinct's bounded
-            # m=256-row bucket-template cross join (hll_estimate)
+            # m=256-row bucket-template cross join (hll_estimate);
+            # quality_audit's four BNLJs are fk_violations' 1-row
+            # total-count aggregates cross-joined to 1-row orphan
+            # counts — bounded on both sides by construction
             if name in ("ann_pairwise_label_sim", "ann_topk_join",
                         "text_rarity", "pack_manifest", "text_bm25_topk",
                         "sketch_hll_distinct", "text_bm25_join",
                         "sample_rebalance", "sketch_kmv_jaccard",
-                        "sketch_hll_sliding"):
+                        "sketch_hll_sliding", "quality_audit"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
