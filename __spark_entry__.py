@@ -2335,6 +2335,18 @@ def q_scalar_clip_outliers(spark, sf):
         .alias("price_clipped"))
 
 
+def q_events_assoc_rules(spark, sf):
+    """Market-basket association rules over 30-min sessions: support /
+    confidence / lift for ordered event-type pairs co-present in a
+    session, all exact-integer ppm (lift = two-step floor — no float).
+    The session item sets are one distinct with bounded per-session
+    fan (the type alphabet), so the pair self-join cannot blow up."""
+    from lswms_forage_etl_spark.operators.funnels import (
+        session_assoc_rules)
+    return session_assoc_rules(_events(spark, sf), gap_minutes=30,
+                               min_pair_sessions=2)
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2479,6 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_fuzzy_tokens": q_join_fuzzy_tokens,
         "quality_audit": q_quality_audit,
         "scalar_clip_outliers": q_scalar_clip_outliers,
+        "events_assoc_rules": q_events_assoc_rules,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4748,6 +4761,46 @@ def oracle_sql() -> dict[str, str]:
                {_pr("CASE WHEN l_extendedprice < qlo THEN CAST(qlo AS DOUBLE) WHEN l_extendedprice > qhi THEN CAST(qhi AS DOUBLE) ELSE l_extendedprice END", 2)}
                  AS price_clipped
         FROM lineitem li JOIN q USING (l_returnflag)
+    """
+
+    # association rules: replay gap-sessionization (lag + running sum),
+    # then co-presence counts; lift is the same two-step integer floor
+    sql["events_assoc_rules"] = """
+        WITH l AS (SELECT user_id, event_id, ts, event_type,
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pts
+                   FROM events),
+        n AS (SELECT *, CASE WHEN pts IS NULL
+                              OR date_diff('second', pts, ts) > 1800
+                             THEN 1 ELSE 0 END AS ns
+              FROM l),
+        s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                             AS INT) AS session_idx
+              FROM n),
+        items AS (SELECT DISTINCT user_id, session_idx,
+                         event_type AS item FROM s),
+        nsess AS (SELECT count(*) AS _N FROM
+                  (SELECT DISTINCT user_id, session_idx FROM items)),
+        pairs AS (SELECT a.item AS ant, b.item AS cons,
+                         count(*) AS n_both
+                  FROM items a JOIN items b
+                    ON a.user_id = b.user_id
+                   AND a.session_idx = b.session_idx
+                   AND a.item <> b.item
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+        ni AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1)
+        SELECT ant, cons, CAST(n_both AS BIGINT) AS n_both,
+               CAST((n_both * 1000000) // _N AS BIGINT) AS support_ppm,
+               CAST((n_both * 1000000) // na.n_item AS BIGINT)
+                 AS confidence_ppm,
+               CAST((((n_both * 1000000) // na.n_item) * _N)
+                    // nb.n_item AS BIGINT) AS lift_ppm
+        FROM pairs
+        JOIN ni na ON na.item = ant
+        JOIN ni nb ON nb.item = cons
+        CROSS JOIN nsess
     """
 
     return sql

@@ -149,3 +149,53 @@ def anomaly_flags(events: DataFrame, sigma: int = 2,
     return (daily.select(
         type_col, "day", "n_events",
         F.when(m == trailing_days, lhs > rhs).alias("is_anomaly")))
+
+
+def session_assoc_rules(events: DataFrame, gap_minutes: int = 30,
+                        min_pair_sessions: int = 2,
+                        user_col: str = "user_id", ts_col: str = "ts",
+                        type_col: str = "event_type") -> DataFrame:
+    """Market-basket association rules over sessions: for each ordered
+    event-type pair (A -> B), support / confidence / lift from
+    co-presence in the same session — all exact-integer ppm. Lift is
+    the two-step floor ((conf_ppm * N) div n_B), deterministic on both
+    engines and overflow-safe (conf_ppm <= 1e6, N bounded by int64/1e6).
+
+    Scale shape: the session item sets are ONE distinct over (session,
+    type) — fan-in per session bounded by the type alphabet, so the
+    session-key self-join for pairs is bounded-fan (|types|^2 rows per
+    session max). Pair/antecedent counts are two-phase aggregates."""
+    from lswms_forage_etl_spark.operators.sessions import sessionize
+    s = sessionize(events, gap_minutes, user_col, ts_col,
+                   order_cols=("event_id",))
+    from lswms_forage_etl_spark.lifecycle import stage_table
+    # one distinct shuffle; persisted — three consumers (pair join
+    # sides, item counts, session count) would re-run it otherwise
+    items = stage_table(
+        s.select(user_col, "session_idx", F.col(type_col).alias("item"))
+        .distinct())
+    n_sessions = (items.select(user_col, "session_idx").distinct()
+                  .agg(F.count(F.lit(1)).alias("_N")))
+    a = items.select(user_col, "session_idx", F.col("item").alias("ant"))
+    b = items.select(user_col, "session_idx", F.col("item").alias("cons"))
+    pairs = (a.join(b, [user_col, "session_idx"])
+             .where(F.col("ant") != F.col("cons"))
+             .groupBy("ant", "cons")
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .where(F.col("n_both") >= min_pair_sessions))
+    n_item = items.groupBy(F.col("item")).agg(
+        F.count(F.lit(1)).alias("n_item"))
+    na = n_item.select(F.col("item").alias("ant"),
+                       F.col("n_item").alias("n_ant"))
+    nb = n_item.select(F.col("item").alias("cons"),
+                       F.col("n_item").alias("n_cons"))
+    out = (pairs.join(F.broadcast(na), "ant")
+           .join(F.broadcast(nb), "cons")
+           .crossJoin(F.broadcast(n_sessions)))
+    conf = F.expr("(n_both * 1000000) div n_ant")
+    return out.select(
+        "ant", "cons", "n_both",
+        F.expr("(n_both * 1000000) div _N").alias("support_ppm"),
+        conf.alias("confidence_ppm"),
+        F.expr("(((n_both * 1000000) div n_ant) * _N) div n_cons")
+        .alias("lift_ppm"))

@@ -111,3 +111,26 @@ def test_anomaly_flags_integer_zscore(spark):
     assert all(got[f"2024-01-0{d}"]["is_anomaly"] is None
                for d in range(1, 8))
     assert got["2024-01-08"]["n_events"] == 40
+
+
+def test_session_assoc_rules_exact(spark):
+    from lswms_forage_etl_spark.lifecycle import release_tracked
+    from lswms_forage_etl_spark.operators.funnels import (
+        session_assoc_rules)
+    # 3 single-session users: {view,click} x2 sessions, {view} x1
+    ev = _ev(spark, [
+        (1, 1, 1, "view"), (1, 1, 1, "click"),
+        (2, 1, 2, "view"), (2, 1, 2, "click"),
+        (3, 1, 3, "view"),
+    ])
+    rows = {(r["ant"], r["cons"]): r for r in
+            session_assoc_rules(ev, min_pair_sessions=1).collect()}
+    release_tracked()
+    # N=3 sessions; n(view)=3, n(click)=2, n(view,click)=2
+    r = rows[("view", "click")]
+    assert r["n_both"] == 2
+    assert r["support_ppm"] == 2 * 1_000_000 // 3
+    assert r["confidence_ppm"] == 2 * 1_000_000 // 3
+    assert r["lift_ppm"] == (2 * 1_000_000 // 3) * 3 // 2  # = 1.0x
+    r2 = rows[("click", "view")]
+    assert r2["confidence_ppm"] == 1_000_000  # every click-session views
