@@ -2347,6 +2347,39 @@ def q_events_assoc_rules(spark, sf):
                                min_pair_sessions=2)
 
 
+def q_text_bigram_novelty(spark, sf):
+    """Bigram-novelty quality gate (the count-based stand-in for LM
+    perplexity filtering): exact-ppm fraction of each doc's bigram
+    occurrences whose corpus count <= 25. Doc bigrams and the corpus
+    count table join on the uniform (a, b) key; the bigram table is
+    persisted once for its two consumers."""
+    from lswms_forage_etl_spark.operators.graphrank import bigram_novelty
+    return bigram_novelty(_t(spark, sf, "documents"), rare_threshold=25)
+
+
+def q_graph_triangles(spark, sf):
+    """Triangle census + global clustering coefficient of the token
+    co-occurrence graph via the ORIENTED-EDGE recipe (edges point
+    degree-ascending, so wedge fan is bounded by sqrt(2|E|) per node
+    — the standard at-scale triangle join). All counts integer; the
+    oracle counts triangles with a direct a<b<c triple join, so an
+    orientation bug cannot hide."""
+    from lswms_forage_etl_spark.operators.graphrank import (
+        token_triangle_stats)
+    return token_triangle_stats(_t(spark, sf, "documents"))
+
+
+def q_ann_dim_standardize(spark, sf):
+    """Per-dimension z-score standardization of the embedding matrix:
+    exact int64 moments per dim (quantized components), one IEEE
+    sqrt/division at the end — bit-identical across engines, checked
+    at 6 dp. One posexplode + a 64-row broadcast of the stats."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        standardize_dims)
+    out = standardize_dims(_t(spark, sf, "embeddings"))
+    return out.select("vec_id", "dim", pround(F.col("z"), 6).alias("z"))
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2492,6 +2525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_audit": q_quality_audit,
         "scalar_clip_outliers": q_scalar_clip_outliers,
         "events_assoc_rules": q_events_assoc_rules,
+        "text_bigram_novelty": q_text_bigram_novelty,
+        "graph_triangles": q_graph_triangles,
+        "ann_dim_standardize": q_ann_dim_standardize,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4801,6 +4837,69 @@ def oracle_sql() -> dict[str, str]:
         JOIN ni na ON na.item = ant
         JOIN ni nb ON nb.item = cons
         CROSS JOIN nsess
+    """
+
+    sql["text_bigram_novelty"] = r"""
+        WITH t AS (SELECT doc_id, list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS k
+              FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id, toks[k] AS a, toks[k + 1] AS b
+               FROM i WHERE toks[k] <> toks[k + 1]),
+        c AS (SELECT a, b, count(*) AS cb FROM bg GROUP BY 1, 2)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(CASE WHEN cb <= 25 THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS novel_ppm
+        FROM bg JOIN c USING (a, b) GROUP BY doc_id
+    """
+
+    # triangle census: semantics-level oracle (direct a<b<c triple
+    # join) — an orientation bug on the Spark side cannot hide
+    sql["graph_triangles"] = r"""
+        WITH t AS (SELECT list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        i AS (SELECT toks, unnest(range(1, len(toks))) AS k
+              FROM t WHERE len(toks) >= 2),
+        pr AS (SELECT toks[k] AS x, toks[k + 1] AS y
+               FROM i WHERE toks[k] <> toks[k + 1]),
+        e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b
+              FROM pr),
+        d AS (SELECT node, count(*) AS deg FROM
+              (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY 1),
+        tri AS (SELECT count(*) AS n_triangles
+                FROM e e1
+                JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               CAST((SELECT sum(deg * (deg - 1) // 2) FROM d)
+                    AS BIGINT) AS n_wedges,
+               CAST((3 * n_triangles * 1000000)
+                    // (SELECT sum(deg * (deg - 1) // 2) FROM d)
+                    AS BIGINT) AS clustering_ppm
+        FROM tri
+    """
+
+    sql["ann_dim_standardize"] = f"""
+        WITH x AS (SELECT vec_id, j - 1 AS dim,
+                          CAST(floor(CAST(embedding[j] AS DOUBLE)
+                                     * 10000 + 0.5) AS BIGINT) AS xq
+                   FROM embeddings,
+                        (SELECT unnest(range(1, 65)) AS j)),
+        st AS (SELECT dim, count(*) AS n,
+                      CAST(sum(xq) AS BIGINT) AS s,
+                      CAST(sum(xq * xq) AS BIGINT) AS sxx
+               FROM x GROUP BY 1)
+        SELECT vec_id, CAST(x.dim AS INT) AS dim,
+               {_pr("(xq - CAST(s AS DOUBLE) / n) / sqrt((CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)", 6)}
+                 AS z
+        FROM x JOIN st ON x.dim = st.dim
     """
 
     return sql

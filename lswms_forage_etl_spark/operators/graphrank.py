@@ -251,3 +251,90 @@ def char_diversity(docs: DataFrame, id_col: str = "doc_id",
                            F.expr("(_coll * 1000000)"
                                   " div (n_chars * (n_chars - 1))"))
                     .alias("collision_ppm")))
+
+
+def bigram_novelty(docs: DataFrame, rare_threshold: int = 25,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Bigram-novelty quality score: the exact-ppm fraction of a doc's
+    adjacent-bigram OCCURRENCES whose corpus-wide count is <= the rare
+    threshold — the count-based stand-in for LM perplexity filtering
+    (CCNet-style): gibberish and boilerplate-mutated text is rich in
+    corpus-rare bigrams. No logs, no float contract.
+
+    Scale shape: doc bigrams join the corpus bigram-count table on the
+    uniform (a, b) key — both sides corpus-derived, the count side
+    aggregated first (two-phase, map-side combine)."""
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    d = docs.select(id_col, toks.alias("toks"))
+    n = F.size("toks")
+    a = F.slice("toks", 1, n - 1)
+    b = F.expr("slice(toks, 2, size(toks) - 1)")
+    bg = (d.where(n >= 2)
+          .select(id_col,
+                  F.explode(F.arrays_zip(a.alias("a"), b.alias("b")))
+                  .alias("p"))
+          .select(id_col, F.col("p.a").alias("a"),
+                  F.col("p.b").alias("b"))
+          .where(F.col("a") != F.col("b")))
+    bg = stage_table(bg)  # consumed by both the count agg and the join
+    counts = (bg.groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("cb")))
+    j = bg.join(counts, ["a", "b"])
+    return (j.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(F.when(F.col("cb") <= rare_threshold, 1)
+                       .otherwise(0)).alias("_rare"))
+            .select(id_col, "n_bigrams",
+                    F.expr("(_rare * 1000000) div n_bigrams")
+                    .alias("novel_ppm")))
+
+
+def token_triangle_stats(docs: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Triangle census of the token co-occurrence graph: node/edge
+    counts, triangles, wedges, and the global clustering coefficient
+    (3*triangles/wedges) in exact ppm. Triangles use the ORIENTED-EDGE
+    pattern — edges point from the (degree, node)-smaller endpoint to
+    the larger, so each node's out-neighborhood is bounded by
+    sqrt(2*|E|) and the wedge self-join fan cannot explode on hubs
+    (the standard at-scale triangle recipe). Every count is integer."""
+    pairs = adjacent_token_pairs(docs, text_col, ordered=True)
+    e = (pairs.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+         .distinct())
+    e = stage_table(e)  # degrees + orientation + wedge join all read it
+    deg = (e.select(F.col("a").alias("node"))
+           .unionByName(e.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    deg = stage_table(deg)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    oriented = (e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+                .select(
+                    F.when((F.col("dega") < F.col("degb"))
+                           | ((F.col("dega") == F.col("degb"))
+                              & (F.col("a") < F.col("b"))),
+                           F.col("a")).otherwise(F.col("b")).alias("u"),
+                    F.when((F.col("dega") < F.col("degb"))
+                           | ((F.col("dega") == F.col("degb"))
+                              & (F.col("a") < F.col("b"))),
+                           F.col("b")).otherwise(F.col("a")).alias("v")))
+    oriented = stage_table(oriented)
+    o2 = oriented.select(F.col("u").alias("u"), F.col("v").alias("w"))
+    wedge = (oriented.join(o2, "u")
+             .where(F.col("v") < F.col("w")))
+    closing = (e.select(F.least("a", "b").alias("v"),
+                        F.greatest("a", "b").alias("w")))
+    tri = (wedge.join(closing, ["v", "w"], "left_semi")
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    stats = (deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long")
+        .alias("n_wedges")))
+    return (stats.crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_triangles", "n_wedges",
+                    F.expr("(3 * n_triangles * 1000000) div n_wedges")
+                    .alias("clustering_ppm")))

@@ -917,3 +917,37 @@ def pq_train_codebook_dist(embeddings: DataFrame, ks: int = 16, m: int = 8,
             new[r["c"]][r["j"]] = math.floor(mean * scale + 0.5) / scale
         cb = new
     return cb
+
+
+def standardize_dims(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     quant: int = 10 ** 4) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-scaling pass before distance-based ops. Deterministic
+    recipe: components quantize to ints (floor at `quant`), per-dim
+    moments are EXACT int64 sums, and the final z = (x - s/n) /
+    sqrt((sxx - s^2/n)/n) runs in IEEE doubles derived from those ints
+    — sqrt and division are correctly-rounded IEEE ops, so both
+    engines produce identical bits, portable-rounded for the hash.
+    Overflow bound: sxx <= n * (quant*|x|_max)^2 must stay in int64 —
+    at quant=1e4 and |x|<=1 that allows n ~ 9e10 rows per dimension;
+    shard or reduce quant beyond that.
+
+    One posexplode + one per-dim aggregate (64 groups) broadcast back."""
+    x = F.col("x")
+    # cast float32 -> double BEFORE the arithmetic: the oracle works in
+    # doubles, and a float32 multiply rounds differently
+    expl = emb.select(id_col, F.posexplode(vec_col).alias("dim", "x")) \
+              .select(id_col, "dim",
+                      F.floor(x.cast("double") * quant + F.lit(0.5))
+                      .cast("long").alias("xq"))
+    stats = (expl.groupBy("dim")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("xq").alias("s"),
+                  F.sum(F.col("xq") * F.col("xq")).alias("sxx")))
+    j = expl.join(F.broadcast(stats), "dim")
+    sd = F.col("s").cast("double")
+    var = (F.col("sxx").cast("double") - sd * sd / F.col("n")) \
+        / F.col("n")
+    z = (F.col("xq") - sd / F.col("n")) / F.sqrt(var)
+    return j.select(id_col, "dim", z.alias("z"))

@@ -124,3 +124,37 @@ def test_char_diversity_bounds(spark):
     assert got[2]["collision_ppm"] == 0              # all distinct
     assert got[3]["collision_ppm"] is None           # n < 2 undefined
     assert got[2]["n_chars"] == 4
+
+
+def test_bigram_novelty_fraction(spark):
+    from lswms_forage_etl_spark.lifecycle import release_tracked
+    from lswms_forage_etl_spark.operators.graphrank import bigram_novelty
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y q r")], "doc_id long, text string")
+    # corpus bigram counts: (x,y)=3, (y,x)=1, (y,q)=1, (q,r)=1
+    got = {r["doc_id"]: r for r in
+           bigram_novelty(docs, rare_threshold=1).collect()}
+    release_tracked()
+    # doc1: bigrams [xy, yx, xy] -> rare = 1 of 3 (yx)
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["novel_ppm"] == 1 * 1_000_000 // 3
+    # doc2: [xy, yq, qr] -> rare = 2 of 3
+    assert got[2]["novel_ppm"] == 2 * 1_000_000 // 3
+
+
+def test_triangle_stats_known_graph(spark):
+    from lswms_forage_etl_spark.lifecycle import release_tracked
+    from lswms_forage_etl_spark.operators.graphrank import (
+        token_triangle_stats)
+    # one doc building a triangle a-b-c plus a pendant c-d
+    docs = spark.createDataFrame(
+        [(1, "a b c a"), (2, "c d")], "doc_id long, text string")
+    # undirected edges: ab, bc, ca, cd -> 1 triangle
+    r = token_triangle_stats(docs).collect()[0]
+    release_tracked()
+    assert r["n_nodes"] == 4
+    assert r["n_edges"] == 4
+    assert r["n_triangles"] == 1
+    # degrees: a=2 b=2 c=3 d=1 -> wedges = 1+1+3+0 = 5
+    assert r["n_wedges"] == 5
+    assert r["clustering_ppm"] == 3 * 1 * 1_000_000 // 5

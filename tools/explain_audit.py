@@ -147,12 +147,16 @@ def main() -> None:
             # m=256-row bucket-template cross join (hll_estimate);
             # quality_audit's four BNLJs are fk_violations' 1-row
             # total-count aggregates cross-joined to 1-row orphan
-            # counts — bounded on both sides by construction
+            # counts — bounded on both sides by construction;
+            # events_assoc_rules crosses the 1-row session-count agg;
+            # graph_triangles crosses two 1-row aggregates (triangle
+            # count x degree stats)
             if name in ("ann_pairwise_label_sim", "ann_topk_join",
                         "text_rarity", "pack_manifest", "text_bm25_topk",
                         "sketch_hll_distinct", "text_bm25_join",
                         "sample_rebalance", "sketch_kmv_jaccard",
-                        "sketch_hll_sliding", "quality_audit"):
+                        "sketch_hll_sliding", "quality_audit",
+                        "events_assoc_rules", "graph_triangles"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")
