@@ -2380,6 +2380,21 @@ def q_ann_dim_standardize(spark, sf):
     return out.select("vec_id", "dim", pround(F.col("z"), 6).alias("z"))
 
 
+def q_events_attribution(spark, sf):
+    """Interval attribution join (batch run of the stream-stream
+    operator in streaming/joins.py): every purchase attributed to the
+    same user's views within the preceding 30 minutes. The identical
+    plan runs watermarked stream-stream — state bounded by window +
+    watermark (tests/test_streaming_joins.py)."""
+    from lswms_forage_etl_spark.streaming.joins import (
+        interval_attribution_join)
+    ev = _events(spark, sf)
+    return interval_attribution_join(
+        ev.where(F.col("event_type") == "view"),
+        ev.where(F.col("event_type") == "purchase"),
+        window_minutes=30)
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2528,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_novelty": q_text_bigram_novelty,
         "graph_triangles": q_graph_triangles,
         "ann_dim_standardize": q_ann_dim_standardize,
+        "events_attribution": q_events_attribution,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4900,6 +4916,16 @@ def oracle_sql() -> dict[str, str]:
                {_pr("(xq - CAST(s AS DOUBLE) / n) / sqrt((CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)", 6)}
                  AS z
         FROM x JOIN st ON x.dim = st.dim
+    """
+
+    sql["events_attribution"] = """
+        SELECT i.user_id, i.event_id AS imp_id, i.ts AS imp_ts,
+               c.event_id AS conv_id, c.ts AS conv_ts
+        FROM events i JOIN events c
+          ON i.user_id = c.user_id
+         AND i.event_type = 'view' AND c.event_type = 'purchase'
+         AND c.ts >= i.ts
+         AND c.ts < i.ts + INTERVAL 30 MINUTE
     """
 
     return sql
