@@ -2395,6 +2395,42 @@ def q_events_attribution(spark, sf):
         window_minutes=30)
 
 
+def q_events_twap(spark, sf):
+    """Per (user, day) TIME-WEIGHTED average value: each observation
+    weighted by the whole seconds it stayed current (last one holds to
+    midnight). Quantized values x integer second weights, one BIGINT
+    division — no float accumulation."""
+    from lswms_forage_etl_spark.operators.timeseries import (
+        time_weighted_daily)
+    return time_weighted_daily(_events(spark, sf))
+
+
+def q_events_resample_ffill(spark, sf):
+    """Daily-grid resample with forward fill: every user gets a row per
+    calendar day (users x sequence explode, never a cross join through
+    raw events), carrying the last observed quantized value across
+    silent days via a last-ignoring-nulls window."""
+    from lswms_forage_etl_spark.operators.timeseries import (
+        resample_ffill_daily)
+    return resample_ffill_daily(_events(spark, sf),
+                                dt.date(2024, 1, 1), dt.date(2024, 1, 30))
+
+
+def q_set_bag_ops(spark, sf):
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    multiset part-key overlap between the 1996 and 1997 ship years —
+    duplicates survive with min/difference multiplicity, the semantics
+    DISTINCT-based set ops lose."""
+    li = _t(spark, sf, "lineitem")
+    a = (li.where(F.year("l_shipdate") == 1996).select("l_partkey"))
+    b = (li.where(F.year("l_shipdate") == 1997).select("l_partkey"))
+    return (a.intersectAll(b)
+            .select(F.lit("intersect").alias("op"), "l_partkey")
+            .unionByName(
+                a.exceptAll(b)
+                .select(F.lit("except").alias("op"), "l_partkey")))
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2544,6 +2580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "ann_dim_standardize": q_ann_dim_standardize,
         "events_attribution": q_events_attribution,
+        "events_twap": q_events_twap,
+        "events_resample_ffill": q_events_resample_ffill,
+        "set_bag_ops": q_set_bag_ops,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -4926,6 +4965,59 @@ def oracle_sql() -> dict[str, str]:
          AND i.event_type = 'view' AND c.event_type = 'purchase'
          AND c.ts >= i.ts
          AND c.ts < i.ts + INTERVAL 30 MINUTE
+    """
+
+    sql["events_twap"] = """
+        WITH r AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                     CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+                     date_diff('second', ts,
+                       coalesce(lead(ts) OVER
+                                  (PARTITION BY user_id, CAST(ts AS DATE)
+                                   ORDER BY ts, event_id),
+                                CAST(CAST(ts AS DATE) + to_days(1)
+                                     AS TIMESTAMP))) AS dt_sec
+                   FROM events)
+        SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(dt_sec) AS BIGINT) AS sec_covered,
+               CAST(sum(v4 * dt_sec) // sum(dt_sec) AS BIGINT) AS twap4
+        FROM r GROUP BY 1, 2
+    """
+
+    sql["events_resample_ffill"] = """
+        WITH lp AS (SELECT user_id, day, v4 FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+                   row_number() OVER (PARTITION BY user_id,
+                                      CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC)
+                     AS rn
+            FROM events) WHERE rn = 1),
+        grid AS (SELECT user_id, CAST(d AS DATE) AS day
+                 FROM (SELECT DISTINCT user_id FROM events),
+                      (SELECT unnest(generate_series(DATE '2024-01-01',
+                        DATE '2024-01-30', INTERVAL 1 DAY)) AS d)),
+        j AS (SELECT g.user_id, g.day, lp.v4
+              FROM grid g LEFT JOIN lp
+                ON lp.user_id = g.user_id AND lp.day = g.day)
+        SELECT user_id, day,
+               CAST(last_value(v4 IGNORE NULLS) OVER
+                    (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS v4_filled,
+               v4 IS NOT NULL AS observed
+        FROM j
+    """
+
+    sql["set_bag_ops"] = """
+        SELECT 'intersect' AS op, l_partkey FROM (
+          SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+          INTERSECT ALL
+          SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997)
+        UNION ALL
+        SELECT 'except', l_partkey FROM (
+          SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
+          EXCEPT ALL
+          SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997)
     """
 
     return sql

@@ -1,0 +1,85 @@
+"""Time-series resampling and interval-weighted aggregation over event
+streams.
+
+Beyond the reference surface (its time axis is the fixed 16-day
+composite calendar in ``operators/periods.py``), but core telemetry
+operators: time-weighted averages (TWAP — each observation weighted by
+how long it remained current) and regular-grid resampling with forward
+fill (the gap-filling pass before any per-day join or model feature).
+
+Exactness: values quantize to ints (1e4), interval weights are whole
+SECONDS (integer datediffs), and the weighted mean is one BIGINT
+division — no float accumulation anywhere.
+
+Scale shape: both operators window over (user, day)-keyed streams —
+one shuffle on the user key; the resample grid is |users| x |days|
+rows built by a sequence explode (never a cross join through the raw
+event stream)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+V_SCALE = 10 ** 4
+
+
+def time_weighted_daily(events: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", value_col: str = "value",
+                        order_cols: tuple[str, ...] = ("event_id",),
+                        ) -> DataFrame:
+    """Per (user, day) time-weighted average of `value`: each event's
+    value holds until the next event that day (the last one holds to
+    midnight). twap4 = sum(v4 * dt_sec) div sum(dt_sec) — exact ints;
+    callers divide by 1e4 for display."""
+    day = F.col(ts_col).cast("date")
+    w = Window.partitionBy(user_col, day.alias("day")).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols])
+    nxt = F.lead(ts_col).over(w)
+    day_end = F.date_add(day, 1).cast("timestamp")
+    dt_sec = (F.unix_timestamp(F.coalesce(nxt, day_end))
+              - F.unix_timestamp(F.col(ts_col)))
+    v4 = F.floor(F.col(value_col) * V_SCALE + F.lit(0.5)).cast("long")
+    rows = events.select(user_col, day.alias("day"),
+                         v4.alias("v4"), dt_sec.alias("dt_sec"))
+    return (rows.groupBy(user_col, "day")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("dt_sec").cast("long").alias("sec_covered"),
+                 F.expr("sum(v4 * dt_sec) div sum(dt_sec)")
+                 .alias("twap4")))
+
+
+def resample_ffill_daily(events: DataFrame, start: dt.date,
+                         end: dt.date, user_col: str = "user_id",
+                         ts_col: str = "ts", value_col: str = "value",
+                         order_cols: tuple[str, ...] = ("event_id",),
+                         ) -> DataFrame:
+    """Regular daily grid per user over [start, end], carrying each
+    user's LAST observed (quantized) value forward across silent days
+    (NULL before first activity). The grid is users x sequence(days)
+    — bounded; the fill is one last-ignoring-nulls window per user."""
+    day = F.col(ts_col).cast("date")
+    w = Window.partitionBy(user_col, day.alias("day")).orderBy(
+        F.col(ts_col).desc(),
+        *[F.col(c).desc() for c in order_cols])
+    v4 = F.floor(F.col(value_col) * V_SCALE + F.lit(0.5)).cast("long")
+    last_per_day = (events
+                    .select(user_col, day.alias("day"), v4.alias("v4"),
+                            F.row_number().over(w).alias("_rn"))
+                    .where(F.col("_rn") == 1)
+                    .drop("_rn"))
+    grid = (events.select(user_col).distinct()
+            .select(user_col,
+                    F.explode(F.sequence(
+                        F.lit(start.isoformat()).cast("date"),
+                        F.lit(end.isoformat()).cast("date")))
+                    .alias("day")))
+    joined = grid.join(last_per_day, [user_col, "day"], "left")
+    fill = Window.partitionBy(user_col).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return joined.select(
+        user_col, "day",
+        F.last("v4", ignorenulls=True).over(fill).alias("v4_filled"),
+        F.col("v4").isNotNull().alias("observed"))

@@ -1,0 +1,50 @@
+"""Unit tests for TWAP and resample-ffill (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from lswms_forage_etl_spark.operators.timeseries import (
+    resample_ffill_daily,
+    time_weighted_daily,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+D1 = dt.datetime(2024, 1, 1)
+
+
+def test_twap_interval_weights(spark):
+    # user 1: value 1.0 for 6h, then 3.0 for the remaining 18h
+    ev = spark.createDataFrame(
+        [(1, D1, 1, 1.0),
+         (2, D1 + dt.timedelta(hours=6), 1, 3.0)], SCHEMA)
+    r = time_weighted_daily(ev).collect()[0]
+    assert r["sec_covered"] == 86400
+    # twap = (10000*21600 + 30000*64800) // 86400 = 25000
+    assert r["twap4"] == 25000
+    assert r["n_events"] == 2
+
+
+def test_twap_last_event_holds_to_midnight(spark):
+    ev = spark.createDataFrame(
+        [(1, D1 + dt.timedelta(hours=23), 1, 2.0)], SCHEMA)
+    r = time_weighted_daily(ev).collect()[0]
+    assert r["sec_covered"] == 3600
+    assert r["twap4"] == 20000
+
+
+def test_resample_ffill_carries_and_nulls(spark):
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 5), 1, 5.0),
+         (2, dt.datetime(2024, 1, 2, 9), 1, 7.0),   # later same day wins
+         (3, dt.datetime(2024, 1, 4, 1), 1, 9.0)], SCHEMA)
+    out = {r["day"].isoformat(): r for r in
+           resample_ffill_daily(ev, dt.date(2024, 1, 1),
+                                dt.date(2024, 1, 5)).collect()}
+    assert len(out) == 5
+    assert out["2024-01-01"]["v4_filled"] is None      # before activity
+    assert out["2024-01-02"]["v4_filled"] == 70000     # last of the day
+    assert out["2024-01-03"]["v4_filled"] == 70000     # carried
+    assert out["2024-01-03"]["observed"] is False
+    assert out["2024-01-04"]["v4_filled"] == 90000
+    assert out["2024-01-05"]["v4_filled"] == 90000
