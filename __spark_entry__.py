@@ -2431,6 +2431,26 @@ def q_set_bag_ops(spark, sf):
                 .select(F.lit("except").alias("op"), "l_partkey")))
 
 
+def q_graph_bfs_hops(spark, sf):
+    """BFS hop distance from 'join' over the token co-occurrence
+    graph — the iterative-frontier family next to PageRank, checked
+    against a DuckDB RECURSIVE CTE (the engine expresses recursion as
+    a gated driver walk / distributed frontier loop)."""
+    from lswms_forage_etl_spark.operators.graphrank import (
+        adjacent_token_pairs, bfs_hops)
+    pairs = adjacent_token_pairs(_t(spark, sf, "documents")).distinct()
+    return bfs_hops(pairs, "join", max_hops=10)
+
+
+def q_events_scd2(spark, sf):
+    """SCD type-2 historization: each user's value stream collapsed to
+    validity intervals [valid_from, valid_to) at (quantized) value
+    changes, open-ended current row flagged — the warehouse upsert-
+    history primitive, two windows on one user-key shuffle."""
+    from lswms_forage_etl_spark.operators.timeseries import scd2_history
+    return scd2_history(_events(spark, sf))
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2583,6 +2603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_twap": q_events_twap,
         "events_resample_ffill": q_events_resample_ffill,
         "set_bag_ops": q_set_bag_ops,
+        "graph_bfs_hops": q_graph_bfs_hops,
+        "events_scd2": q_events_scd2,
         # model operators (rows-only by design)
         "model_gp_forecast": q_model_gp_forecast,
         "model_hindcast_lag": q_model_hindcast_lag,
@@ -5018,6 +5040,48 @@ def oracle_sql() -> dict[str, str]:
           SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1996
           EXCEPT ALL
           SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997)
+    """
+
+    # BFS distances via a genuine recursive CTE — UNION dedups, min()
+    # collapses to the shortest hop
+    sql["graph_bfs_hops"] = r"""
+        WITH RECURSIVE t AS (SELECT list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        i AS (SELECT toks, unnest(range(1, len(toks))) AS k
+              FROM t WHERE len(toks) >= 2),
+        pr AS (SELECT toks[k] AS a, toks[k + 1] AS b
+               FROM i WHERE toks[k] <> toks[k + 1]),
+        e AS (SELECT DISTINCT a AS src, b AS dst FROM pr
+              UNION SELECT DISTINCT b, a FROM pr),
+        walk(token, dist) AS (
+            SELECT 'join', 0
+            UNION
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN e ON e.src = w.token
+            WHERE w.dist < 10)
+        SELECT token, CAST(min(dist) AS INT) AS hops
+        FROM walk GROUP BY token
+    """
+
+    sql["events_scd2"] = """
+        WITH m AS (SELECT user_id, ts AS valid_from, event_id,
+                     CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+                     lag(CAST(floor(value * 10000 + 0.5) AS BIGINT))
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS pv4
+                   FROM events),
+        c AS (SELECT user_id, v4, valid_from, event_id
+              FROM m WHERE pv4 IS NULL OR pv4 <> v4)
+        SELECT user_id, v4, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_id)
+                 AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from, event_id)
+                 IS NULL AS is_current
+        FROM c
     """
 
     return sql

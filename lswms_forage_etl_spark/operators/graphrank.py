@@ -338,3 +338,56 @@ def token_triangle_stats(docs: DataFrame,
             .select("n_nodes", "n_edges", "n_triangles", "n_wedges",
                     F.expr("(3 * n_triangles * 1000000) div n_wedges")
                     .alias("clustering_ppm")))
+
+
+def _bfs_driver(edge_rows, source: str, max_hops: int):
+    """Driver BFS over collected edges — identical semantics to the
+    distributed frontier loop."""
+    adj: dict = {}
+    for s, d in edge_rows:
+        adj.setdefault(s, []).append(d)
+    dist = {source: 0}
+    frontier = [source]
+    for hop in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return sorted(dist.items())
+
+
+def bfs_hops(edges: DataFrame, source: str, max_hops: int = 10,
+             driver_gate_edges: int = DRIVER_GATE_EDGES) -> DataFrame:
+    """BFS hop distance from `source` over a directed edge list
+    (src, dst) — the iterative-frontier twin of pagerank_int, and the
+    engine's answer to recursive CTEs (which the DuckDB oracle uses to
+    check it). Unreached nodes are absent. Size-gated driver walk with
+    the distributed frontier loop (join + anti-join per hop, lineage
+    truncated by the persisted visited table) as the at-scale path."""
+    edges = stage_table(edges.select("src", "dst"), sync=True)
+    spark = edges.sparkSession
+    if edges.count() <= driver_gate_edges:
+        rows = _bfs_driver([(r["src"], r["dst"])
+                            for r in edges.collect()], source, max_hops)
+        return spark.createDataFrame(rows, "token string, hops int")
+    visited = spark.createDataFrame([(source, 0)],
+                                    "token string, hops int")
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (edges.join(frontier.withColumnRenamed("token", "src"),
+                          "src")
+               .select(F.col("dst").alias("token"))
+               .distinct()
+               .join(visited, "token", "left_anti")
+               .select("token", F.lit(hop).alias("hops")))
+        nxt = stage_table(nxt, sync=True)
+        if nxt.count() == 0:
+            break
+        visited = stage_table(visited.unionByName(nxt), sync=True)
+        frontier = nxt
+    return visited

@@ -83,3 +83,32 @@ def resample_ffill_daily(events: DataFrame, start: dt.date,
         user_col, "day",
         F.last("v4", ignorenulls=True).over(fill).alias("v4_filled"),
         F.col("v4").isNotNull().alias("observed"))
+
+
+def scd2_history(events: DataFrame, user_col: str = "user_id",
+                 ts_col: str = "ts", value_col: str = "value",
+                 order_cols: tuple[str, ...] = ("event_id",),
+                 ) -> DataFrame:
+    """Slowly-changing-dimension (type 2) historization: collapse each
+    key's observation stream into validity intervals — one row per
+    VALUE CHANGE with [valid_from, valid_to) and an is_current flag
+    (valid_to NULL). Values compare quantized (1e4), so float jitter
+    below a basis point does not fragment intervals.
+
+    Two windows over the user key (change detection on the raw stream,
+    interval close on the change rows) — one shuffle, linear scans."""
+    order = [F.col(ts_col), *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    v4 = F.floor(F.col(value_col) * V_SCALE + F.lit(0.5)).cast("long")
+    marked = events.select(
+        user_col, F.col(ts_col).alias("valid_from"), v4.alias("v4"),
+        *[F.col(c) for c in order_cols],
+        (F.lag(v4).over(w).isNull()
+         | (F.lag(v4).over(w) != v4)).alias("_chg"))
+    changes = marked.where(F.col("_chg"))
+    w2 = Window.partitionBy(user_col).orderBy(
+        F.col("valid_from"), *[F.col(c) for c in order_cols])
+    return (changes.select(
+        user_col, "v4", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"))
+        .withColumn("is_current", F.col("valid_to").isNull()))
