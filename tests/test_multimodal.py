@@ -158,10 +158,86 @@ def test_bmp_roundtrip_8bit():
 def test_decode_dispatch_gates():
     from lswms_forage_etl_spark.operators.multimodal import (
         decode_image_bytes, encode_bmp)
+    # JPEG magic has no kernel — the documented dispatch seam
     with pytest.raises(NotImplementedError, match="unsupported image magic"):
+        decode_image_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    # PNG magic now routes to the PNG kernel; a header-less stream is a
+    # malformed-PNG error, not an unsupported format
+    with pytest.raises(ValueError, match="no IHDR"):
         decode_image_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
     # compressed / exotic-depth BMPs hit the documented in-format gate
     buf = bytearray(encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)))
     buf[30:34] = (1).to_bytes(4, "little")                 # BI_RLE8
     with pytest.raises(NotImplementedError, match="compression"):
         decode_image_bytes(bytes(buf))
+
+
+def test_png_roundtrip_all_filters():
+    """Every PNG scanline filter (None/Sub/Up/Average/Paeth), both
+    color types, odd widths (stride has no padding in PNG but w=1
+    exercises the empty-left edge) — same round-trip discipline as the
+    BMP kernel (VERDICT r9 item 5)."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_image_bytes, encode_png)
+    rng = np.random.default_rng(7)
+    for ft in range(5):
+        for shape in [(9, 5), (3, 7, 3), (1, 1), (2, 1, 3), (4, 16, 3)]:
+            a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            w, h, pix = decode_image_bytes(encode_png(a, filter_type=ft))
+            assert (w, h) == (shape[1], shape[0]), (ft, shape)
+            assert np.array_equal(pix, a.reshape(-1)), (ft, shape)
+
+
+def test_png_unsupported_gates():
+    import struct
+    import zlib
+    from lswms_forage_etl_spark.operators.multimodal import (
+        _parse_png, encode_png)
+
+    def chunk(t, d):
+        body = t + d
+        return (struct.pack(">I", len(d)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    def ihdr_png(depth, color, interlace):
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, depth,
+                                             color, 0, 0, interlace))
+                + chunk(b"IEND", b""))
+
+    for depth, color, il in [(16, 0, 0), (8, 3, 0), (8, 6, 0),
+                             (8, 0, 1)]:
+        with pytest.raises(NotImplementedError, match="PNG supported"):
+            _parse_png(ihdr_png(depth, color, il))
+    with pytest.raises(ValueError, match="not a PNG"):
+        _parse_png(b"BM" + b"\x00" * 16)
+    # truncated raster: valid header, IDAT inflates to the wrong size
+    good = bytearray(encode_png(np.zeros((3, 4), dtype=np.uint8)))
+    bad = (bytes(good[:8 + 25])  # magic + IHDR chunk
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 7))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        _parse_png(bad)
+    with pytest.raises(ValueError, match="filter type"):
+        _parse_png(bytes(good[:8 + 25])
+                   + chunk(b"IDAT", zlib.compress(
+                       b"\x09" + b"\x00" * 4 + (b"\x00" * 5) * 2))
+                   + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter type must be"):
+        encode_png(np.zeros((2, 2), dtype=np.uint8), filter_type=9)
+
+
+def test_synth_png_media_decodes_end_to_end(spark):
+    """synth_png_media -> decode_media(real): the deflate round-trip,
+    header parse, and unfilter must reproduce the exact text-byte
+    raster (every byte 'x' = 120); even ids decode as 3-row RGB, odd
+    as 9-row greyscale."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_media, synth_png_media)
+    rows = decode_media(synth_png_media(_docs(spark)), fake=False).collect()
+    assert {r["media_id"] for r in rows} == {8, 9, 10, 11}
+    for r in rows:
+        assert r["decoded_width"] == r["media_id"] % 8 + 4
+        assert r["decoded_height"] == (3 if r["media_id"] % 2 == 0
+                                       else 9)
+        assert r["mean_intensity"] == 120.0
