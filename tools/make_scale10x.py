@@ -16,6 +16,14 @@ and wall-clock scaling is interpretable:
               block-seeded pattern. Orthogonal transform => within-block
               inner products (and hyperplane-LSH geometry) are exactly
               preserved; cross-block cosines are ~random noise.
+  events      block k: event_id/user_id += k*10_000_000; ts/type/value
+              verbatim, so every per-user event SEQUENCE (funnel order,
+              attribution windows, SCD2 change history, TWAP intervals)
+              is exactly the sf0.1 sequence under a renamed user —
+              user-keyed outputs scale exactly 10x while time-grid
+              outputs (resample days, anomaly pivots) keep their group
+              count and grow 10x per group, matching a real traffic
+              scale-up (round 10: the events family joined the ladder).
 
 Every other table is copied verbatim so any queries() entry can run
 against the directory.
@@ -97,8 +105,23 @@ def main() -> None:
                    row_group_size=20_000)
     print(f"embeddings: {emb.num_rows} -> {emb.num_rows * n_blocks}")
 
+    ev = pq.read_table(src / "events.parquet")
+    vblocks = []
+    for k in range(n_blocks):
+        vblocks.append(pa.table({
+            "event_id": pc.add(ev["event_id"], k * stride),
+            "ts": ev["ts"],
+            "user_id": pc.add(ev["user_id"], k * stride),
+            "event_type": ev["event_type"],
+            "value": ev["value"],
+            "props": ev["props"]}))
+    pq.write_table(pa.concat_tables(vblocks), out / "events.parquet",
+                   row_group_size=100_000)
+    print(f"events: {ev.num_rows} -> {ev.num_rows * n_blocks}")
+
     for p in src.glob("*.parquet"):
-        if p.name not in ("documents.parquet", "embeddings.parquet"):
+        if p.name not in ("documents.parquet", "embeddings.parquet",
+                          "events.parquet"):
             shutil.copy(p, out / p.name)
     print(f"other tables copied verbatim from {src}")
 

@@ -47,7 +47,67 @@ QUERIES = [
     "text_bm25_join",
     "sketch_cms_counts",
     "sample_rebalance",
+    # round-10 ladder extension (VERDICT r9 item 2): the 27 post-gate
+    # queries whose sources the slices scale (documents / embeddings /
+    # events — events block-scaled since round 10). Queries over the
+    # verbatim TPC-H tables (quantile_bins, quality_audit, join_*,
+    # grouping sets, ntile, clip, bag ops) have no slice signal and are
+    # covered by the designed-shape argument in SCALE.md instead.
+    "sketch_kmv_jaccard",
+    "graph_triangles",
+    "text_bigram_novelty",
+    "text_textrank",
+    "graph_bfs_hops",
+    "text_collocations",
+    "text_char_diversity",
+    "text_phrase_search",
+    "mm_decode_png",
+    "ann_dim_standardize",
+    "events_assoc_rules",
+    "events_twap",
+    "events_resample_ffill",
+    "events_funnel",
+    "events_retention",
+    "events_anomaly",
+    "events_attribution",
+    "events_scd2",
+    "agg_pivot_events",
+    "sketch_hll_sliding",
+    # forced-distributed iterative paths (driver gate = 0): the
+    # textrank vocab cap keeps its graph under the 2M-edge gate at ANY
+    # corpus size, so the distributed PageRank loop must be forced to
+    # be measured; BFS crosses the gate naturally at 100x but the
+    # forced row gives the 1x/10x slope of the frontier loop itself
+    "textrank_dist",
+    "bfs_dist",
 ]
+
+
+def make_textrank_dist(spark, sf_dir):
+    """textrank's graph with the driver gate disabled — measures the
+    distributed BIGINT PageRank join loop (the at-scale path)."""
+    from pyspark.sql import functions as F
+
+    from lswms_forage_etl_spark.operators.graphrank import (
+        adjacent_token_pairs, pagerank_int, token_vocab_top)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = [r["token"] for r in token_vocab_top(docs, 24).collect()]
+    pairs = adjacent_token_pairs(docs)
+    in_vocab = pairs.where(F.col("src").isin(vocab)
+                           & F.col("dst").isin(vocab))
+    edges = (in_vocab.groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("w")))
+    return pagerank_int(edges, iterations=10, driver_gate_edges=0)
+
+
+def make_bfs_dist(spark, sf_dir):
+    """BFS with the driver gate disabled — the distributed frontier
+    loop (join + anti-join per hop) at every scale."""
+    from lswms_forage_etl_spark.operators.graphrank import (
+        adjacent_token_pairs, bfs_hops)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = adjacent_token_pairs(docs).distinct()
+    return bfs_hops(pairs, "join", max_hops=10, driver_gate_edges=0)
 
 
 def make_embedding_query(n_vecs: int):
@@ -82,14 +142,23 @@ def best_of(fn, sf_dir, spark, n=2):
 
 
 def main() -> None:
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/scale10x"]
+    args = list(sys.argv[1:])
+    only: list[str] | None = None
+    if "--queries" in args:
+        i = args.index("--queries")
+        only = args[i + 1].split(",")
+        del args[i:i + 2]
+    dirs = args or ["/root/testdata/sf0.1", "/root/scale10x"]
     spark = get_spark("scale-measure", extra_conf={
         # a 500 MB slice file must split to feed 32 cores (the cluster-
         # sizing rule from CLAUDE.md applied to the local harness)
         "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)})
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    for name in QUERIES:  # warm codegen/JIT at the small sf
+    qs["textrank_dist"] = make_textrank_dist
+    qs["bfs_dist"] = make_bfs_dist
+    names = [n for n in QUERIES if only is None or n in only]
+    for name in names:  # warm codegen/JIT at the small sf
         try:
             qs[name](spark, "/root/testdata/sf0.001").write.format(
                 "noop").mode("overwrite").save()
@@ -97,7 +166,7 @@ def main() -> None:
             pass
     print("| query | dir | wall s | rows |")
     print("|---|---|---|---|")
-    for name in QUERIES:
+    for name in names:
         for d in dirs:
             fn = qs[name]
             label = name
