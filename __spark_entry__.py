@@ -2114,6 +2114,30 @@ def q_agg_pivot_events(spark, sf):
         ["click", "error", "purchase", "signup", "view"])
 
 
+def q_agg_unpivot(spark, sf):
+    """UNPIVOT (melt) — the inverse of agg_pivot_events: the wide daily
+    per-type count table back to (day, event_type, n_events) rows via
+    one stack() projection. Zero extra shuffle beyond the pivot's
+    groupBy; lossless (zero counts kept), so pivot∘unpivot
+    round-trips."""
+    from lswms_forage_etl_spark.operators.funnels import (
+        pivot_event_counts, unpivot_counts)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return unpivot_counts(
+        pivot_event_counts(_events(spark, sf), types), "day", types)
+
+
+def q_events_markov(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    streams: one lag window on the uniform user key + one bounded
+    (|types|^2) aggregation; row-normalized transition probabilities
+    in exact ppm. The user-journey summary next to funnels (fixed
+    path) and association rules (order-free sessions)."""
+    from lswms_forage_etl_spark.operators.funnels import (
+        markov_transitions)
+    return markov_transitions(_events(spark, sf))
+
+
 def q_text_textrank(spark, sf):
     """TextRank keyword ranking: 10 fixed-point iterations of damped
     PageRank over the adjacent-token co-occurrence graph, vocab-capped
@@ -2601,6 +2625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "agg_pivot_events": q_agg_pivot_events,
+        "agg_unpivot": q_agg_unpivot,
+        "events_markov": q_events_markov,
         "text_textrank": q_text_textrank,
         "text_phrase_search": q_text_phrase_search,
         "text_collocations": q_text_collocations,
@@ -4565,6 +4591,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) FILTER (WHERE event_type = 'view')
                     AS BIGINT) AS view
         FROM events GROUP BY 1
+    """
+
+    # UNPIVOT: day x type grid with zeroes kept (the melt is lossless)
+    sql["agg_unpivot"] = """
+        WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        ty AS (SELECT unnest(['click', 'error', 'purchase', 'signup',
+                              'view']) AS event_type),
+        c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+        SELECT d.day, ty.event_type,
+               CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+        FROM d CROSS JOIN ty
+        LEFT JOIN c ON c.day = d.day AND c.event_type = ty.event_type
+    """
+
+    # Markov transitions: same lag window + ppm row normalization
+    sql["events_markov"] = """
+        WITH s AS (SELECT user_id, event_type AS dst_type,
+                          lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            AS src_type
+                   FROM events),
+        c AS (SELECT src_type, dst_type,
+                     CAST(count(*) AS BIGINT) AS n_transitions
+              FROM s WHERE src_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT src_type,
+                     CAST(sum(n_transitions) AS BIGINT) AS rt
+              FROM c GROUP BY 1)
+        SELECT c.src_type, c.dst_type, n_transitions,
+               CAST(n_transitions * 1000000 // rt AS BIGINT) AS prob_ppm
+        FROM c JOIN t USING (src_type)
     """
 
     # TextRank: the integer PageRank recurrence unrolled as one CTE per

@@ -75,6 +75,13 @@ HEADLINE = [
     "join_multiway_topk",
     "sketch_hll_sliding",
     "sketch_quantile_bins",
+    # round-10 additions
+    "mm_decode_png",
+    "graph_triangles",
+    "text_bigram_novelty",
+    "graph_bfs_hops",
+    "events_assoc_rules",
+    "quality_audit",
 ]
 
 

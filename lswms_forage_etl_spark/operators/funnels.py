@@ -123,6 +123,52 @@ def pivot_event_counts(events: DataFrame, event_types: list[str],
                  for t in event_types])
 
 
+def unpivot_counts(pivoted: DataFrame, id_col: str,
+                   value_cols: list[str],
+                   key_name: str = "event_type",
+                   value_name: str = "n_events") -> DataFrame:
+    """UNPIVOT (melt): the inverse of `pivot_event_counts` — wide
+    per-type count columns back to (id, key, value) rows via one
+    `stack()` projection. Scan-side expression, zero shuffle, output
+    exactly |rows| x |value_cols| (zero counts kept: the melt is
+    lossless, so pivot∘unpivot round-trips)."""
+    pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    return pivoted.select(
+        id_col,
+        F.expr(f"stack({len(value_cols)}, {pairs}) "
+               f"AS ({key_name}, {value_name})"))
+
+
+def markov_transitions(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       order_cols: tuple = ("event_id",)) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: count every consecutive (prev_type -> type) pair in each
+    user's (ts, *order_cols)-ordered stream and emit the row-normalized
+    transition probability in exact ppm — the user-journey summary next
+    to funnels (which fix the path) and association rules (which ignore
+    order within a session).
+
+    Scale shape: ONE window (lag) on the uniform user key, then a
+    groupBy on (src, dst) — output bounded by the type alphabet
+    squared, counts aggregate map-side. No session reconstruction, no
+    self-join."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    steps = (events.select(
+        user_col, F.col(type_col).alias("dst_type"),
+        F.lag(type_col).over(w).alias("src_type"))
+        .where(F.col("src_type").isNotNull()))
+    counts = (steps.groupBy("src_type", "dst_type")
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+    totals = (counts.groupBy("src_type")
+              .agg(F.sum("n_transitions").alias("_row_total")))
+    return (counts.join(F.broadcast(totals), "src_type")
+            .select("src_type", "dst_type", "n_transitions",
+                    F.expr(f"(n_transitions * {PPM}) div _row_total")
+                    .alias("prob_ppm")))
+
+
 def anomaly_flags(events: DataFrame, sigma: int = 2,
                   trailing_days: int = 7, ts_col: str = "ts",
                   type_col: str = "event_type") -> DataFrame:

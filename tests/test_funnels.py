@@ -134,3 +134,48 @@ def test_session_assoc_rules_exact(spark):
     assert r["lift_ppm"] == (2 * 1_000_000 // 3) * 3 // 2  # = 1.0x
     r2 = rows[("click", "view")]
     assert r2["confidence_ppm"] == 1_000_000  # every click-session views
+
+
+def test_markov_transitions_exact(spark):
+    from lswms_forage_etl_spark.operators.funnels import (
+        markov_transitions)
+    # u1: view -> click -> view ; u2: view -> purchase
+    ev = _ev(spark, [
+        (1, 1, 1, "view"), (1, 2, 1, "click"), (1, 3, 1, "view"),
+        (2, 1, 2, "view"), (2, 2, 2, "purchase"),
+    ])
+    rows = {(r["src_type"], r["dst_type"]): r for r in
+            markov_transitions(ev).collect()}
+    # transitions: view->click, click->view, view->purchase
+    assert set(rows) == {("view", "click"), ("click", "view"),
+                         ("view", "purchase")}
+    assert rows[("view", "click")]["n_transitions"] == 1
+    # view row total = 2 -> each view-transition prob = 500000 ppm
+    assert rows[("view", "click")]["prob_ppm"] == 500_000
+    assert rows[("view", "purchase")]["prob_ppm"] == 500_000
+    assert rows[("click", "view")]["prob_ppm"] == 1_000_000
+
+
+def test_unpivot_inverts_pivot(spark):
+    from lswms_forage_etl_spark.operators.funnels import (
+        pivot_event_counts, unpivot_counts)
+    ev = _ev(spark, [
+        (1, 1, 1, "view"), (1, 2, 2, "view"), (1, 3, 1, "click"),
+        (2, 1, 1, "view"),
+    ])
+    types = ["click", "view", "purchase"]
+    wide = pivot_event_counts(ev, types)
+    tall = unpivot_counts(wide, "day", types)
+    got = {(str(r["day"]), r["event_type"]): r["n_events"]
+           for r in tall.collect()}
+    # lossless melt: |days| x |types| rows, zeros kept
+    assert len(got) == 2 * 3
+    assert got[("2024-01-01", "view")] == 2
+    assert got[("2024-01-01", "click")] == 1
+    assert got[("2024-01-01", "purchase")] == 0
+    assert got[("2024-01-02", "view")] == 1
+    # round-trip: re-pivoting the tall table reproduces the wide one
+    repivot = (tall.groupBy("day").pivot("event_type", types)
+               .sum("n_events"))
+    assert sorted(map(tuple, repivot.collect())) \
+        == sorted(map(tuple, wide.collect()))
