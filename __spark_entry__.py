@@ -2138,6 +2138,19 @@ def q_events_markov(spark, sf):
     return markov_transitions(_events(spark, sf))
 
 
+def q_text_source_divergence(spark, sf):
+    """Distribution-shift monitor: per source, the total-variation
+    distance between the source's token distribution and the corpus
+    distribution in exact parts-per-billion — the domain-mix drift
+    gate a training pipeline runs per ingest batch. Absent-token mass
+    folds into one corpus constant (no |groups| x |vocab| grid); both
+    distributions ppb-quantized by BIGINT floor division so the oracle
+    replays every integer."""
+    from lswms_forage_etl_spark.operators.quality import (
+        source_divergence)
+    return source_divergence(_t(spark, sf, "documents"))
+
+
 def q_text_textrank(spark, sf):
     """TextRank keyword ranking: 10 fixed-point iterations of damped
     PageRank over the adjacent-token co-occurrence graph, vocab-capped
@@ -2627,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pivot_events": q_agg_pivot_events,
         "agg_unpivot": q_agg_unpivot,
         "events_markov": q_events_markov,
+        "text_source_divergence": q_text_source_divergence,
         "text_textrank": q_text_textrank,
         "text_phrase_search": q_text_phrase_search,
         "text_collocations": q_text_collocations,
@@ -4623,6 +4637,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.src_type, c.dst_type, n_transitions,
                CAST(n_transitions * 1000000 // rt AS BIGINT) AS prob_ppm
         FROM c JOIN t USING (src_type)
+    """
+
+    # source-divergence: same ppb quantization, same absent-mass fold
+    sql["text_source_divergence"] = r"""
+        WITH t AS (SELECT source AS grp,
+                     unnest(list_filter(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       x -> x <> '')) AS token
+                   FROM documents),
+        b AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS c_gt
+              FROM t GROUP BY 1, 2),
+        c AS (SELECT token, CAST(sum(c_gt) AS BIGINT) AS c_t
+              FROM b GROUP BY 1),
+        ng AS (SELECT grp, CAST(sum(c_gt) AS BIGINT) AS n_g
+               FROM b GROUP BY 1),
+        nn AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM c),
+        pt AS (SELECT CAST(sum(c_t * 1000000000 // n) AS BIGINT)
+                 AS p_total FROM c, nn),
+        d AS (SELECT b.grp, ng.n_g,
+                     abs(c_gt * 1000000000 // n_g
+                         - c_t * 1000000000 // n)
+                       - c_t * 1000000000 // n AS _d
+              FROM b JOIN c USING (token) JOIN ng USING (grp), nn)
+        SELECT d.grp AS source,
+               CAST(max(n_g) AS BIGINT) AS n_tokens,
+               CAST((sum(_d) + max(p_total)) // 2 AS BIGINT) AS tv_ppb
+        FROM d, pt GROUP BY 1
     """
 
     # TextRank: the integer PageRank recurrence unrolled as one CTE per

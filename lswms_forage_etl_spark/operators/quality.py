@@ -83,3 +83,59 @@ def referential_audit(tables: dict[str, DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def source_divergence(docs: DataFrame, group_col: str = "source",
+                      text_col: str = "text",
+                      scale: int = 1_000_000_000) -> DataFrame:
+    """Distribution-shift monitor: per group (source/domain/snapshot),
+    the total-variation distance between that group's token
+    distribution and the corpus-wide distribution, in exact
+    parts-per-billion — the domain-mix drift gate a training-data
+    pipeline runs per ingest batch (a source whose language suddenly
+    shifts jumps in TV distance long before quality heuristics fire).
+
+    Exact-integer discipline: both distributions are first quantized to
+    ppb by BIGINT floor division (c * scale div n — identical on every
+    engine), then TV = sum |p_g - p| / 2 is a pure integer sum, so the
+    oracle replays it bit-for-bit. Safe in int64 while any single
+    group's token count stays under ~9e9 (int64/scale); shard larger
+    groups by snapshot before auditing, or lower `scale`.
+
+    Scale shape: tokens ABSENT from a group still contribute |0 - p|,
+    but materializing the |groups| x |vocab| grid for them is wasted
+    motion — their mass folds into a constant:
+        TV_g = (sum_{t in G} (|p_g - p| - p) + P_total) / 2
+    with P_total = sum over ALL tokens of p (one corpus-wide
+    aggregate). So the per-group work is proportional to the group's
+    OWN vocabulary: one (group, token) aggregation + one token
+    aggregation off the same staged table, an inner join on the
+    uniform token key, and two bounded broadcasts. Output = |groups|
+    rows."""
+    from lswms_forage_etl_spark.lifecycle import stage_table
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "")
+    base = stage_table(
+        docs.select(F.col(group_col).alias("grp"),
+                    F.explode(toks).alias("token"))
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("c_gt")))
+    corpus = stage_table(
+        base.groupBy("token").agg(F.sum("c_gt").alias("c_t")))
+    n_g = base.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))
+    n = corpus.agg(F.sum("c_t").alias("n"))
+    p = F.expr(f"(c_t * {scale}) div n")
+    p_total = corpus.crossJoin(F.broadcast(n)).agg(
+        F.sum(p).alias("p_total"))
+    p_g = F.expr(f"(c_gt * {scale}) div n_g")
+    per_tok = (base.join(corpus, "token")
+               .join(F.broadcast(n_g), "grp")
+               .crossJoin(F.broadcast(n))
+               .select("grp", "n_g",
+                       (F.abs(p_g - p) - p).alias("_d")))
+    return (per_tok.groupBy("grp")
+            .agg(F.sum("_d").alias("_s"), F.max("n_g").alias("n_tokens"))
+            .crossJoin(F.broadcast(p_total))
+            .select(F.col("grp").alias(group_col), "n_tokens",
+                    F.expr("(_s + p_total) div 2").cast("long")
+                    .alias("tv_ppb")))
