@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lswms_forage_etl_spark.lifecycle import stage_table
+
 
 def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20,
               k1: float = 1.2, b: float = 0.75,
@@ -132,11 +134,27 @@ def bm25_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
                     lambda t: t != "")
     cl = corpus.select(F.col(id_col), toks.alias("_toks")) \
         .select(id_col, F.size("_toks").cast("long").alias("dl"), "_toks")
-    post = (cl.select(id_col, "dl", F.explode("_toks").alias("term"))
-            .groupBy(id_col, "dl", "term")
-            .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    # the posting build (tokenize + explode + groupBy) feeds FOUR
+    # consumers (true-df aggregate, champion window, the scoring join,
+    # and — derived — the corpus stats). Staged once: same-box A/Bs
+    # measured 16.7 -> 12.5 s at 10x and parity inside the flare band
+    # at 100x (47-65 s vs 48 s, where the linear-in-|Q| scoring join
+    # dominates regardless); without the stage, correctness of the
+    # wall depends on AQE runtime exchange reuse catching all three
+    # build copies — the stage makes the single-build shape explicit
+    post = stage_table(
+        cl.select(id_col, "dl", F.explode("_toks").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf")))
     dfreq = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
+    # stats DERIVED from the staged FULL postings (before champion
+    # pruning!) instead of a second tokenize pass: sumdl = sum(tf)
+    # (empty docs add 0 either way); only _n needs the raw corpus —
+    # a count over the scan, no split()
+    n_docs = corpus.select(F.count(F.lit(1)).alias("_n"))
+    stats = (post.agg(F.sum("tf").cast("long").alias("_sumdl"))
+             .crossJoin(F.broadcast(n_docs)))
     if champions is not None:
         # df stays the TRUE document frequency (computed above, before
         # pruning) — only the posting rows eligible to score shrink
@@ -144,8 +162,6 @@ def bm25_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
             F.col("tf").desc(), id_col)
         post = (post.withColumn("_ch", F.row_number().over(wch))
                 .where(F.col("_ch") <= champions).drop("_ch"))
-    stats = cl.agg(F.count(F.lit(1)).alias("_n"),
-                   F.sum("dl").cast("long").alias("_sumdl"))
     qterms = (queries.select(F.col(query_id), toks.alias("_qt"))
               .select(query_id,
                       F.explode(F.array_distinct("_qt")).alias("term")))
