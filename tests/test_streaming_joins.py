@@ -107,3 +107,28 @@ def test_interval_join_state_ages_out_across_triggers(spark, tmp_path):
         assert got == {(1, 10), (2, 11)}
     finally:
         q.stop()
+
+
+def test_last_touch_matches_pair_join_pick_latest(spark):
+    from lswms_forage_etl_spark.streaming.joins import (
+        last_touch_attribution)
+    imp = spark.createDataFrame(IMPS, SCHEMA)
+    conv = spark.createDataFrame(CONVS, SCHEMA)
+    got = {(r["conv_id"]): (r["imp_id"], r["imp_ts"]) for r in
+           last_touch_attribution(imp, conv, 30).collect()}
+    # conv 10 (t=5): only imp 1 in window -> 1; conv 11 (t=25): imps 1
+    # and 2 in window, LAST is imp 2 (t=10); conv 12/13: none
+    assert got == {10: (1, T0), 11: (2, _mins(10))}
+    # same-instant: an impression at exactly conv ts claims it, and
+    # ts ties among impressions go to the higher event_id
+    imp2 = spark.createDataFrame(
+        [(1, T0, 1), (2, T0, 1)], SCHEMA)           # two imps, same ts
+    conv2 = spark.createDataFrame([(10, T0, 1)], SCHEMA)
+    r = last_touch_attribution(imp2, conv2, 30).collect()
+    assert len(r) == 1 and r[0]["imp_id"] == 2
+    # out-of-window last impression yields NO row even though an older
+    # (also out-of-window) impression exists
+    imp3 = spark.createDataFrame(
+        [(1, T0, 1), (2, _mins(5), 1)], SCHEMA)
+    conv3 = spark.createDataFrame([(10, _mins(40), 1)], SCHEMA)
+    assert last_touch_attribution(imp3, conv3, 30).count() == 0

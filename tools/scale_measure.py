@@ -73,6 +73,11 @@ QUERIES = [
     "events_scd2",
     "agg_pivot_events",
     "sketch_hll_sliding",
+    # round-10 operators
+    "events_markov",
+    "agg_unpivot",
+    "text_source_divergence",
+    "events_attr_last",
     # forced-distributed iterative paths (driver gate = 0): the
     # textrank vocab cap keeps its graph under the 2M-edge gate at ANY
     # corpus size, so the distributed PageRank loop must be forced to
