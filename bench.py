@@ -82,6 +82,9 @@ HEADLINE = [
     "graph_bfs_hops",
     "events_assoc_rules",
     "quality_audit",
+    "events_markov",
+    "text_source_divergence",
+    "events_attr_last",
 ]
 
 

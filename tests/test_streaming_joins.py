@@ -132,3 +132,53 @@ def test_last_touch_matches_pair_join_pick_latest(spark):
         [(1, T0, 1), (2, _mins(5), 1)], SCHEMA)
     conv3 = spark.createDataFrame([(10, _mins(40), 1)], SCHEMA)
     assert last_touch_attribution(imp3, conv3, 30).count() == 0
+
+
+def test_streaming_pair_log_plus_view_equals_batch_last_touch(
+        spark, tmp_path):
+    """The streaming last-touch recipe the operator docstring names:
+    append-only pair log (the watermarked stream-stream join run over
+    micro-batches) + a read-time pick-latest view. Across 2 triggers
+    the view over the accumulated log must equal the batch
+    last_touch_attribution over the full data — including a pair that
+    only becomes claimable in a later trigger."""
+    from lswms_forage_etl_spark.streaming.joins import (
+        last_touch_attribution)
+    imp_dir, conv_dir = str(tmp_path / "imp"), str(tmp_path / "conv")
+    log_dir, ckpt = str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+    imps = [(1, T0, 1), (2, _mins(10), 1)]
+    convs1 = [(10, _mins(5), 1)]
+    convs2 = [(11, _mins(25), 1)]        # claims imp 2 over imp 1
+    spark.createDataFrame(imps, SCHEMA).write.parquet(imp_dir)
+    spark.createDataFrame(convs1, SCHEMA).write.parquet(conv_dir)
+    imp = (spark.readStream.schema(SCHEMA)
+           .option("maxFilesPerTrigger", "1").parquet(imp_dir))
+    conv = (spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1").parquet(conv_dir))
+    out = interval_attribution_join(imp, conv, 30)
+    q = (out.writeStream.format("parquet")
+         .option("path", log_dir)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(processingTime="0 seconds").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(convs2, SCHEMA) \
+            .write.mode("append").parquet(conv_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    log = spark.read.parquet(log_dir)
+    w = (F.expr("row_number() OVER (PARTITION BY conv_id "
+                "ORDER BY imp_ts DESC, imp_id DESC)"))
+    view = (log.withColumn("_rk", w).where(F.col("_rk") == 1)
+            .select("user_id", "imp_id", "imp_ts", "conv_id",
+                    "conv_ts"))
+    batch = last_touch_attribution(
+        spark.createDataFrame(imps, SCHEMA),
+        spark.createDataFrame(convs1 + convs2, SCHEMA), 30)
+    assert sorted(map(tuple, view.collect())) \
+        == sorted(map(tuple, batch.collect()))
+    # and the late-claim actually happened: conv 11 -> imp 2
+    got = {r["conv_id"]: r["imp_id"] for r in view.collect()}
+    assert got == {10: 1, 11: 2}
