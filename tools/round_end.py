@@ -57,6 +57,8 @@ def registry_counts() -> tuple[int, int, int]:
     """(total, oracle-checked, rows-only) derived from the entry module
     — the single source of truth the documented counts must match."""
     import importlib.util
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
     spec = importlib.util.spec_from_file_location(
         "__spark_entry_counts__", os.path.join(REPO, "__spark_entry__.py"))
     m = importlib.util.module_from_spec(spec)
