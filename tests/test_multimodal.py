@@ -241,3 +241,27 @@ def test_synth_png_media_decodes_end_to_end(spark):
         assert r["decoded_height"] == (3 if r["media_id"] % 2 == 0
                                        else 9)
         assert r["mean_intensity"] == 120.0
+
+
+def test_png_roundtrip_property():
+    """Property: ANY uint8 image round-trips through encode_png ->
+    decode for every filter type and both color types (hypothesis over
+    shapes and pixel content, including degenerate 1-wide/1-tall)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_image_bytes, encode_png)
+
+    @settings(max_examples=60, deadline=None)
+    @given(h=st.integers(1, 12), w=st.integers(1, 12),
+           nch=st.sampled_from([1, 3]), ft=st.integers(0, 4),
+           seed=st.integers(0, 2**31 - 1))
+    def check(h, w, nch, ft, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if nch == 1 else (h, w, 3)
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        dw, dh, pix = decode_image_bytes(encode_png(a, filter_type=ft))
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(pix, a.reshape(-1))
+
+    check()

@@ -182,3 +182,35 @@ def test_streaming_pair_log_plus_view_equals_batch_last_touch(
     # and the late-claim actually happened: conv 11 -> imp 2
     got = {r["conv_id"]: r["imp_id"] for r in view.collect()}
     assert got == {10: 1, 11: 2}
+
+
+def test_last_touch_randomized_vs_bruteforce(spark):
+    """Randomized equivalence: on random event streams (shared ts
+    collisions included), the window-scan operator must equal the
+    brute-force pick (max (ts, id) impression within the window per
+    conversion)."""
+    import random
+    from lswms_forage_etl_spark.streaming.joins import (
+        last_touch_attribution)
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        imps, convs = [], []
+        eid = 0
+        for _ in range(120):
+            u = rng.randint(1, 6)
+            t = _mins(rng.randint(0, 200))
+            eid += 1
+            (imps if rng.random() < 0.5 else convs).append((eid, t, u))
+        imp = spark.createDataFrame(imps, SCHEMA)
+        conv = spark.createDataFrame(convs, SCHEMA)
+        got = {r["conv_id"]: (r["imp_id"], r["imp_ts"], r["conv_ts"])
+               for r in last_touch_attribution(imp, conv, 30).collect()}
+        want = {}
+        for cid, cts, cu in convs:
+            cands = [(its, iid) for iid, its, iu in imps
+                     if iu == cu and its <= cts
+                     and cts < its + dt.timedelta(minutes=30)]
+            if cands:
+                its, iid = max(cands)
+                want[cid] = (iid, its, cts)
+        assert got == want, f"seed {seed}"
