@@ -203,3 +203,51 @@ def test_ivf_assign_null_embedding_is_defined(spark):
     assert len(got) == 21
     assert got[20] == 0
     assert all(0 <= c < 4 for c in got.values())
+
+
+def test_round10_operators_on_degenerate_inputs(spark):
+    """Round-10 ops on empty/degenerate inputs: single-event users
+    (no transitions), empty event frames, one-source corpora, and
+    NULL/empty text all produce defined, empty-or-exact results."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lswms_forage_etl_spark.operators.funnels import (
+        markov_transitions, pivot_event_counts, unpivot_counts)
+    from lswms_forage_etl_spark.operators.graphrank import bigram_novelty
+    from lswms_forage_etl_spark.operators.quality import source_divergence
+    from lswms_forage_etl_spark.streaming.joins import (
+        last_touch_attribution)
+
+    ev_schema = "event_id long, ts timestamp, user_id long, event_type string"
+    t0 = dt.datetime(2024, 1, 1)
+    # single-event users: zero transitions, empty (not error)
+    one = spark.createDataFrame(
+        [(1, t0, 1, "view"), (2, t0, 2, "click")], ev_schema)
+    assert markov_transitions(one).count() == 0
+    # empty events: markov/pivot/unpivot/attribution all empty
+    empty = spark.createDataFrame([], ev_schema)
+    assert markov_transitions(empty).count() == 0
+    wide = pivot_event_counts(empty, ["view", "click"])
+    assert wide.count() == 0
+    assert unpivot_counts(wide, "day", ["view", "click"]).count() == 0
+    assert last_touch_attribution(empty, empty).count() == 0
+    # impressions without conversions (and vice versa): empty
+    assert last_touch_attribution(one, empty.where("1=1")).count() == 0
+    assert last_touch_attribution(empty, one).count() == 0
+    # one-source corpus: TV distance exactly 0; NULL/empty text rows
+    # carry no tokens and do not crash the fold
+    docs = spark.createDataFrame(
+        [(1, "a b", "s"), (2, None, "s"), (3, "", "s")],
+        "doc_id long, text string, source string")
+    rows = source_divergence(docs).collect()
+    assert len(rows) == 1 and rows[0]["tv_ppb"] == 0
+    # bigram novelty: single-token and empty docs emit nothing
+    bg = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "a b a b")],
+        "doc_id long, text string")
+    got = {r["doc_id"] for r in bigram_novelty(bg).collect()}
+    assert got == {4}
+    from lswms_forage_etl_spark.lifecycle import release_tracked
+    release_tracked()
