@@ -376,6 +376,41 @@ def q_join_asof_nearest(spark, sf):
         .select("event_id", "edate", "odate", "n_orders"))
 
 
+def q_join_asof_forward(spark, sf):
+    """FORWARD as-of join — the directional complement of
+    join_asof_nearest (which is the at-or-BEFORE form): each event
+    matched to the EARLIEST order at-or-after its date in the same key
+    bucket ("next shipment after each order" semantics). Same scalable
+    union-merge shape: one sort descending by date carries the
+    earliest-later order backward with last_value(ignoreNulls) — one
+    shuffle, linear, never the |events| x |dates| range join."""
+    o = _t(spark, sf, "orders")
+    ev = _events(spark, sf)
+    ob = (o.select(F.pmod(F.col("o_custkey"), F.lit(20)).alias("bucket"),
+                   F.col("o_orderdate").cast("date").alias("odate"))
+          .groupBy("bucket", "odate")
+          .agg(F.count(F.lit(1)).alias("n_orders"))
+          .select("bucket", F.col("odate").alias("d"),
+                  F.lit(0).alias("side"),
+                  F.lit(None).cast("long").alias("event_id"),
+                  "odate", "n_orders"))
+    eb = ev.select(F.pmod(F.col("user_id"), F.lit(20)).alias("bucket"),
+                   F.col("ts").cast("date").alias("d"),
+                   F.lit(1).alias("side"),
+                   "event_id", F.lit(None).cast("date").alias("odate"),
+                   F.lit(None).cast("long").alias("n_orders"))
+    merged = ob.unionByName(eb)
+    w = (Window.partitionBy("bucket").orderBy(F.col("d").desc(), "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (merged.select(
+        "event_id", F.col("d").alias("edate"),
+        F.last("odate", ignorenulls=True).over(w).alias("odate"),
+        F.last("n_orders", ignorenulls=True).over(w).alias("n_orders"),
+        "side")
+        .where((F.col("side") == 1) & F.col("odate").isNotNull())
+        .select("event_id", "edate", "odate", "n_orders"))
+
+
 # --- aggregations (A1-A8) ----------------------------------------------------
 
 def q_agg_pricing_summary(spark, sf):
@@ -2549,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_anti": q_join_semi_anti,
         "join_zonal_broadcast": q_join_zonal_broadcast,
         "join_asof_nearest": q_join_asof_nearest,
+        "join_asof_forward": q_join_asof_forward,
         "join_range_bucketed": q_join_range_bucketed,
         # aggregations
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2875,6 +2911,22 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY event_id
                                     ORDER BY odate DESC) AS rn
           FROM eb JOIN ob USING (bucket) WHERE odate <= edate)
+        SELECT event_id, edate, odate, n_orders FROM j WHERE rn = 1
+    """
+
+    sql["join_asof_forward"] = """
+        WITH ob AS (
+          SELECT o_custkey % 20 AS bucket, CAST(o_orderdate AS DATE) AS odate,
+                 count(*) AS n_orders
+          FROM orders GROUP BY 1, 2),
+        eb AS (
+          SELECT event_id, user_id % 20 AS bucket, CAST(ts AS DATE) AS edate
+          FROM events),
+        j AS (
+          SELECT event_id, edate, odate, n_orders,
+                 row_number() OVER (PARTITION BY event_id
+                                    ORDER BY odate ASC) AS rn
+          FROM eb JOIN ob USING (bucket) WHERE odate >= edate)
         SELECT event_id, edate, odate, n_orders FROM j WHERE rn = 1
     """
 
