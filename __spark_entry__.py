@@ -378,37 +378,39 @@ def q_join_asof_nearest(spark, sf):
 
 def q_join_asof_forward(spark, sf):
     """FORWARD as-of join — the directional complement of
-    join_asof_nearest (which is the at-or-BEFORE form): each event
-    matched to the EARLIEST order at-or-after its date in the same key
-    bucket ("next shipment after each order" semantics). Same scalable
-    union-merge shape: one sort descending by date carries the
-    earliest-later order backward with last_value(ignoreNulls) — one
-    shuffle, linear, never the |events| x |dates| range join."""
-    o = _t(spark, sf, "orders")
+    join_asof_nearest (the at-or-BEFORE form): each view event matched
+    to the EARLIEST same-user purchase at-or-after it ("time to next
+    conversion" semantics). Same scalable union-merge shape, scanned
+    DESCENDING: one sort by (user, ts desc) carries the
+    earliest-later purchase backward with last(ignoreNulls) — one
+    shuffle, linear, never an |views| x |purchases| range join. Ties:
+    a same-instant purchase qualifies; equal-ts purchases resolve to
+    the smallest event_id (event_id desc in the descending scan)."""
     ev = _events(spark, sf)
-    ob = (o.select(F.pmod(F.col("o_custkey"), F.lit(20)).alias("bucket"),
-                   F.col("o_orderdate").cast("date").alias("odate"))
-          .groupBy("bucket", "odate")
-          .agg(F.count(F.lit(1)).alias("n_orders"))
-          .select("bucket", F.col("odate").alias("d"),
-                  F.lit(0).alias("side"),
-                  F.lit(None).cast("long").alias("event_id"),
-                  "odate", "n_orders"))
-    eb = ev.select(F.pmod(F.col("user_id"), F.lit(20)).alias("bucket"),
-                   F.col("ts").cast("date").alias("d"),
-                   F.lit(1).alias("side"),
-                   "event_id", F.lit(None).cast("date").alias("odate"),
-                   F.lit(None).cast("long").alias("n_orders"))
-    merged = ob.unionByName(eb)
-    w = (Window.partitionBy("bucket").orderBy(F.col("d").desc(), "side")
+    pb = (ev.where(F.col("event_type") == "purchase")
+          .select("user_id", "ts", F.lit(0).alias("side"),
+                  F.col("event_id").alias("purchase_id"),
+                  F.lit(None).cast("long").alias("view_id")))
+    vb = (ev.where(F.col("event_type") == "view")
+          .select("user_id", "ts", F.lit(1).alias("side"),
+                  F.lit(None).cast("long").alias("purchase_id"),
+                  F.col("event_id").alias("view_id")))
+    merged = pb.unionByName(vb)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").desc(), F.col("side").asc(),
+                  F.col("purchase_id").desc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (merged.select(
-        "event_id", F.col("d").alias("edate"),
-        F.last("odate", ignorenulls=True).over(w).alias("odate"),
-        F.last("n_orders", ignorenulls=True).over(w).alias("n_orders"),
+        "user_id", "view_id", F.col("ts").alias("view_ts"),
+        F.last("purchase_id", ignorenulls=True).over(w)
+        .alias("next_purchase_id"),
+        F.last(F.when(F.col("purchase_id").isNotNull(), F.col("ts")),
+               ignorenulls=True).over(w).alias("purchase_ts"),
         "side")
-        .where((F.col("side") == 1) & F.col("odate").isNotNull())
-        .select("event_id", "edate", "odate", "n_orders"))
+        .where((F.col("side") == 1)
+               & F.col("next_purchase_id").isNotNull())
+        .select("user_id", "view_id", "view_ts",
+                "next_purchase_id", "purchase_ts"))
 
 
 # --- aggregations (A1-A8) ----------------------------------------------------
@@ -2915,19 +2917,18 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["join_asof_forward"] = """
-        WITH ob AS (
-          SELECT o_custkey % 20 AS bucket, CAST(o_orderdate AS DATE) AS odate,
-                 count(*) AS n_orders
-          FROM orders GROUP BY 1, 2),
-        eb AS (
-          SELECT event_id, user_id % 20 AS bucket, CAST(ts AS DATE) AS edate
-          FROM events),
+        WITH p AS (SELECT user_id, ts, event_id FROM events
+                   WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'view'),
         j AS (
-          SELECT event_id, edate, odate, n_orders,
-                 row_number() OVER (PARTITION BY event_id
-                                    ORDER BY odate ASC) AS rn
-          FROM eb JOIN ob USING (bucket) WHERE odate >= edate)
-        SELECT event_id, edate, odate, n_orders FROM j WHERE rn = 1
+          SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+                 p.event_id AS next_purchase_id, p.ts AS purchase_ts,
+                 row_number() OVER (PARTITION BY v.event_id
+                   ORDER BY p.ts ASC, p.event_id ASC) AS rn
+          FROM v JOIN p ON p.user_id = v.user_id AND p.ts >= v.ts)
+        SELECT user_id, view_id, view_ts, next_purchase_id, purchase_ts
+        FROM j WHERE rn = 1
     """
 
     sql["agg_pricing_summary"] = f"""

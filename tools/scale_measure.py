@@ -78,6 +78,7 @@ QUERIES = [
     "agg_unpivot",
     "text_source_divergence",
     "events_attr_last",
+    "join_asof_forward",
     # forced-distributed iterative paths (driver gate = 0): the
     # textrank vocab cap keeps its graph under the 2M-edge gate at ANY
     # corpus size, so the distributed PageRank loop must be forced to
