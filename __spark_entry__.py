@@ -2586,7 +2586,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_anti": q_join_semi_anti,
         "join_zonal_broadcast": q_join_zonal_broadcast,
         "join_asof_nearest": q_join_asof_nearest,
-        "join_asof_forward": q_join_asof_forward,
         "join_range_bucketed": q_join_range_bucketed,
         # aggregations
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2693,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "agg_pivot_events": q_agg_pivot_events,
         "agg_unpivot": q_agg_unpivot,
+        "join_asof_forward": q_join_asof_forward,
         "events_markov": q_events_markov,
         "text_source_divergence": q_text_source_divergence,
         "events_attr_last": q_events_attr_last,

@@ -484,7 +484,9 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     pure-numpy netpbm/BMP decode — per payload inside the Arrow batch
     loop: dimensions come from the parsed header (NOT the metadata
     struct) and mean_intensity is the exact integer pixel sum divided
-    once. Payloads in formats needing absent codec libs (JPEG/PNG) raise.
+    once. PNG decodes for real too (stdlib-zlib inflate + all five
+    scanline filters via `_parse_png`); JPEG — the one format that would
+    need an absent codec lib — raises.
     With ``fake=True`` a deterministic stand-in (metadata echo + raw byte
     mean) exercises the identical Arrow path for opaque payloads."""
 
