@@ -164,6 +164,31 @@ def main() -> None:
         out["errors"] = errors
     print(json.dumps(out))
 
+    # Self-sufficient driver record (VERDICT r10 item 7): the driver
+    # captures only the final ~2000 chars of output, which truncates the
+    # full JSON above (spreads make it ~6 KB) into an unparseable
+    # fragment (BENCH_r8/r9/r10 all have parsed:null). Print a compact
+    # line LAST — same driver contract (metric/value/unit/queries/sf),
+    # per-query mins only at 2-decimal precision, no spread — so the
+    # captured tail always ends with one complete parseable JSON line.
+    # round_end.py prefers the full line above (it carries the spread
+    # envelope); this one exists for the driver's own artifact.
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: (round(v, 2) if isinstance(v, (int, float))
+                        else "ERROR")
+                    for k, v in timings.items()},
+        "sf": out["sf"],
+        "compact": True,
+    }
+    if errors:
+        compact["errors"] = errors
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"compact bench line too long ({len(line)})"
+    print(line)
+
 
 if __name__ == "__main__":
     main()

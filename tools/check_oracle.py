@@ -49,6 +49,16 @@ def table_hash(cols, rows):
 # widens precision. Oracles must CAST these before output.
 _FRAGILE = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
+# Non-triviality gate (VERDICT r10 item 3): a graded query returning
+# ZERO rows still hash-passes (both engines agree on empty), which is
+# how round 10's first join_asof_forward shipped trivially empty
+# (orders are 1992-98, events 2024 — a forward as-of matched nothing).
+# Any query returning 0 rows at the gate sf now FAILS unless listed
+# here with a reason. Currently no query is allowed to be empty.
+EMPTY_OK: dict[str, str] = {
+    # name -> one-line justification for a legitimately-empty result
+}
+
 _DUCK_FAMILY = {
     "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
     "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int",
@@ -140,6 +150,12 @@ def main():
             # free RDD-level localCheckpoint blocks at all)
             lifecycle.release_tracked()
             lifecycle.assert_no_cached_rdds(spark, context=name)
+        if not srows and name not in EMPTY_OK:
+            print(f"FAIL  {name}: trivially empty (0 spark rows — an "
+                  f"empty result hash-passes vacuously; add to EMPTY_OK "
+                  f"with a justification if genuinely expected)")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")

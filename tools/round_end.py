@@ -122,6 +122,11 @@ def main() -> None:
          [sys.executable, "-m", "pytest", "tests/", "-q"], None),
         ("arrow fetch sweep",
          [sys.executable, "tools/arrow_fetch_sweep.py"], None),
+        # VERDICT r10 item 8: the runtime-metrics snapshot went stale
+        # twice; --sync runs only registry queries missing from it and
+        # fails on count mismatch, so staleness now fails the ritual.
+        ("metrics snapshot sync (METRICS_sf001.jsonl)",
+         [sys.executable, "tools/runtime_metrics.py", "--sync"], None),
     ]
     for title, cmd, env in steps:
         print(f"== {title} ...", flush=True)
@@ -137,8 +142,14 @@ def main() -> None:
         print(f"== bench (sf0.1) run {i + 1}/{runs} ...", flush=True)
         rc, outp = run([sys.executable, "bench.py"],
                        {"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"})
-        line = next((ln for ln in reversed(outp.splitlines())
-                     if ln.startswith('{"metric"')), None)
+        # bench.py now prints TWO parseable lines (VERDICT r10 item 7):
+        # the full record (with the per-query spread envelope) and then a
+        # compact driver-tail-safe line marked "compact": true. Prefer
+        # the full one; fall back to whatever parses.
+        cands = [ln for ln in outp.splitlines()
+                 if ln.startswith('{"metric"')]
+        line = next((ln for ln in cands if '"spread"' in ln),
+                    cands[-1] if cands else None)
         if rc != 0 or line is None:
             failures.append(f"bench run {i + 1}")
             report += [f"## bench run {i + 1} — FAIL", "```", tail(outp),

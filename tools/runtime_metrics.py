@@ -10,16 +10,27 @@ Output: one JSON line per query:
    "input_mb": x, "shuffle_write_mb": x}
 
 Usage: python tools/runtime_metrics.py [sf_dir] [query ...]
+       python tools/runtime_metrics.py --sync [snapshot.jsonl]
+
+--sync (VERDICT r10 item 8 — the snapshot went 2 queries stale twice)
+keeps METRICS_sf001.jsonl aligned with the live registry: runs ONLY the
+queries missing from the snapshot, drops lines for queries no longer
+registered, rewrites the file in registry order, and exits non-zero if
+the final line count != len(queries()) or any run errored. round_end.py
+calls this every round, so the snapshot structurally cannot go stale.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
 
 sys.path.insert(0, "/root/repo")
+
+SNAPSHOT_DEFAULT = "/root/repo/METRICS_sf001.jsonl"
 
 
 def _api(base: str, path: str):
@@ -31,8 +42,34 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from lswms_forage_etl_spark import get_spark, lifecycle
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    sync_path = None
+    if argv and argv[0] == "--sync":
+        sync_path = argv[1] if len(argv) > 1 else SNAPSHOT_DEFAULT
+        argv = []
+
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    if sync_path is not None:
+        registry = list(entrymod.queries().keys())
+        existing: dict[str, str] = {}
+        if os.path.exists(sync_path):
+            with open(sync_path) as f:
+                for ln in f:
+                    if ln.strip():
+                        existing[json.loads(ln)["query"]] = ln.strip()
+        missing = [q for q in registry if q not in existing]
+        dropped = [q for q in existing if q not in set(registry)]
+        print(f"sync: registry={len(registry)} snapshot={len(existing)} "
+              f"missing={missing} dropped={dropped}", file=sys.stderr)
+        only = set(missing)
+        if not missing:
+            with open(sync_path, "w") as f:
+                for q in registry:
+                    f.write(existing[q] + "\n")
+            print(f"sync: OK ({len(registry)} lines)", file=sys.stderr)
+            return
     spark = get_spark("runtime-metrics",
                       extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -44,6 +81,7 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
     base = f"{ui}/api/v1/applications/{app_id}"
 
+    errored = []
     for name, fn in entrymod.queries().items():
         if only and name not in only:
             continue
@@ -56,13 +94,14 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 - isolate per query
             print(json.dumps({"query": name, "error": str(e)[:200]}))
+            errored.append(name)
             continue
         wall = time.time() - t0
         stages = [s for s in _api(base, "/stages")
                   if s["stageId"] not in seen_stages
                   and s["status"] != "SKIPPED"]
         jobs = [j for j in _api(base, "/jobs") if j["jobId"] not in seen_jobs]
-        print(json.dumps({
+        line = json.dumps({
             "query": name,
             "wall_s": round(wall, 3),
             "jobs": len(jobs),
@@ -72,7 +111,23 @@ def main() -> None:
                                   for s in stages) / 2**20, 2),
             "shuffle_write_mb": round(sum(s.get("shuffleWriteBytes", 0)
                                           for s in stages) / 2**20, 2),
-        }), flush=True)
+        })
+        print(line, flush=True)
+        if sync_path is not None:
+            existing[name] = line
+
+    if sync_path is not None:
+        registry = list(entrymod.queries().keys())
+        still_missing = [q for q in registry if q not in existing]
+        with open(sync_path, "w") as f:
+            for q in registry:
+                if q in existing:
+                    f.write(existing[q] + "\n")
+        if errored or still_missing:
+            print(f"sync: FAIL (errored={errored} "
+                  f"missing={still_missing})", file=sys.stderr)
+            sys.exit(1)
+        print(f"sync: OK ({len(registry)} lines)", file=sys.stderr)
 
 
 if __name__ == "__main__":
