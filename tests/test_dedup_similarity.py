@@ -496,3 +496,27 @@ def test_lsh_bucket_cap_bounds_groups_keeps_identical_recall(spark):
     clone_pairs = {(a, b) for a, b in pairs if a < 100 and b < 100}
     assert clone_pairs == {(a, b) for a in range(12) for b in range(12)
                            if a < b}
+
+
+def test_adaptive_num_planes_matches_sql_twin():
+    """The exact-integer re-index rule (VERDICT r10 item 2): the Python
+    helper the graded query uses and the SQL expression its oracle
+    embeds must agree at every n, ESPECIALLY at power-of-two boundaries
+    where a float log2 could round either way."""
+    import duckdb
+    from lswms_forage_etl_spark.operators.similarity import (
+        adaptive_num_planes)
+    con = duckdb.connect()
+    boundary = [1, 2, 3, 4, 127, 128, 129, 255, 256, 257, 500, 511,
+                512, 513, 2000, 65535, 65536, 65537, 131072, 200000,
+                10**9]
+    for n in boundary:
+        sql = (f"SELECT LEAST(16, GREATEST(6, length(bin("
+               f"CAST(ceil({n} / 2.0) AS BIGINT) - 1))))")
+        assert con.execute(sql).fetchone()[0] == adaptive_num_planes(n), n
+    # prefix stability is what makes the masked 16-term oracle valid
+    import numpy as np
+    from lswms_forage_etl_spark.operators.similarity import hyperplanes
+    for p in (6, 8, 10, 12):
+        assert np.array_equal(np.asarray(hyperplanes(p, 64, 1234)),
+                              np.asarray(hyperplanes(16, 64, 1234))[:p])
