@@ -1,13 +1,19 @@
 """Full-surface smoke: run EVERY queries() entry to completion against
 a directory (default /root/scale100x) — the zero-failure-at-100x claim
-SCALE.md records (round 10: 138/138 OK, 1488 s). Prints OK/FAIL per
-query and a DONE summary; exit code = number of failures.
+SCALE.md records (round 10: 138/138 OK, 1488 s; round 11 re-runs over
+the grown registry and ALSO over the adversarial-skew slices, VERDICT
+r10 item 1). Prints OK/FAIL per query and a DONE summary; exit code =
+number of failures.
 
-Usage: python tools/smoke_surface.py [sf_dir]
+Usage: python tools/smoke_surface.py [sf_dir] [--out walls.jsonl]
+  --out appends one JSON line per query: {"dir", "query", "wall_s"}
+  (FAILed queries get "error" instead of wall) so slice-vs-baseline
+  ratios are scriptable.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -18,7 +24,14 @@ def main() -> int:
     import __spark_entry__ as em
     from lswms_forage_etl_spark import get_spark, lifecycle
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/scale100x"
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/scale100x"
+    outf = open(out_path, "a") if out_path else None
     spark = get_spark("smoke-surface", extra_conf={
         "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)})
     spark.sparkContext.setLogLevel("ERROR")
@@ -30,12 +43,24 @@ def main() -> int:
         try:
             fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
-            print(f"OK   {name} [{time.time() - t0:.1f}s] "
+            wall = time.time() - t0
+            print(f"OK   {name} [{wall:.1f}s] "
                   f"({i + 1}/{len(qs)})", flush=True)
+            if outf:
+                outf.write(json.dumps(
+                    {"dir": sf_dir, "query": name,
+                     "wall_s": round(wall, 2)}) + "\n")
+                outf.flush()
         except Exception as e:  # noqa: BLE001 - isolate per query
             fails.append(name)
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:160]}",
                   flush=True)
+            if outf:
+                outf.write(json.dumps(
+                    {"dir": sf_dir, "query": name,
+                     "error": f"{type(e).__name__}: {str(e)[:160]}"})
+                    + "\n")
+                outf.flush()
         lifecycle.release_tracked()
         spark.catalog.clearCache()
     print(f"DONE {len(qs) - len(fails)}/{len(qs)} ok in "
