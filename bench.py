@@ -85,6 +85,9 @@ HEADLINE = [
     "events_markov",
     "text_source_divergence",
     "events_attr_last",
+    # round-11 additions
+    "text_tokens_bpe",
+    "mm_decode_wav",
 ]
 
 
