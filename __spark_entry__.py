@@ -2639,6 +2639,23 @@ def q_sample_token_budget_bpe(spark, sf):
                       F.col("n_tokens").alias("n_bpe_tokens"))
 
 
+def q_pack_sequences_bpe(spark, sf):
+    """Sequence packing denominated in SUBWORD tokens: the pack
+    boundaries a dataloader actually needs fall at model-token
+    positions, not whitespace-word positions (a 256-word pack is ~3x a
+    256-subword context window — the mis-sizing VERDICT r10 missing #1
+    names). Same pack_sequences operator, 512-subword packs, counts
+    from one Arrow munch pass; oracle replays counts via the recursive
+    CTE and the window math verbatim."""
+    from lswms_forage_etl_spark.functions.bpe import subword_count_udf
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    c = subword_count_udf()
+    d = (_spread(_t(spark, sf, "documents").select("doc_id", "text"))
+         .select("doc_id", c(F.col("text")).alias("n_tok")))
+    return pack_sequences(d, "n_tok", budget=512, key_col="doc_id",
+                          n_shards=4)
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2808,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens_bpe": q_text_tokens_bpe,
         "sample_token_budget_bpe": q_sample_token_budget_bpe,
         "mm_decode_wav": q_mm_decode_wav,
+        "pack_sequences_bpe": q_pack_sequences_bpe,
     }
 
 
@@ -3565,6 +3583,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT w.doc_id, w.n_words, c.n_bpe,
                {_pr('CAST(c.n_bpe AS DOUBLE) / w.n_words', 4)} AS bpe_ratio
         FROM bpe_words w JOIN bpe_counts c USING (doc_id)
+    """
+
+    sql["pack_sequences_bpe"] = f"""
+        WITH RECURSIVE {subword_count_cte()},
+        d AS (
+          SELECT doc_id,
+                 CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_tokens,
+                 {_u32} AS u
+          FROM documents LEFT JOIN bpe_counts c USING (doc_id)),
+        s AS (SELECT doc_id, n_tokens, u, CAST(u % 4 AS INT) AS shard
+              FROM d),
+        cw AS (
+          SELECT doc_id, shard, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY shard ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS st
+          FROM s)
+        SELECT doc_id, shard,
+               CAST(floor(st / 512.0) AS BIGINT) AS pack_id,
+               CAST(st % 512 AS BIGINT) AS pack_offset,
+               n_tokens,
+               CAST(floor((st + greatest(n_tokens, 1) - 1) / 512.0)
+                    - floor(st / 512.0) + 1 AS INT) AS packs_spanned
+        FROM cw
     """
 
     sql["sample_token_budget_bpe"] = f"""
