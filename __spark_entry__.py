@@ -2656,6 +2656,19 @@ def q_pack_sequences_bpe(spark, sf):
                           n_shards=4)
 
 
+def q_corpus_bpe_train(spark, sf):
+    """Distributed BPE merge TRAINING: learn the corpus's top-6 merges
+    (Sennrich BPE over the distinct-word frequency table) entirely as
+    JVM string algebra — each word a '|'-separated symbol string, one
+    merge step = one non-overlapping left-to-right replace, the
+    winning pair a broadcast 1-row aggregate. No UDF, no collect, no
+    driver loop state; the oracle unrolls the same 6 iterations as a
+    CTE chain and the two engines (plus a greedy Python reference)
+    agree merge-for-merge (tests/test_bpe.py)."""
+    from lswms_forage_etl_spark.functions.bpe import bpe_train_merges
+    return bpe_train_merges(_t(spark, sf, "documents"), k=6)
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2826,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_token_budget_bpe": q_sample_token_budget_bpe,
         "mm_decode_wav": q_mm_decode_wav,
         "pack_sequences_bpe": q_pack_sequences_bpe,
+        "corpus_bpe_train": q_corpus_bpe_train,
     }
 
 
@@ -3584,6 +3598,9 @@ def oracle_sql() -> dict[str, str]:
                {_pr('CAST(c.n_bpe AS DOUBLE) / w.n_words', 4)} AS bpe_ratio
         FROM bpe_words w JOIN bpe_counts c USING (doc_id)
     """
+
+    from lswms_forage_etl_spark.functions.bpe import bpe_train_sql
+    sql["corpus_bpe_train"] = bpe_train_sql(k=6)
 
     sql["pack_sequences_bpe"] = f"""
         WITH RECURSIVE {subword_count_cte()},

@@ -88,6 +88,7 @@ HEADLINE = [
     # round-11 additions
     "text_tokens_bpe",
     "mm_decode_wav",
+    "corpus_bpe_train",
 ]
 
 

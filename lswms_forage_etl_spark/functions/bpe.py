@@ -98,6 +98,119 @@ def subword_count_udf():
     return _count
 
 
+def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
+    """Distributed BPE merge TRAINING — learn the top-k merges from the
+    corpus itself (the train half of the subword story; the fixed-vocab
+    munch above is the apply half). Classic Sennrich BPE: start from
+    characters, repeatedly count adjacent symbol pairs over the
+    word-frequency table and merge the globally most frequent pair.
+
+    Entirely JVM-side STRING algebra — no UDF, no collect, no driver
+    loop state: each word is a '|'-separated, '|'-wrapped symbol string
+    ('the' -> '|t|h|e|'), and ONE greedy BPE merge step is EXACTLY a
+    non-overlapping left-to-right replace of '|a|b|' with '|ab|'
+    (Java String.replace and DuckDB replace() share that contract —
+    '|a|a|a|' -> '|aa|a|', the greedy semantics, verified by test).
+    The separators make mid-symbol false matches impossible. Each
+    iteration's winning pair is a 1-row aggregate cross-joined back in
+    (broadcast), so the whole k-iteration training is one lazy plan.
+
+    At 100 TB the pair counting runs over the DISTINCT-WORD frequency
+    table (vocabulary-sized, not corpus-sized — the standard BPE
+    trainer shape); counts shuffle on uniform pair keys with map-side
+    partial aggregation. Output: (iter, pair, new_symbol, pair_count),
+    k rows, ties broken by pair string — deterministic on any engine.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.expr(
+        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
+    words = (docs.select(F.explode(toks).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    cur = words.select(
+        F.expr("concat('|', array_join(transform(sequence(1, "
+               "length(word)), i -> substring(word, i, 1)), '|'), '|')")
+        .alias("w"),
+        "n")
+    tops = []
+    for it in range(1, k + 1):
+        # bind the symbol array to an attribute FIRST: element_at over
+        # an expression subtree inside a HOF lambda re-evaluates the
+        # subtree per element (round-5 O(len^2) lesson); over a bound
+        # column it is a cheap ref
+        bound = cur.select(
+            F.expr("filter(split(w, '\\\\|'), x -> x <> '')").alias("s"),
+            "n")
+        pairs = F.expr(
+            "CASE WHEN size(s) >= 2 THEN transform(sequence(1, "
+            "size(s) - 1), i -> concat(element_at(s, i), '|', "
+            "element_at(s, i + 1))) ELSE array() END")
+        pc = (bound.select(F.explode(pairs).alias("pair"), "n")
+              .groupBy("pair").agg(F.sum("n").alias("cnt")))
+        top = (pc.orderBy(F.col("cnt").desc(), "pair").limit(1)
+               .select(F.lit(it).alias("iter"), "pair",
+                       F.replace("pair", F.lit("|"), F.lit(""))
+                       .alias("new_symbol"),
+                       F.col("cnt").cast("long").alias("pair_count")))
+        tops.append(top)
+        cur = (cur.crossJoin(F.broadcast(
+                   top.select(F.col("pair").alias("_mp"))))
+               .select(F.replace(
+                   "w",
+                   F.concat(F.lit("|"), F.col("_mp"), F.lit("|")),
+                   F.concat(F.lit("|"),
+                            F.replace("_mp", F.lit("|"), F.lit("")),
+                            F.lit("|"))).alias("w"),
+                   "n"))
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def bpe_train_sql(k: int = 6, doc_source: str = "documents",
+                  text_col: str = "text") -> str:
+    """DuckDB twin of `bpe_train_merges` — the k iterations unrolled as
+    a CTE chain (pair count -> LIMIT 1 argmax -> replace), sharing the
+    separator-string merge convention byte for byte."""
+    ctes = [f"""
+      words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(
+                   lower(trim({text_col})), '\\s+'), x -> x <> '')) AS word
+          FROM {doc_source})
+        GROUP BY word),
+      w0 AS (
+        SELECT '|' || array_to_string(list_transform(
+                 range(1, length(word) + 1), i -> word[i]), '|') || '|'
+                 AS w, n
+        FROM words)"""]
+    for it in range(1, k + 1):
+        prev = f"w{it - 1}"
+        ctes.append(f"""
+      p{it} AS (
+        SELECT pair, sum(n) AS cnt FROM (
+          SELECT unnest(CASE WHEN len(s) >= 2 THEN
+                   list_transform(range(1, len(s)),
+                                  i -> s[i] || '|' || s[i + 1])
+                 ELSE [] END) AS pair, n
+          FROM (SELECT list_filter(string_split(w, '|'), x -> x <> '')
+                         AS s, n
+                FROM {prev}))
+        GROUP BY pair),
+      t{it} AS (SELECT pair, cnt FROM p{it}
+                ORDER BY cnt DESC, pair LIMIT 1),
+      w{it} AS (
+        SELECT replace(w, '|' || t.pair || '|',
+                       '|' || replace(t.pair, '|', '') || '|') AS w, n
+        FROM {prev}, t{it} t)""")
+    finals = "\n        UNION ALL ".join(
+        f"SELECT {it} AS iter, pair, replace(pair, '|', '') AS new_symbol, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{it}"
+        for it in range(1, k + 1))
+    return "WITH " + ",".join(ctes) + f"\n        {finals}"
+
+
 def vocab_sql_list() -> str:
     """The vocab as a DuckDB list literal (for the recursive oracle)."""
     return "[" + ", ".join(f"'{v}'" for v in SUBWORD_VOCAB) + "]"

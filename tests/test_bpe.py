@@ -112,3 +112,58 @@ def test_budget_selection_diverges_between_units(spark):
     tot = base.agg(F.sum("n_ws").alias("w"), F.sum("n_bpe").alias("b")) \
         .collect()[0]
     assert 2.0 < tot["b"] / tot["w"] < 5.0
+
+
+def test_bpe_train_three_way_agreement(spark):
+    """Merge training: Spark string-algebra plan == unrolled DuckDB CTE
+    == a greedy-loop Python reference, merge for merge, on a corpus
+    with tie and overlap structure."""
+    from lswms_forage_etl_spark.functions.bpe import (
+        bpe_train_merges, bpe_train_sql)
+    rows = [(1, "the theme there then aaa aaab"),
+            (2, "that the thin theme aaa"),
+            (3, "other ether the banana bananas")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in bpe_train_merges(docs, k=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck = sorted(con.execute(bpe_train_sql(k=5)).fetchall())
+    assert got == duck
+    # greedy-loop reference (the textbook merge semantics)
+    from collections import Counter
+    wc = Counter(w for _, t in rows for w in t.lower().split())
+    seqs = {w: list(w) for w in wc}
+    ref = []
+    for it in range(1, 6):
+        pc = Counter()
+        for w, s in seqs.items():
+            for a, b in zip(s, s[1:]):
+                pc[a + "|" + b] += wc[w]
+        pair, cnt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref.append((it, pair, pair.replace("|", ""), cnt))
+        a, b = pair.split("|")
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    assert got == sorted(ref)
+
+
+def test_bpe_merge_replace_greedy_overlap(spark):
+    """The separator-string replace IS greedy left-to-right merging:
+    '|a|a|a|' under pair (a,a) must become '|aa|a|', never '|a|aa|' or
+    '|aa|aa|' — the exact contract both engines' replace() share."""
+    from pyspark.sql import functions as F
+    r = spark.createDataFrame([("|a|a|a|",)], "w string").select(
+        F.replace("w", F.lit("|a|a|"), F.lit("|aa|")).alias("x")
+    ).collect()[0]["x"]
+    assert r == "|aa|a|"
+    assert duckdb.sql(
+        "select replace('|a|a|a|','|a|a|','|aa|')").fetchone()[0] == r
