@@ -1999,6 +1999,22 @@ def q_mm_decode_wav(spark, sf):
         "n_frames", pround(F.col("mean_amp"), 9).alias("mean_amp"))
 
 
+def q_mm_audio_energy(spark, sf):
+    """Audio feature extraction over REAL decoded WAV payloads:
+    non-overlapping 16-frame windows, exact int64 sum-of-squares energy
+    per window (all channels), float64 RMS + silence flag — the
+    VAD-style primitive after mm_decode_wav's parse. One Arrow pass, no
+    shuffle; the oracle replays the windowed square-sums from the same
+    text bytes, so a frame/window indexing or channel-interleave bug
+    hash-mismatches."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        audio_energy, synth_wav_media)
+    out = audio_energy(synth_wav_media(_t(spark, sf, "documents")))
+    return out.select("media_id", "win_idx", "n_samples", "ssq",
+                      pround(F.col("rms"), 9).alias("rms"),
+                      "is_silence")
+
+
 def q_dedup_incremental(spark, sf):
     """Incremental (nightly-batch) dedup: sources src15+ are the new
     batch, src0-14 the existing corpus; each new doc is LSH-probed
@@ -2840,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_wav": q_mm_decode_wav,
         "pack_sequences_bpe": q_pack_sequences_bpe,
         "corpus_bpe_train": q_corpus_bpe_train,
+        "mm_audio_energy": q_mm_audio_energy,
     }
 
 
@@ -4835,6 +4852,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(bits AS INT) AS bits_per_sample, nf AS n_frames,
                {_pr("avg(samp)", 9)} AS mean_amp
         FROM u GROUP BY media_id, sr, ch, bits, nf
+    """
+
+    # windowed audio energy: same byte replay, grouped into 16-frame
+    # windows over the interleaved sample index (j // (16*ch)); exact
+    # int64 square sums, RMS = one float64 sqrt, silence on the
+    # UNROUNDED rms exactly like the Spark side
+    _wav_bytes = """
+        m AS (SELECT doc_id AS media_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+                     CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS ch,
+                     CAST(24 + (doc_id % 8) * 4 AS INT) AS nf,
+                     hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS n
+              FROM documents),
+        f AS (SELECT * FROM m WHERE n >= nf * ch * (bits // 8)),
+        s8 AS (SELECT media_id, ch, j,
+                      ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::BIGINT
+                        AS samp
+               FROM f, (SELECT unnest(range(0, 104)) AS j) r
+               WHERE bits = 8 AND j < nf * ch),
+        s16 AS (SELECT media_id, ch, j,
+                       CASE WHEN v >= 32768 THEN v - 65536 ELSE v END
+                         AS samp
+                FROM (
+                  SELECT media_id, ch, j,
+                         ('0x' || substr(hx, CAST(4 * j + 1 AS INT), 2))::BIGINT
+                         + 256 *
+                         ('0x' || substr(hx, CAST(4 * j + 3 AS INT), 2))::BIGINT
+                           AS v
+                  FROM f, (SELECT unnest(range(0, 104)) AS j) r
+                  WHERE bits = 16 AND j < nf * ch)),
+        u AS (SELECT * FROM s8 UNION ALL SELECT * FROM s16)
+    """
+    sql["mm_audio_energy"] = f"""
+        WITH {_wav_bytes},
+        w AS (SELECT media_id, CAST(j // (16 * ch) AS INT) AS win_idx,
+                     samp
+              FROM u),
+        g AS (SELECT media_id, win_idx,
+                     CAST(count(*) AS INT) AS n_samples,
+                     CAST(sum(samp * samp) AS BIGINT) AS ssq
+              FROM w GROUP BY media_id, win_idx)
+        SELECT media_id, win_idx, n_samples, ssq,
+               {_pr("sqrt(CAST(ssq AS DOUBLE) / n_samples)", 9)} AS rms,
+               sqrt(CAST(ssq AS DOUBLE) / n_samples) < 32.0 AS is_silence
+        FROM g
     """
 
     # vocabulary: two-phase doc-frequency aggregation (sum is HUGEINT in

@@ -631,6 +631,48 @@ def decode_audio(media: DataFrame) -> DataFrame:
     return media.mapInPandas(decode, schema=out_schema)
 
 
+def audio_energy(media: DataFrame, window_frames: int = 16,
+                 silence_rms: float = 32.0) -> DataFrame:
+    """Windowed audio energy over decoded WAV payloads — the audio
+    feature-extraction step (the `byte_histogram` analogue for the
+    audio modality): non-overlapping `window_frames`-frame windows,
+    per-window EXACT integer sum of squares over all channels, RMS in
+    one float64 sqrt, and a silence flag (rms < `silence_rms` — the
+    VAD-style primitive). Output: (media_id, win_idx, n_samples, ssq,
+    rms, is_silence), one Arrow pass, no shuffle; the ssq convention
+    (int64 sum of sample^2) is replayed exactly by the byte-level
+    oracle, so rms and the flag hash-match."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("win_idx", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("ssq", LongType(), False),
+        StructField("rms", DoubleType(), True),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _, ch, _, nf, samples = _parse_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                win = window_frames * ch
+                for wi in range(0, (len(s) + win - 1) // win):
+                    chunk = s[wi * win:(wi + 1) * win]
+                    rows.append((int(mid), wi, len(chunk),
+                                 int((chunk * chunk).sum())))
+            out = pd.DataFrame(rows, columns=[
+                "media_id", "win_idx", "n_samples", "ssq"]).astype(
+                {"media_id": "int64", "win_idx": "int32",
+                 "n_samples": "int32", "ssq": "int64"})
+            out["rms"] = np.sqrt(out["ssq"] / out["n_samples"])
+            yield out
+
+    res = media.mapInPandas(extract, schema=out_schema)
+    return res.withColumn(
+        "is_silence", (F.col("rms") < F.lit(float(silence_rms))))
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode payloads to (decoded_width, decoded_height, mean_intensity).
 

@@ -340,3 +340,36 @@ def test_synth_wav_media_decodes_end_to_end(spark):
         raw = src[mid].encode()[:nf * ch * bits // 8]
         s = np.frombuffer(raw, dtype=np.uint8 if bits == 8 else "<i2")
         assert abs(r["mean_amp"] - s.astype(np.int64).mean()) < 1e-9
+
+
+def test_audio_energy_windows_match_numpy(spark):
+    """Windowed RMS over synth WAV payloads matches a direct numpy
+    computation from the same text bytes, including the short final
+    window and stereo interleave handling."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        audio_energy, synth_wav_media)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(30)
+    out = audio_energy(synth_wav_media(docs)).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert out
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_media.items():
+        bits = 8 if mid % 2 == 0 else 16
+        ch = 2 if mid % 3 == 0 else 1
+        nf = 24 + (mid % 8) * 4
+        raw = src[mid].encode()[:nf * ch * bits // 8]
+        s = np.frombuffer(raw, dtype=np.uint8 if bits == 8 else "<i2") \
+            .astype(np.int64)
+        win = 16 * ch
+        exp_wins = (len(s) + win - 1) // win
+        assert len(rows) == exp_wins
+        for r in sorted(rows, key=lambda x: x["win_idx"]):
+            chunk = s[r["win_idx"] * win:(r["win_idx"] + 1) * win]
+            assert r["n_samples"] == len(chunk)
+            assert r["ssq"] == int((chunk * chunk).sum())
+            rms = float(np.sqrt(r["ssq"] / r["n_samples"]))
+            assert abs(r["rms"] - rms) < 1e-6
+            assert r["is_silence"] == (rms < 32.0)
