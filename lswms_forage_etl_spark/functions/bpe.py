@@ -122,16 +122,25 @@ def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
     k rows, ties broken by pair string — deterministic on any engine.
     """
     from pyspark.sql import functions as F
+    from lswms_forage_etl_spark.operators.dedup import _ckpt_tracked
 
     toks = F.expr(
         f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
     words = (docs.select(F.explode(toks).alias("word"))
              .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
-    cur = words.select(
+    # STAGE the word table and every iteration state (round-11 audit
+    # catch): un-staged, each iteration's cur feeds TWO consumers (the
+    # pair count and the next merge) and the whole prefix re-derives
+    # per consumer — the plan audit showed 63 separate corpus scans and
+    # 126 shuffles for k=6 while the runtime hid it at gate scale
+    # (vocab is tiny). Checkpoint truncation makes each iteration read
+    # the previous state ONCE: 1 corpus scan, ~2 jobs/iteration, flat
+    # at any corpus size.
+    cur = _ckpt_tracked(words.select(
         F.expr("concat('|', array_join(transform(sequence(1, "
                "length(word)), i -> substring(word, i, 1)), '|'), '|')")
         .alias("w"),
-        "n")
+        "n"))
     tops = []
     for it in range(1, k + 1):
         # bind the symbol array to an attribute FIRST: element_at over
@@ -147,21 +156,28 @@ def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
             "element_at(s, i + 1))) ELSE array() END")
         pc = (bound.select(F.explode(pairs).alias("pair"), "n")
               .groupBy("pair").agg(F.sum("n").alias("cnt")))
-        top = (pc.orderBy(F.col("cnt").desc(), "pair").limit(1)
-               .select(F.lit(it).alias("iter"), "pair",
-                       F.replace("pair", F.lit("|"), F.lit(""))
-                       .alias("new_symbol"),
-                       F.col("cnt").cast("long").alias("pair_count")))
+        # the 1-row winner feeds the output union AND the next merge:
+        # eager checkpoint (one tiny job) or both consumers re-run the
+        # pair aggregation
+        top = _ckpt_tracked(
+            pc.orderBy(F.col("cnt").desc(), "pair").limit(1)
+            .select(F.lit(it).alias("iter"), "pair",
+                    F.replace("pair", F.lit("|"), F.lit(""))
+                    .alias("new_symbol"),
+                    F.col("cnt").cast("long").alias("pair_count")),
+            eager=True)
         tops.append(top)
-        cur = (cur.crossJoin(F.broadcast(
-                   top.select(F.col("pair").alias("_mp"))))
-               .select(F.replace(
-                   "w",
-                   F.concat(F.lit("|"), F.col("_mp"), F.lit("|")),
-                   F.concat(F.lit("|"),
-                            F.replace("_mp", F.lit("|"), F.lit("")),
-                            F.lit("|"))).alias("w"),
-                   "n"))
+        if it < k:
+            cur = _ckpt_tracked(
+                cur.crossJoin(F.broadcast(
+                    top.select(F.col("pair").alias("_mp"))))
+                .select(F.replace(
+                    "w",
+                    F.concat(F.lit("|"), F.col("_mp"), F.lit("|")),
+                    F.concat(F.lit("|"),
+                             F.replace("_mp", F.lit("|"), F.lit("")),
+                             F.lit("|"))).alias("w"),
+                    "n"))
     out = tops[0]
     for t in tops[1:]:
         out = out.unionByName(t)
