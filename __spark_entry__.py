@@ -1474,10 +1474,16 @@ def q_text_rarity(spark, sf):
     catalog-scale, so AQE picks broadcast vs shuffle from real sizes
     (ADVICE r5). High scores = rare vocabulary; boilerplate scores
     low."""
+    from lswms_forage_etl_spark.operators.dedup import _spread
     docs = _t(spark, sf, "documents")
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
                     lambda t: t != "")
-    occ = docs.select("doc_id", F.explode(toks).alias("token"))
+    # _spread: the tokenize+explode is the whole 100x wall over the
+    # few-partition source (round-11 A/B at 100x: 33.7 s un-spread vs
+    # 7.3 s spread). Checkpoint-staging occ was ALSO tried and LOST
+    # (38.7 s): materializing the exploded token table costs more than
+    # running the cheap tokenizer once per consumer.
+    occ = _spread(docs).select("doc_id", F.explode(toks).alias("token"))
     vocab = (occ.groupBy("doc_id", "token").agg(F.lit(1).alias("_"))
              .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
     # ONE lazy plan (VERDICT r5 item 7): the corpus size rides a 1-row
