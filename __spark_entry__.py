@@ -1097,21 +1097,36 @@ def q_ann_quantize(spark, sf):
     ANN index ships to object storage. Outputs are order-independent
     exact checks (int sum of codes, max |reconstruction error|) so the
     oracle matches bit-for-bit. Scan-side higher-order functions; zero
-    shuffle, zero Python."""
+    shuffle, zero Python.
+
+    `scale` is BOUND to a column before the lambdas use it (round-11
+    A/B at 100x: 24.4 s -> 0.7 s, 35x): an outer expression referenced
+    inside a HOF lambda re-evaluates PER ELEMENT (the round-5
+    interpreted-lambda lesson), so the inline form recomputed the
+    array_max subtree dim times per row — O(dim^2). Values identical,
+    verified row-for-row in the A/B."""
     emb = _t(spark, sf, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    maxabs = F.array_max(F.transform(v, F.abs))
-    scale = maxabs / F.lit(127.0)
-    q = F.transform(v, lambda x: F.when(
-        scale == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+    b = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double")).alias("v"))
+    b = b.select(
+        "vec_id", "v",
+        (F.array_max(F.transform("v", F.abs)) / F.lit(127.0))
+        .alias("scale"))
+    q = F.transform("v", lambda x: F.when(
+        F.col("scale") == F.lit(0.0), F.lit(0).cast("long")).otherwise(
         F.greatest(F.lit(-127).cast("long"),
                    F.least(F.lit(127).cast("long"),
-                           F.floor(x / scale + F.lit(0.5))))))
-    err = F.zip_with(v, q, lambda x, c: F.abs(x - c.cast("double") * scale))
-    return emb.select(
+                           F.floor(x / F.col("scale") + F.lit(0.5))))))
+    b = b.select("vec_id", "v", "scale", q.alias("q"))
+    err = F.zip_with("v", "q",
+                     lambda x, c: F.abs(x - c.cast("double")
+                                        * F.col("scale")))
+    return b.select(
         "vec_id",
-        pround(scale, 9).alias("qscale"),
-        F.aggregate(q, F.lit(0).cast("long"),
+        pround(F.col("scale"), 9).alias("qscale"),
+        F.aggregate("q", F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("qsum"),
         pround(F.array_max(err), 9).alias("qmax_err"))
 
