@@ -89,6 +89,9 @@ HEADLINE = [
     "text_tokens_bpe",
     "mm_decode_wav",
     "corpus_bpe_train",
+    # round-11 perf-fixed heavies (track them from now on)
+    "text_rarity",
+    "ann_quantize",
 ]
 
 
