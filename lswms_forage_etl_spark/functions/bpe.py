@@ -32,6 +32,8 @@ exists only for gate-scale replay.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 
 # Fixed subword inventory: 4/3/2-char units, most-common English
@@ -78,12 +80,27 @@ def subword_tokens(word: str) -> list[str]:
     return out
 
 
+# ASCII contract (ADVICE r11): the DuckDB oracle splits with RE2 '\s+'
+# and the engine's n_words uses Java '\s+' — BOTH are the ASCII class
+# [ \t\n\r\f\v], while Python str.split() eats full Unicode whitespace
+# (\xa0,  , ...) and str.lower() case-folds beyond ASCII ('İ').
+# The count convention is therefore pinned to ASCII: split on ASCII
+# whitespace only, lowercase A-Z only. Non-ASCII whitespace stays inside
+# its word (one 1-char fallback token); non-ASCII letters keep their
+# case (the vocab is ASCII-lowercase, so they fall back either way).
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+
+
 def subword_count_text(text: str | None) -> int:
-    """Subword token count of a whole document (lower + \\s+ split)."""
+    """Subword token count of a whole document (ASCII lower + ASCII
+    \\s+ split — see the ASCII-contract note above)."""
     if text is None:
         return 0
     return sum(len(subword_tokens(w))
-               for w in text.strip().lower().split())
+               for w in _ASCII_WS.split(text.translate(_ASCII_LOWER))
+               if w)
 
 
 def subword_count_udf():
@@ -106,14 +123,21 @@ def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
     word-frequency table and merge the globally most frequent pair.
 
     Entirely JVM-side STRING algebra — no UDF, no collect, no driver
-    loop state: each word is a '|'-separated, '|'-wrapped symbol string
-    ('the' -> '|t|h|e|'), and ONE greedy BPE merge step is EXACTLY a
-    non-overlapping left-to-right replace of '|a|b|' with '|ab|'
-    (Java String.replace and DuckDB replace() share that contract —
-    '|a|a|a|' -> '|aa|a|', the greedy semantics, verified by test).
-    The separators make mid-symbol false matches impossible. Each
-    iteration's winning pair is a 1-row aggregate cross-joined back in
-    (broadcast), so the whole k-iteration training is one lazy plan.
+    loop state: each word is a DOUBLE-'|'-separated, '||'-wrapped symbol
+    string ('the' -> '||t||h||e||'), and ONE greedy BPE merge step is
+    EXACTLY a non-overlapping left-to-right replace of '|a||b|' with
+    '|ab|' (Java String.replace and DuckDB replace() share that
+    contract). The DOUBLE separator is load-bearing: each boundary's
+    '||' donates one '|' to the match on its left and one to the match
+    on its right, so adjacent pair occurrences share ZERO characters and
+    the single replace pass merges every occurrence a positional greedy
+    scan would ('||b||a||n||a||n||a||' + (a,n) -> '||b||an||an||a||').
+    With single separators the pattern '|a|b|' CONSUMES the shared '|'
+    and skips the next occurrence ('|a|n|a|n|' -> '|an|a|n|' — NOT
+    greedy; the ADVICE r11 bug), verified by test. Separators make
+    mid-symbol false matches impossible (symbols never contain '|').
+    Each iteration's winning pair is a 1-row aggregate cross-joined back
+    in (broadcast), so the whole k-iteration training is one lazy plan.
 
     At 100 TB the pair counting runs over the DISTINCT-WORD frequency
     table (vocabulary-sized, not corpus-sized — the standard BPE
@@ -137,8 +161,8 @@ def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
     # the previous state ONCE: 1 corpus scan, ~2 jobs/iteration, flat
     # at any corpus size.
     cur = _ckpt_tracked(words.select(
-        F.expr("concat('|', array_join(transform(sequence(1, "
-               "length(word)), i -> substring(word, i, 1)), '|'), '|')")
+        F.expr("concat('||', array_join(transform(sequence(1, "
+               "length(word)), i -> substring(word, i, 1)), '||'), '||')")
         .alias("w"),
         "n"))
     tops = []
@@ -168,12 +192,16 @@ def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
             eager=True)
         tops.append(top)
         if it < k:
+            # match '|a||b|' (one '|' borrowed from each flanking '||'),
+            # emit '|ab|' — the outer retained '|'s restore the '||'
             cur = _ckpt_tracked(
                 cur.crossJoin(F.broadcast(
                     top.select(F.col("pair").alias("_mp"))))
                 .select(F.replace(
                     "w",
-                    F.concat(F.lit("|"), F.col("_mp"), F.lit("|")),
+                    F.concat(F.lit("|"),
+                             F.replace("_mp", F.lit("|"), F.lit("||")),
+                             F.lit("|")),
                     F.concat(F.lit("|"),
                              F.replace("_mp", F.lit("|"), F.lit("")),
                              F.lit("|"))).alias("w"),
@@ -197,8 +225,8 @@ def bpe_train_sql(k: int = 6, doc_source: str = "documents",
           FROM {doc_source})
         GROUP BY word),
       w0 AS (
-        SELECT '|' || array_to_string(list_transform(
-                 range(1, length(word) + 1), i -> word[i]), '|') || '|'
+        SELECT '||' || array_to_string(list_transform(
+                 range(1, length(word) + 1), i -> word[i]), '||') || '||'
                  AS w, n
         FROM words)"""]
     for it in range(1, k + 1):
@@ -217,7 +245,7 @@ def bpe_train_sql(k: int = 6, doc_source: str = "documents",
       t{it} AS (SELECT pair, cnt FROM p{it}
                 ORDER BY cnt DESC, pair LIMIT 1),
       w{it} AS (
-        SELECT replace(w, '|' || t.pair || '|',
+        SELECT replace(w, '|' || replace(t.pair, '|', '||') || '|',
                        '|' || replace(t.pair, '|', '') || '|') AS w, n
         FROM {prev}, t{it} t)""")
     finals = "\n        UNION ALL ".join(
@@ -249,9 +277,15 @@ def subword_count_cte(doc_source: str = "documents",
     return f"""
       vocab(v) AS (SELECT unnest({vocab_sql_list()})),
       bpe_w0 AS (
+        -- ASCII contract twin of subword_count_text: A-Z translate (not
+        -- Unicode lower()) and the explicit ASCII whitespace class (not
+        -- '\\s'), so both engines see identical words on any byte input
         SELECT {id_col} AS doc_id,
-               unnest(list_filter(string_split_regex(lower(trim({text_col})),
-                                                     '\\s+'),
+               unnest(list_filter(string_split_regex(
+                        translate({text_col},
+                                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                  'abcdefghijklmnopqrstuvwxyz'),
+                        '[ \\t\\n\\r\\f\\v]+'),
                                   x -> x <> '')) AS word
         FROM {doc_source}),
       bpe_wi AS (

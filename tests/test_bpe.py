@@ -49,6 +49,10 @@ def test_recursive_cte_matches_python_on_adversarial_strings():
         "information theory", "THE THAT the that", "x?!x zzz",
         "  padded   whitespace  ", "mixedCASEtoken", "a",
         "punct,ends.here; (parens)", "ss" * 40,  # long repeated word
+        # ASCII contract (ADVICE r11): non-ASCII whitespace must NOT
+        # split, non-ASCII case must NOT fold — on either engine
+        "nbsp\xa0joined and\u2028line gap",
+        "\u0130stanbul STRASSE \u00dcber",
     ])]
     con.execute("CREATE TABLE documents (doc_id INT, text VARCHAR)")
     con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
@@ -122,7 +126,13 @@ def test_bpe_train_three_way_agreement(spark):
         bpe_train_merges, bpe_train_sql)
     rows = [(1, "the theme there then aaa aaab"),
             (2, "that the thin theme aaa"),
-            (3, "other ether the banana bananas")]
+            (3, "other ether the banana bananas"),
+            # ADVICE r11: back-to-back winning-pair occurrences inside a
+            # word ('banana' under (a,n), 'ababab' under (a,b)) are where
+            # single-separator replace diverges from greedy BPE — make
+            # those pairs WIN so the fixture exercises the divergence
+            (4, "banana banana banana banana nan"),
+            (5, "ababab ababab ababab abab")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(tuple(r) for r in bpe_train_merges(docs, k=5).collect())
     con = duckdb.connect()
@@ -157,13 +167,43 @@ def test_bpe_train_three_way_agreement(spark):
 
 
 def test_bpe_merge_replace_greedy_overlap(spark):
-    """The separator-string replace IS greedy left-to-right merging:
-    '|a|a|a|' under pair (a,a) must become '|aa|a|', never '|a|aa|' or
-    '|aa|aa|' — the exact contract both engines' replace() share."""
+    """The DOUBLE-separator replace IS greedy left-to-right merging —
+    adjacent pair occurrences share zero characters, so one
+    non-overlapping replace pass merges exactly what a positional greedy
+    scan merges. Cases: same-symbol runs (odd/even) and the ADVICE r11
+    'banana' shape where single separators skipped the second merge."""
     from pyspark.sql import functions as F
-    r = spark.createDataFrame([("|a|a|a|",)], "w string").select(
-        F.replace("w", F.lit("|a|a|"), F.lit("|aa|")).alias("x")
-    ).collect()[0]["x"]
-    assert r == "|aa|a|"
-    assert duckdb.sql(
-        "select replace('|a|a|a|','|a|a|','|aa|')").fetchone()[0] == r
+
+    def enc(syms):
+        return "||" + "||".join(syms) + "||"
+
+    def greedy(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    cases = [
+        (list("aaa"), "a", "a"),        # odd same-symbol run
+        (list("aaaa"), "a", "a"),       # even
+        (list("aaaaa"), "a", "a"),      # run of 5 (fixpoint-replace trap)
+        (list("banana"), "a", "n"),     # the ADVICE r11 counterexample
+        (list("ababab"), "a", "b"),     # alternating, all mergeable
+        (["x", "an", "an", "x"], "an", "an"),  # multi-char symbols
+    ]
+    for syms, a, b in cases:
+        pat = f"|{a}||{b}|"
+        rep = f"|{a}{b}|"
+        want = enc(greedy(syms, a, b))
+        got = spark.createDataFrame([(enc(syms),)], "w string").select(
+            F.replace("w", F.lit(pat), F.lit(rep)).alias("x")
+        ).collect()[0]["x"]
+        assert got == want, (syms, a, b, got, want)
+        assert duckdb.sql(
+            "select replace(?, ?, ?)", params=[enc(syms), pat, rep]
+        ).fetchone()[0] == want, (syms, a, b)
