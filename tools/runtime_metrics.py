@@ -10,14 +10,17 @@ Output: one JSON line per query:
    "input_mb": x, "shuffle_write_mb": x}
 
 Usage: python tools/runtime_metrics.py [sf_dir] [query ...]
-       python tools/runtime_metrics.py --sync [snapshot.jsonl]
+       python tools/runtime_metrics.py --sync [snapshot.jsonl] [query ...]
+       python tools/runtime_metrics.py --sync --all
 
 --sync (VERDICT r10 item 8 — the snapshot went 2 queries stale twice)
-keeps METRICS_sf001.jsonl aligned with the live registry: runs ONLY the
-queries missing from the snapshot, drops lines for queries no longer
-registered, rewrites the file in registry order, and exits non-zero if
-the final line count != len(queries()) or any run errored. round_end.py
-calls this every round, so the snapshot structurally cannot go stale.
+keeps METRICS_sf001.jsonl aligned with the live registry: runs the
+queries missing from the snapshot PLUS any explicitly named ones
+(ADVICE r11: name every query whose plan you changed, or --all to
+refresh everything), drops lines for queries no longer registered,
+rewrites the file in registry order, and exits non-zero if the final
+line count != len(queries()) or any run errored. round_end.py calls
+this every round, so the snapshot structurally cannot go stale.
 """
 
 from __future__ import annotations
@@ -44,8 +47,17 @@ def main() -> None:
 
     argv = sys.argv[1:]
     sync_path = None
+    forced: set[str] = set()
     if argv and argv[0] == "--sync":
-        sync_path = argv[1] if len(argv) > 1 else SNAPSHOT_DEFAULT
+        argv = argv[1:]
+        sync_path = SNAPSHOT_DEFAULT
+        if argv and (os.sep in argv[0] or argv[0].endswith(".jsonl")):
+            sync_path = argv[0]
+            argv = argv[1:]
+        # ADVICE r11: --sync only reran MISSING queries, so lines for
+        # queries whose PLANS changed silently stayed stale. Trailing
+        # query names (or --all) force-refresh their snapshot lines.
+        forced = set(argv) - {"--all"}
         argv = []
 
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -59,12 +71,20 @@ def main() -> None:
                 for ln in f:
                     if ln.strip():
                         existing[json.loads(ln)["query"]] = ln.strip()
+        if "--all" in sys.argv:
+            forced = set(registry)
+        unknown = forced - set(registry)
+        if unknown:
+            print(f"sync: unknown queries {sorted(unknown)}",
+                  file=sys.stderr)
+            sys.exit(2)
         missing = [q for q in registry if q not in existing]
         dropped = [q for q in existing if q not in set(registry)]
         print(f"sync: registry={len(registry)} snapshot={len(existing)} "
-              f"missing={missing} dropped={dropped}", file=sys.stderr)
-        only = set(missing)
-        if not missing:
+              f"missing={missing} dropped={dropped} "
+              f"forced={sorted(forced)}", file=sys.stderr)
+        only = set(missing) | forced
+        if not only:
             with open(sync_path, "w") as f:
                 for q in registry:
                     f.write(existing[q] + "\n")
