@@ -115,6 +115,39 @@ def subword_count_udf():
     return _count
 
 
+# Train-family tokenization, ASCII contract on BOTH engines (same
+# rationale as subword_count_text's note above; additionally Java '\s'
+# includes \v while RE2 '\s' does not, so even "ASCII \s" diverges
+# between engines — the explicit class is the only portable spelling).
+_WS_CLASS_JAVA = "[ \\\\t\\\\n\\\\r\\\\f\\\\u000b]+"
+_WS_CLASS_RE2 = "[ \\t\\n\\r\\f\\v]+"
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _word_frequencies(docs, text_col: str):
+    """Distributed (word, n) frequency table — ASCII lower + split."""
+    from pyspark.sql import functions as F
+    toks = F.expr(
+        f"filter(split(translate({text_col}, '{_UPPER}', '{_LOWER}'), "
+        f"'{_WS_CLASS_JAVA}'), x -> x <> '')")
+    return (docs.select(F.explode(toks).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+
+
+def words_sql(doc_source: str = "documents",
+              text_col: str = "text") -> str:
+    """DuckDB twin of `_word_frequencies` (one CTE body, no WITH)."""
+    return f"""
+      words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT unnest(list_filter(string_split_regex(
+                   translate({text_col}, '{_UPPER}', '{_LOWER}'),
+                   '{_WS_CLASS_RE2}'), x -> x <> '')) AS word
+          FROM {doc_source})
+        GROUP BY word)"""
+
+
 def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
     """Distributed BPE merge TRAINING — learn the top-k merges from the
     corpus itself (the train half of the subword story; the fixed-vocab
@@ -145,13 +178,22 @@ def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
     partial aggregation. Output: (iter, pair, new_symbol, pair_count),
     k rows, ties broken by pair string — deterministic on any engine.
     """
+    tops, _ = _train_loop(docs, k, text_col, need_final=False)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _train_loop(docs, k: int, text_col: str, need_final: bool):
+    """Shared k-iteration training pipeline. Returns (tops, cur): the
+    per-iteration 1-row winner frames and — when `need_final` — the
+    word table with ALL k merges applied (else the k-th merge is
+    skipped: the merges output doesn't need it)."""
     from pyspark.sql import functions as F
     from lswms_forage_etl_spark.operators.dedup import _ckpt_tracked
 
-    toks = F.expr(
-        f"filter(split(lower(trim({text_col})), '\\\\s+'), x -> x <> '')")
-    words = (docs.select(F.explode(toks).alias("word"))
-             .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    words = _word_frequencies(docs, text_col)
     # STAGE the word table and every iteration state (round-11 audit
     # catch): un-staged, each iteration's cur feeds TWO consumers (the
     # pair count and the next merge) and the whole prefix re-derives
@@ -191,7 +233,7 @@ def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
                     F.col("cnt").cast("long").alias("pair_count")),
             eager=True)
         tops.append(top)
-        if it < k:
+        if it < k or need_final:
             # match '|a||b|' (one '|' borrowed from each flanking '||'),
             # emit '|ab|' — the outer retained '|'s restore the '||'
             cur = _ckpt_tracked(
@@ -206,25 +248,22 @@ def bpe_train_merges(docs, k: int = 6, text_col: str = "text"):
                              F.replace("_mp", F.lit("|"), F.lit("")),
                              F.lit("|"))).alias("w"),
                     "n"))
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionByName(t)
-    return out
+    return tops, cur
 
 
 def bpe_train_sql(k: int = 6, doc_source: str = "documents",
                   text_col: str = "text") -> str:
     """DuckDB twin of `bpe_train_merges` — the k iterations unrolled as
     a CTE chain (pair count -> LIMIT 1 argmax -> replace), sharing the
-    separator-string merge convention byte for byte."""
+    separator-string merge convention byte for byte. Every w{it} is
+    MATERIALIZED: each is referenced twice (next pair count + next
+    merge), and DuckDB inlines multiply-referenced CTEs by default, so
+    an un-materialized chain re-expands the whole prefix per reference
+    — exponential (2^k parquet scans; k=32 died on open file handles
+    before it died on time)."""
     ctes = [f"""
-      words AS (
-        SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
-          SELECT unnest(list_filter(string_split_regex(
-                   lower(trim({text_col})), '\\s+'), x -> x <> '')) AS word
-          FROM {doc_source})
-        GROUP BY word),
-      w0 AS (
+      {words_sql(doc_source, text_col)},
+      w0 AS MATERIALIZED (
         SELECT '||' || array_to_string(list_transform(
                  range(1, length(word) + 1), i -> word[i]), '||') || '||'
                  AS w, n
@@ -232,7 +271,7 @@ def bpe_train_sql(k: int = 6, doc_source: str = "documents",
     for it in range(1, k + 1):
         prev = f"w{it - 1}"
         ctes.append(f"""
-      p{it} AS (
+      p{it} AS MATERIALIZED (
         SELECT pair, sum(n) AS cnt FROM (
           SELECT unnest(CASE WHEN len(s) >= 2 THEN
                    list_transform(range(1, len(s)),
@@ -244,7 +283,7 @@ def bpe_train_sql(k: int = 6, doc_source: str = "documents",
         GROUP BY pair),
       t{it} AS (SELECT pair, cnt FROM p{it}
                 ORDER BY cnt DESC, pair LIMIT 1),
-      w{it} AS (
+      w{it} AS MATERIALIZED (
         SELECT replace(w, '|' || replace(t.pair, '|', '||') || '|',
                        '|' || replace(t.pair, '|', '') || '|') AS w, n
         FROM {prev}, t{it} t)""")
@@ -253,6 +292,208 @@ def bpe_train_sql(k: int = 6, doc_source: str = "documents",
         f"CAST(cnt AS BIGINT) AS pair_count FROM t{it}"
         for it in range(1, k + 1))
     return "WITH " + ",".join(ctes) + f"\n        {finals}"
+
+
+def _greedy_merge(syms: list, a: str, b: str) -> list:
+    """One positional greedy left-to-right merge of (a, b) — the same
+    contract as the double-separator replace (and the oracle)."""
+    out, i, n, ab = [], 0, len(syms), a + b
+    while i < n:
+        if syms[i] == a and i + 1 < n and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_word_frequencies(docs, text_col: str = "text",
+                         max_words: int = 1 << 20):
+    """Bounded word-frequency collect for driver-side training (VERDICT
+    r11 item 1). The distinct-word table is vocabulary-bound, not
+    corpus-bound, but on web-scale text the long tail (URLs, typos,
+    hashes) is unbounded — so collect the deterministic top `max_words`
+    by (n DESC, word ASC), the `models/gwr.py` bounded-sample
+    precedent. Spark plans orderBy().limit(n) as TakeOrderedAndProject
+    (per-partition top-n, no global sort shuffle). At the default cap
+    (~1M words) the collect is tens of MB; rare-tail words it drops
+    cannot win a merge ahead of the retained mass for any realistic
+    Zipf corpus, and at gate scale the cap never binds (the fixture
+    asserts that), so capped and uncapped training agree.
+
+    Returns list[(word, n)] sorted by (n DESC, word ASC).
+    """
+    from pyspark.sql import functions as F
+    rows = (_word_frequencies(docs, text_col)
+            .orderBy(F.col("n").desc(), "word")
+            .limit(int(max_words)).collect())
+    return [(r["word"], r["n"]) for r in rows]
+
+
+def bpe_train_driver_merges(freqs, k: int):
+    """Sennrich BPE merge loop over a collected (word, n) frequency
+    table — the k >= 1024 path (VERDICT r11 item 1). The distributed
+    `bpe_train_merges` chains one staged Spark plan per iteration,
+    which is the right shape for small k but structurally impossible at
+    a real tokenizer's 30k merges (30k chained jobs); since the
+    frequency table is vocabulary-bound, the loop itself is
+    driver-sized. Same convention as the distributed plan and oracle,
+    exactly: pair counts are positional-adjacency multiplicities
+    weighted by word frequency, the winner maximizes (count, -pair)
+    (pair string 'a|b' ascending on ties), and the merge is positional
+    greedy left-to-right. Incremental bookkeeping: only words
+    containing the winning pair are touched per iteration, and the
+    winner comes off a lazy-invalidation heap, so each iteration costs
+    O(touched words) not O(vocabulary).
+
+    Returns list[(iter, pair, new_symbol, pair_count)] with at most k
+    rows (fewer iff the pair space exhausts first).
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    words = [list(w) for w, _ in freqs]
+    ns = [n for _, n in freqs]
+    pair_counts: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for wi, syms in enumerate(words):
+        f = ns[wi]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += f
+            pair_words[p].add(wi)
+    heap = [(-c, a + "|" + b, (a, b))
+            for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+    out = []
+    for it in range(1, k + 1):
+        best = None
+        while heap:
+            negc, ps, p = heap[0]
+            cur = pair_counts.get(p, 0)
+            if cur == -negc and cur > 0:
+                best = (p, cur, ps)
+                break
+            heapq.heappop(heap)  # stale or dead entry
+        if best is None:
+            break
+        (a, b), cnt, ps = best
+        out.append((it, ps, a + b, cnt))
+        touched = pair_words.pop((a, b), set())
+        for wi in touched:
+            syms = words[wi]
+            f = ns[wi]
+            old = Counter(zip(syms, syms[1:]))
+            if old.get((a, b), 0) == 0:
+                continue  # lazy membership: pair already merged away
+            new_syms = _greedy_merge(syms, a, b)
+            new = Counter(zip(new_syms, new_syms[1:]))
+            for p in set(old) | set(new):
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    pair_counts[p] += d * f
+                    if pair_counts[p] <= 0:
+                        pair_counts.pop(p, None)
+                    else:
+                        heapq.heappush(
+                            heap,
+                            (-pair_counts[p],
+                             p[0] + "|" + p[1], p))
+                if new.get(p, 0):
+                    pair_words[p].add(wi)
+            words[wi] = new_syms
+        pair_counts.pop((a, b), None)
+    return out
+
+
+def bpe_train_scaled(spark, docs, k: int = 1024, text_col: str = "text",
+                     max_words: int = 1 << 20):
+    """Distributed frequency build -> driver merge loop -> merges as a
+    DataFrame (same schema as `bpe_train_merges`, so any k-prefix
+    hash-matches the distributed/oracle output)."""
+    merges = bpe_train_driver_merges(
+        bpe_word_frequencies(docs, text_col, max_words), k)
+    return spark.createDataFrame(
+        merges,
+        "iter int, pair string, new_symbol string, pair_count long")
+
+
+def bpe_encode_count_udf(merges):
+    """Arrow-batched token counter under LEARNED ranked merges: encode
+    each word by repeatedly merging its lowest-rank adjacent pair
+    (positional greedy per step) — the standard BPE encode, equal to
+    replaying the merges in training order. `merges` is the
+    (iter, pair, new_symbol, pair_count) list from either trainer; the
+    rank dict rides to executors inside the serialized UDF (broadcast
+    by value — it is vocabulary-bound). Distinct words are memoized per
+    Arrow batch, so the per-word loop amortizes to ~once per distinct
+    word per partition."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m[1].split("|")): m[0] for m in merges}
+
+    def encode_len(word: str, cache: dict) -> int:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        while len(syms) >= 2:
+            best, br = None, None
+            for p in zip(syms, syms[1:]):
+                r = ranks.get(p)
+                if r is not None and (br is None or r < br):
+                    best, br = p, r
+            if best is None:
+                break
+            syms = _greedy_merge(syms, best[0], best[1])
+        cache[word] = len(syms)
+        return len(syms)
+
+    @pandas_udf("long")
+    def _count(col):
+        cache: dict = {}
+
+        def doc_tokens(text):
+            if text is None:
+                return 0
+            return sum(
+                encode_len(w, cache)
+                for w in _ASCII_WS.split(text.translate(_ASCII_LOWER))
+                if w)
+
+        return col.map(doc_tokens).astype("int64")
+
+    return _count
+
+
+def bpe_encoded_words(docs, k: int = 6, text_col: str = "text"):
+    """Distributed ENCODE grading surface: train k merges in-plan (the
+    staged `bpe_train_merges` pipeline) and return the final word table
+    (word, n, n_tokens) — i.e. what the corpus tokenizes to under the
+    learned vocab. Pure JVM string algebra end to end; the oracle
+    (`bpe_encoded_sql`) reads the same state from its w{k} CTE."""
+    from pyspark.sql import functions as F
+    _, final = _train_loop(docs, k, text_col, need_final=True)
+    return final.select(
+        F.replace("w", F.lit("|"), F.lit("")).alias("word"),
+        F.col("n").cast("long").alias("n"),
+        F.expr("size(filter(split(w, '\\\\|'), x -> x <> ''))")
+        .cast("long").alias("n_tokens"))
+
+
+def bpe_encoded_sql(k: int = 6, doc_source: str = "documents",
+                    text_col: str = "text") -> str:
+    """DuckDB twin of `bpe_encoded_words`: the same training CTE chain,
+    read out at the final word table w{k} instead of the winner rows."""
+    train = bpe_train_sql(k, doc_source, text_col)
+    ctes = train[len("WITH "):train.index("\n        SELECT 1 AS iter")]
+    return (f"WITH {ctes}\n"
+            f"        SELECT replace(w, '|', '') AS word,\n"
+            f"               CAST(n AS BIGINT) AS n,\n"
+            f"               CAST(len(list_filter(string_split(w, '|'),"
+            f" x -> x <> '')) AS BIGINT) AS n_tokens\n"
+            f"        FROM w{k}")
 
 
 def vocab_sql_list() -> str:

@@ -207,3 +207,102 @@ def test_bpe_merge_replace_greedy_overlap(spark):
         assert duckdb.sql(
             "select replace(?, ?, ?)", params=[enc(syms), pat, rep]
         ).fetchone()[0] == want, (syms, a, b)
+
+
+def _fixture_docs(spark):
+    rows = [(1, "the theme there then aaa aaab"),
+            (2, "that the thin theme aaa"),
+            (3, "other ether the banana bananas"),
+            (4, "banana banana banana banana nan"),
+            (5, "ababab ababab ababab abab")]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_train_scaled_prefix_matches_distributed(spark):
+    """The driver-side Sennrich loop shares the distributed plan's
+    exact count/tie-break/greedy-merge convention: any k-prefix of the
+    scaled trainer equals the distributed trainer's output."""
+    from lswms_forage_etl_spark.functions.bpe import (
+        bpe_train_merges, bpe_train_scaled)
+    _, docs = _fixture_docs(spark)
+    dist = sorted(tuple(r) for r in bpe_train_merges(docs, k=5).collect())
+    drv = sorted(tuple(r)
+                 for r in bpe_train_scaled(spark, docs, k=5).collect())
+    assert drv == dist
+
+
+def test_bpe_driver_incremental_matches_naive_recount(spark):
+    """The lazy-invalidation heap + touched-words bookkeeping equals a
+    naive full-recount reference, merge for merge, all the way to pair
+    exhaustion (every word fully merged)."""
+    from collections import Counter
+    from lswms_forage_etl_spark.functions.bpe import (
+        bpe_train_driver_merges, bpe_word_frequencies)
+    _, docs = _fixture_docs(spark)
+    freqs = bpe_word_frequencies(docs)
+    fast = bpe_train_driver_merges(freqs, 10_000)
+
+    words = [list(w) for w, _ in freqs]
+    ns = [n for _, n in freqs]
+    ref = []
+    it = 0
+    while True:
+        pc = Counter()
+        for s, f in zip(words, ns):
+            for p in zip(s, s[1:]):
+                pc[p] += f
+        if not pc:
+            break
+        it += 1
+        (a, b), c = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + "|" + kv[0][1]))[0]
+        ref.append((it, a + "|" + b, a + b, c))
+        for i, s in enumerate(words):
+            out, j = [], 0
+            while j < len(s):
+                if s[j] == a and j + 1 < len(s) and s[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            words[i] = out
+    assert fast == ref
+    assert len(fast) > 20  # ran well past the graded k
+
+
+def test_bpe_encoded_words_matches_oracle_and_encode_udf(spark):
+    """The in-plan encode state (word, n, n_tokens) hash-matches the
+    w{k} CTE oracle, and the Arrow rank-priority encode UDF reproduces
+    the same token counts when given the learned merges."""
+    from lswms_forage_etl_spark.functions.bpe import (
+        bpe_encode_count_udf, bpe_encoded_sql, bpe_encoded_words,
+        bpe_train_merges)
+    rows, docs = _fixture_docs(spark)
+    enc = sorted(tuple(r)
+                 for r in bpe_encoded_words(docs, k=5).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    assert enc == sorted(con.execute(bpe_encoded_sql(k=5)).fetchall())
+    # rank-priority per-word encode == the training loop's final state:
+    # feed each distinct word through the UDF as a 1-word document
+    merges = [tuple(r) for r in bpe_train_merges(docs, k=5).collect()]
+    c = bpe_encode_count_udf(merges)
+    wdf = spark.createDataFrame([(w,) for w, _, _ in enc], "word string")
+    got = {r["word"]: r["n_tok"]
+           for r in wdf.select("word", c(F.col("word")).alias("n_tok"))
+           .collect()}
+    assert got == {w: nt for w, _, nt in enc}
+
+
+def test_bpe_word_frequency_cap_is_deterministic(spark):
+    """The bounded collect is (n DESC, word ASC)-deterministic and the
+    cap never binds at fixture/gate scale."""
+    from lswms_forage_etl_spark.functions.bpe import bpe_word_frequencies
+    _, docs = _fixture_docs(spark)
+    full = bpe_word_frequencies(docs)
+    assert full == bpe_word_frequencies(docs)  # stable across runs
+    assert full == sorted(full, key=lambda t: (-t[1], t[0]))
+    top3 = bpe_word_frequencies(docs, max_words=3)
+    assert top3 == full[:3]

@@ -86,6 +86,14 @@ QUERIES = [
     # forced row gives the 1x/10x slope of the frontier loop itself
     "textrank_dist",
     "bfs_dist",
+    # round-12 operators: the scaled BPE trainer (VERDICT r11 item 1).
+    # The graded k=32 form, plus the k=1024 capability row — the block
+    # prefixes are KEPT here (unlike textrank) because prefixed word
+    # variants are exactly what grows the vocabulary the driver loop
+    # must chew through (31 words at 1x -> 3100 at 100x).
+    "corpus_bpe_train_scaled",
+    "corpus_bpe_encode",
+    "bpe_train_k1024",
 ]
 
 
@@ -121,6 +129,16 @@ def make_bfs_dist(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = adjacent_token_pairs(docs).distinct()
     return bfs_hops(pairs, "join", max_hops=10, driver_gate_edges=0)
+
+
+def make_bpe_k1024(spark, sf_dir):
+    """bpe_train_scaled at a real merge count: distributed frequency
+    build + driver-side Sennrich loop at k=1024 (the loop stops early
+    iff the pair space exhausts — at 1x the 31-word vocab does; the
+    100x slice's 3100 block-variant words sustain it)."""
+    from lswms_forage_etl_spark.functions.bpe import bpe_train_scaled
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train_scaled(spark, docs, k=1024)
 
 
 def make_embedding_query(n_vecs: int):
@@ -170,6 +188,7 @@ def main() -> None:
     qs = entrymod.queries()
     qs["textrank_dist"] = make_textrank_dist
     qs["bfs_dist"] = make_bfs_dist
+    qs["bpe_train_k1024"] = make_bpe_k1024
     names = [n for n in QUERIES if only is None or n in only]
     for name in names:  # warm codegen/JIT at the small sf
         try:
