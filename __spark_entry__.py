@@ -1991,10 +1991,34 @@ def q_mm_decode_png(spark, sf):
     The oracle replays the raster arithmetic from the source text
     bytes (hex-decode), so any defect across deflate -> inflate ->
     unfilter -> header parse hash-mismatches. Closes the PNG half of
-    the VERDICT r9 decode seam; JPEG remains the documented raise."""
+    the VERDICT r9 decode seam; JPEG decodes for real too since round
+    12 (`q_mm_decode_jpeg`)."""
     from lswms_forage_etl_spark.operators.multimodal import (
         decode_media, synth_png_media)
     out = decode_media(synth_png_media(_t(spark, sf, "documents")),
+                       fake=False)
+    return out.select(
+        "media_id", "decoded_width", "decoded_height",
+        pround(F.col("mean_intensity"), 9).alias("mean_intensity"))
+
+
+def q_mm_decode_jpeg(spark, sf):
+    """REAL lossy-format decode end-to-end (VERDICT r11 missing #2):
+    each document's first 2*nb text bytes (evened: & 0xFE) become the
+    constant 8x8 block values of a (16, 8*nb) greyscale baseline JPEG
+    built by the twin encoder (Annex-K tables, quality 50), then the
+    Arrow stage runs the REAL baseline decoder — marker walk, DHT
+    canonical codes, DC-diff/EOB Huffman decode, dequant, IDCT, clip.
+    Constant even-valued blocks at quality 50 decode exactly lossless
+    (DC step 16 = 2 pixel levels; only DC is nonzero), so the oracle
+    replays the decoded raster from the same text bytes with zero
+    float boundaries — any defect across encode -> entropy -> IDCT
+    hash-mismatches. Progressive/arithmetic remain documented raises;
+    RGB, 4:2:0, restart markers, and padding are pinned by pytest
+    (lossy paths can't hash against SQL)."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_media, synth_jpeg_media)
+    out = decode_media(synth_jpeg_media(_t(spark, sf, "documents")),
                        fake=False)
     return out.select(
         "media_id", "decoded_width", "decoded_height",
@@ -2910,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-12 additions
         "corpus_bpe_train_scaled": q_corpus_bpe_train_scaled,
         "corpus_bpe_encode": q_corpus_bpe_encode,
+        "mm_decode_jpeg": q_mm_decode_jpeg,
     }
 
 
@@ -4870,6 +4895,31 @@ def oracle_sql() -> dict[str, str]:
                  AS decoded_height,
                {_pr("avg(byte)", 9)} AS mean_intensity
         FROM b GROUP BY media_id, w
+    """
+
+    # real JPEG decode: constant even-valued 8x8 blocks at quality 50
+    # round-trip exactly (DC step 16 = pixel granularity 2), so the
+    # oracle replays the decoded raster straight from the source text
+    # bytes (hex-decode, even-ing). The mean divides the SAME two
+    # integers the Arrow stage divides (64*sum / 128*nb) so the IEEE
+    # quotients are bit-identical before pround.
+    sql["mm_decode_jpeg"] = f"""
+        WITH m AS (SELECT doc_id AS media_id,
+                          CAST(doc_id % 8 + 4 AS INT) AS nb,
+                          hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        f AS (SELECT * FROM m WHERE n >= 2 * nb),
+        b AS (SELECT media_id, nb,
+                     ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT
+                       AS byte
+              FROM f, (SELECT unnest(range(0, 22)) AS j) r
+              WHERE j < 2 * nb)
+        SELECT media_id, CAST(8 * nb AS INT) AS decoded_width,
+               CAST(16 AS INT) AS decoded_height,
+               {_pr("CAST(64 * sum(byte - byte % 2) AS DOUBLE)"
+                    " / CAST(128 * nb AS DOUBLE)", 9)} AS mean_intensity
+        FROM b GROUP BY media_id, nb
     """
 
     # real WAV decode: the Spark side chunk-walks + fmt-parses an actual

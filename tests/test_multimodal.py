@@ -158,9 +158,14 @@ def test_bmp_roundtrip_8bit():
 def test_decode_dispatch_gates():
     from lswms_forage_etl_spark.operators.multimodal import (
         decode_image_bytes, encode_bmp)
-    # JPEG magic has no kernel — the documented dispatch seam
-    with pytest.raises(NotImplementedError, match="unsupported image magic"):
+    # JPEG magic routes to the baseline kernel (round 12); a truncated
+    # garbage stream is a malformed-JPEG error, not an unsupported
+    # format — in-kernel gates (progressive etc.) live in test_jpeg.py
+    with pytest.raises(ValueError, match="expected marker"):
         decode_image_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    # a truly unknown magic still hits the dispatch seam
+    with pytest.raises(NotImplementedError, match="unsupported image magic"):
+        decode_image_bytes(b"GIF89a" + b"\x00" * 16)
     # PNG magic now routes to the PNG kernel; a header-less stream is a
     # malformed-PNG error, not an unsupported format
     with pytest.raises(ValueError, match="no IHDR"):

@@ -94,6 +94,7 @@ QUERIES = [
     "corpus_bpe_train_scaled",
     "corpus_bpe_encode",
     "bpe_train_k1024",
+    "mm_decode_jpeg",
 ]
 
 
