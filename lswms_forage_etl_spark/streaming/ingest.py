@@ -217,10 +217,30 @@ def _swap_table(spark: SparkSession, table: str, merged: DataFrame) -> None:
     fs.delete(hpath(bak), True)
 
 
+def _ensure_bloom(spark: SparkSession, known_fp_table: str,
+                  bloom_table: str, m_bits: int, k: int) -> None:
+    """Build the index's Bloom filter table iff it does not exist yet
+    (one-time O(index) — from then on the topology maintains it
+    incrementally per batch). The filter must be a SUPERSET of the fp
+    index at all times (false positives cost an exact re-check; a
+    false negative would admit a duplicate), which the batch ordering
+    in `_gate_and_land` preserves."""
+    from lswms_forage_etl_spark.operators.dedup import bloom_filter_table
+    fs, hpath = _index_fs(spark, bloom_table)
+    if fs.exists(hpath(bloom_table)):
+        return
+    bloom_filter_table(spark.read.parquet(known_fp_table).select("fp"),
+                       "fp", m_bits, k) \
+        .write.mode("overwrite").parquet(bloom_table)
+
+
 def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
                    sig_index_table: str | None, out_dir: str,
                    near_dup_threshold: float = 0.5,
-                   num_hashes: int = 16, bands: int = 8) -> None:
+                   num_hashes: int = 16, bands: int = 8,
+                   bloom_table: str | None = None,
+                   bloom_m_bits: int = 1 << 20,
+                   bloom_k: int = 5) -> None:
     """The ingest micro-batch body (runs inside foreachBatch):
     exact-gate the batch against the CURRENT fp index, probe the
     remainder against the signature index (when `sig_index_table` is
@@ -240,22 +260,57 @@ def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
     _spark_metadata log out from under a reused checkpoint, crashing
     the second run; VERDICT r8 item 1).
 
+    With `bloom_table` set (VERDICT r11 item 4 — SCALE.md's ingest
+    ladder names the per-batch index anti-join as the only term that
+    grows with the corpus), the exact gate is Bloom-fronted: the batch
+    probes the broadcastable (word_idx, bits) filter first, and only
+    the maybe-present candidates touch the fp index — via a BROADCAST
+    semi join (index scan, zero index shuffle; the plain anti-join
+    sort-merge-shuffles the whole index per batch once it outgrows the
+    broadcast threshold). Bloom misses are definitely-new (no false
+    negatives) and skip the index entirely; a batch with zero
+    candidates never reads it at all. The filter is maintained
+    incrementally: the survivors' bits bit_or-merge into the table per
+    batch (O(filter) ~ tens of MB at a billion keys, swapped
+    atomically), and `_ensure_bloom` bootstraps it from an existing
+    index once.
+
     Crash windows (documented, not transactional): foreachBatch commits
     the checkpoint AFTER this body returns, so a crash anywhere inside
     replays the whole batch next run — the exact re-gate then drops
     every doc whose fp already reached the index. Ordering is
-    corpus-append -> fp append -> sig append: a crash between the
-    corpus append and the fp append re-admits that batch's docs on
-    replay (duplicate rows in the corpus — at-least-once, the same
-    window the exact-only path has). The reverse order would instead
-    LOSE the batch (fps indexed, docs never landed), so corpus-first
-    is the correct side of the trade."""
+    corpus-append -> BLOOM merge -> fp append -> sig append: a crash
+    between the corpus append and the fp append re-admits that batch's
+    docs on replay (duplicate rows in the corpus — at-least-once, the
+    same window the exact-only path has). The bloom merge must precede
+    the fp append: a crash between them leaves extra bits (false
+    positives, harmless — the exact verify rejects them); the reverse
+    order could leave indexed fps missing from the filter — a false
+    negative that would silently re-admit that text forever. And the
+    reverse corpus/fp order would LOSE the batch (fps indexed, docs
+    never landed), so corpus-first is the correct side of the trade."""
     if not batch_df.head(1):
         return
     spark = batch_df.sparkSession
-    known = spark.read.parquet(known_fp_table).select("fp")
-    fresh = (batch_df.withColumn("fp", fingerprint("text"))
-             .join(known, "fp", "left_anti"))
+    batch_fp = batch_df.withColumn("fp", fingerprint("text"))
+    if bloom_table is not None:
+        from lswms_forage_etl_spark.operators.dedup import (
+            bloom_might_contain)
+        ftbl = spark.read.parquet(bloom_table)
+        cand_fps = bloom_might_contain(
+            batch_fp.select("fp").distinct(), ftbl, "fp",
+            bloom_m_bits, bloom_k)
+        if cand_fps.head(1):
+            known = spark.read.parquet(known_fp_table).select("fp")
+            dup_fps = known.join(F.broadcast(cand_fps), "fp",
+                                 "left_semi")
+            fresh = batch_fp.join(F.broadcast(dup_fps), "fp",
+                                  "left_anti")
+        else:
+            fresh = batch_fp        # whole batch definitely new
+    else:
+        known = spark.read.parquet(known_fp_table).select("fp")
+        fresh = batch_fp.join(known, "fp", "left_anti")
     # ONE materialization, lineage TRUNCATED (localCheckpoint, not
     # persist): the index appends below write to paths this plan
     # READS, and an append to a read path makes CacheManager
@@ -281,6 +336,15 @@ def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
         return
     (survivors.drop("fp").write.mode("append")
      .partitionBy("lang").parquet(out_dir))
+    if bloom_table is not None:
+        from lswms_forage_etl_spark.operators.dedup import (
+            bloom_filter_table)
+        new_bits = bloom_filter_table(survivors.select("fp"), "fp",
+                                      bloom_m_bits, bloom_k)
+        merged = (spark.read.parquet(bloom_table).unionByName(new_bits)
+                  .groupBy("word_idx")
+                  .agg(F.bit_or("bits").alias("bits")))
+        _swap_table(spark, bloom_table, merged)
     survivors.select("fp").write.mode("append").parquet(known_fp_table)
     if sig_index_table is not None:
         from lswms_forage_etl_spark.operators.dedup import (
@@ -296,6 +360,8 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
                     sig_index_table: str | None = None,
                     near_dup_threshold: float = 0.5,
                     num_hashes: int = 16, bands: int = 8,
+                    bloom_table: str | None = None,
+                    bloom_m_bits: int = 1 << 20, bloom_k: int = 5,
                     **kwargs) -> None:
     """One availableNow pass: process every currently-visible file,
     append survivors to the corpus, and keep the fingerprint index
@@ -320,10 +386,19 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
     ingest instead of passing the exact-fp gate. The appends accrue
     one file set per batch; `compact_index` is the maintenance op.
 
+    With `bloom_table` set the exact gate is Bloom-fronted (see
+    `_gate_and_land`); the filter is bootstrapped from the current
+    index on first use and recovered from a crashed swap like the
+    other index tables.
+
     Crash-window semantics are documented on `_gate_and_land`."""
     recover_index(spark, known_fp_table)
     if sig_index_table is not None:
         recover_index(spark, sig_index_table)
+    if bloom_table is not None:
+        recover_index(spark, bloom_table)
+        _ensure_bloom(spark, known_fp_table, bloom_table,
+                      bloom_m_bits, bloom_k)
     # known_fp_table=None: the exact gate lives in the batch body (a
     # plan-time stream-static anti-join would pin a file listing that
     # the in-run index appends invalidate)
@@ -332,7 +407,9 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         _gate_and_land(batch_df, known_fp_table, sig_index_table,
                        out_dir, near_dup_threshold=near_dup_threshold,
-                       num_hashes=num_hashes, bands=bands)
+                       num_hashes=num_hashes, bands=bands,
+                       bloom_table=bloom_table,
+                       bloom_m_bits=bloom_m_bits, bloom_k=bloom_k)
 
     q = (out.writeStream
          .foreachBatch(gate)

@@ -258,3 +258,85 @@ def test_compact_index_and_crash_recovery(spark, tmp_path):
     assert {r["fp"] for r in spark.read.parquet(idx).collect()} == before
     # normal case: live exists -> recovery is a no-op
     assert recover_index(spark, idx) is False
+
+
+def test_ingest_bloom_front_equivalent_to_plain(spark, tmp_path):
+    """VERDICT r11 item 4: the Bloom-fronted exact gate is a PRUNING
+    layer, never a semantics layer — over identical multi-batch inputs
+    (cross-batch dups, in-batch dups, rejects) the bloom topology lands
+    the identical corpus and fp index as the plain anti-join, the
+    filter table exists and covers every indexed fingerprint (no false
+    negatives), and a batch of known dups adds nothing."""
+    from pyspark.sql import functions as F
+    from lswms_forage_etl_spark.functions.text import fingerprint
+    from lswms_forage_etl_spark.operators.dedup import bloom_might_contain
+
+    batches = [
+        [(1, GOOD, "en", "s", len(GOOD)), (2, OTHER, "en", "s", len(OTHER)),
+         (3, OTHER, "en", "t", len(OTHER))],
+        [(4, GOOD, "en", "s", len(GOOD)), (5, THIRD, "en", "s", len(THIRD))],
+        [(6, OTHER, "en", "s", len(OTHER)),   # all known -> zero survivors
+         (7, THIRD, "en", "s", len(THIRD))],
+    ]
+    results = {}
+    for mode in ("plain", "bloom"):
+        base = tmp_path / mode
+        inp, out = str(base / "in"), str(base / "corpus")
+        ckpt, idx = str(base / "ckpt"), str(base / "fp_index")
+        bloom = str(base / "bloom") if mode == "bloom" else None
+        spark.createDataFrame([(GOOD,)], "text string") \
+            .select(fingerprint("text").alias("fp")) \
+            .write.mode("overwrite").parquet(idx)
+        for rows in batches:
+            _write_docs(spark, inp, rows)
+            run_ingest_once(spark, inp, idx, out, ckpt,
+                            bloom_table=bloom)
+        results[mode] = (
+            sorted(r["text"] for r in spark.read.parquet(out).collect()),
+            sorted(r["fp"] for r in spark.read.parquet(idx).collect()))
+    assert results["plain"] == results["bloom"]
+    # the maintained filter covers every indexed fp (no false negatives)
+    bloom_dir = tmp_path / "bloom" / "bloom"
+    ftbl = spark.read.parquet(str(bloom_dir))
+    assert ftbl.count() > 0
+    fps = spark.read.parquet(str(tmp_path / "bloom" / "fp_index"))
+    n_fps = fps.count()
+    assert bloom_might_contain(fps, ftbl, "fp").count() == n_fps
+
+
+def test_ingest_bloom_rebuild_and_swap_recovery(spark, tmp_path):
+    """The filter table's rebuild paths: (a) a deleted/absent filter is
+    bootstrapped from the live index on the next run (_ensure_bloom)
+    and still gates correctly; (b) a crash between the swap renames
+    (live missing, .bak present) is healed by recover_index inside
+    run_ingest_once."""
+    import shutil
+    from lswms_forage_etl_spark.functions.text import fingerprint
+
+    inp, out = str(tmp_path / "in"), str(tmp_path / "corpus")
+    ckpt, idx = str(tmp_path / "ckpt"), str(tmp_path / "fp_index")
+    bloom = str(tmp_path / "bloom")
+    spark.createDataFrame([(GOOD,)], "text string") \
+        .select(fingerprint("text").alias("fp")) \
+        .write.mode("overwrite").parquet(idx)
+    _write_docs(spark, inp, [(1, OTHER, "en", "s", len(OTHER))])
+    run_ingest_once(spark, inp, idx, out, ckpt, bloom_table=bloom)
+    assert spark.read.parquet(out).count() == 1
+
+    # (a) filter lost -> rebuilt from the index; known dups still gate
+    shutil.rmtree(bloom)
+    _write_docs(spark, inp, [(2, OTHER, "en", "s", len(OTHER)),
+                             (3, GOOD, "en", "s", len(GOOD)),
+                             (4, THIRD, "en", "s", len(THIRD))])
+    run_ingest_once(spark, inp, idx, out, ckpt, bloom_table=bloom)
+    texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert texts == sorted([OTHER, THIRD])  # both dups dropped
+
+    # (b) crashed swap: live filter stepped aside, .bak left behind
+    shutil.move(bloom, bloom + ".bak")
+    _write_docs(spark, inp, [(5, THIRD, "en", "s", len(THIRD)),
+                             (6, GOOD + " novel suffix words", "en", "s",
+                              len(GOOD) + 19)])
+    run_ingest_once(spark, inp, idx, out, ckpt, bloom_table=bloom)
+    texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert texts == sorted([OTHER, THIRD, GOOD + " novel suffix words"])

@@ -15,7 +15,10 @@ means run k sees only file k — the nightly-batch shape). Batch walls
 flat-to-slowly-growing across k = the per-batch cost is O(batch) work
 + an index scan, not O(corpus) rewrites.
 
-Usage: python tools/ingest_measure.py [exact|probe|both] [scales...]
+Usage: python tools/ingest_measure.py [exact|probe|bloom|both] [scales...]
+  bloom = exact gate fronted by the maintained Bloom filter table
+  (VERDICT r11 item 4): misses skip the index, candidates reach it via
+  a broadcast semi join (index scan, zero index shuffle).
   scales default: 1x 10x 100x  (probe mode defaults to 1x 10x)
 Output: one JSON line per (mode, scale, batch).
 """
@@ -54,6 +57,7 @@ def measure(spark, mode: str, scale: str, docs_path: str) -> list[dict]:
     ckpt = f"{work}/ckpt"
     idx = f"{work}/fp_index"
     sidx = f"{work}/sig_index" if mode == "probe" else None
+    bloom = f"{work}/bloom" if mode == "bloom" else None
     Path(inp).mkdir(parents=True)
 
     docs = spark.read.parquet(docs_path)
@@ -83,7 +87,7 @@ def measure(spark, mode: str, scale: str, docs_path: str) -> list[dict]:
             shutil.copy(f, f"{inp}/batch{k}_{i}.parquet")
         t0 = time.time()
         run_ingest_once(spark, inp, idx, out, ckpt,
-                        sig_index_table=sidx)
+                        sig_index_table=sidx, bloom_table=bloom)
         wall = time.time() - t0
         rec = {
             "mode": mode, "scale": scale, "batch": k,
@@ -94,6 +98,8 @@ def measure(spark, mode: str, scale: str, docs_path: str) -> list[dict]:
         }
         if sidx:
             rec["sig_index_mb"] = round(_dir_bytes(sidx) / 2**20, 2)
+        if bloom:
+            rec["bloom_mb"] = round(_dir_bytes(bloom) / 2**20, 3)
         rows.append(rec)
         print(json.dumps(rec), flush=True)
     shutil.rmtree(work, ignore_errors=True)
@@ -103,7 +109,8 @@ def measure(spark, mode: str, scale: str, docs_path: str) -> list[dict]:
 def main() -> None:
     from lswms_forage_etl_spark import get_spark
     args = sys.argv[1:]
-    mode = args[0] if args and args[0] in ("exact", "probe", "both") \
+    mode = args[0] if args and args[0] in ("exact", "probe", "bloom",
+                                           "both") \
         else "both"
     scales = [a for a in args[1:] if a in SLICES] or None
     spark = get_spark("ingest-measure")
@@ -112,7 +119,8 @@ def main() -> None:
     for m in modes:
         # the probe path runs minhash over every batch; 100x is the
         # documented heavy row — include it only when asked explicitly
-        default = ["1x", "10x", "100x"] if m == "exact" else ["1x", "10x"]
+        default = ["1x", "10x", "100x"] if m in ("exact", "bloom") \
+            else ["1x", "10x"]
         for s in (scales or default):
             measure(spark, m, s, SLICES[s])
 
