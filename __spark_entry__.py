@@ -2034,14 +2034,32 @@ def q_mm_decode_wav(spark, sf):
     chunk for real. The oracle replays the sample arithmetic from the
     same text bytes (hex-decode, signed 16-bit reconstruction), so a
     chunk-walk, fmt-parse, or byte-order bug hash-mismatches. Closes
-    the audio half of the decode seam (VERDICT r10 missing #3); IEEE-
-    float/extensible WAV remain documented raises."""
+    the audio half of the decode seam (VERDICT r10 missing #3);
+    24-bit/float32/extensible land in `q_mm_decode_wav_ext`."""
     from lswms_forage_etl_spark.operators.multimodal import (
         decode_audio, synth_wav_media)
     out = decode_audio(synth_wav_media(_t(spark, sf, "documents")))
     return out.select(
         "media_id", "sample_rate", "n_channels", "bits_per_sample",
         "n_frames", pround(F.col("mean_amp"), 9).alias("mean_amp"))
+
+
+def q_mm_decode_wav_ext(spark, sf):
+    """Extended audio decode (VERDICT r11 missing #4): even docs land
+    as 24-bit signed-LE integer PCM, odd docs as IEEE-float32 PCM
+    (text bytes reinterpreted as little-endian float32 — normal finite
+    floats for ASCII input), every 5th wrapped in
+    WAVE_FORMAT_EXTENSIBLE so the GUID unwrap runs in the gate. The
+    Arrow stage runs the real extended `_parse_wav`; the amplitude
+    stat is the repo's scaled-integer convention — amp_q = int64 sum
+    of floor(clip(v, ±1e6) * 1e6 + 0.5) — so float samples stay
+    hash-portable: the oracle reconstructs each float32 exactly from
+    its sign/exponent/mantissa bytes (float32 is exact in float64) and
+    replays the identical float64 clip/scale/floor."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_audio_ext, synth_wav_ext_media)
+    return decode_audio_ext(
+        synth_wav_ext_media(_t(spark, sf, "documents")))
 
 
 def q_mm_audio_energy(spark, sf):
@@ -2935,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_train_scaled": q_corpus_bpe_train_scaled,
         "corpus_bpe_encode": q_corpus_bpe_encode,
         "mm_decode_jpeg": q_mm_decode_jpeg,
+        "mm_decode_wav_ext": q_mm_decode_wav_ext,
     }
 
 
@@ -4920,6 +4939,71 @@ def oracle_sql() -> dict[str, str]:
                {_pr("CAST(64 * sum(byte - byte % 2) AS DOUBLE)"
                     " / CAST(128 * nb AS DOUBLE)", 9)} AS mean_intensity
         FROM b GROUP BY media_id, nb
+    """
+
+    # extended WAV decode: 24-bit signed-LE integers reconstructed from
+    # byte triples; float32 reconstructed EXACTLY from sign/exponent/
+    # mantissa bytes (pow(2.0, e-127) and 1 + m/2^23 are exact in
+    # float64, so the product IS the float32 value — verified across
+    # the full ASCII byte space), then the identical float64
+    # clip(±1e6) * 1e6, floor(x+0.5) the Arrow stage computes.
+    sql["mm_decode_wav_ext"] = """
+        WITH m AS (SELECT doc_id AS media_id,
+                          CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 32 END
+                            AS bits,
+                          CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+                            AS ch,
+                          CASE WHEN doc_id % 2 = 0
+                               THEN 20 + (doc_id % 6) * 4
+                               ELSE 16 + (doc_id % 5) * 4 END AS nf,
+                          CAST(8000 * (1 + doc_id % 3) AS INT) AS sr,
+                          hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        f AS (SELECT * FROM m WHERE n >= nf * ch * (bits // 8)),
+        s24 AS (SELECT media_id, sr, ch, bits, nf,
+                       CASE WHEN v >= 8388608 THEN v - 16777216
+                            ELSE v END AS samp
+                FROM (
+                  SELECT media_id, sr, ch, bits, nf,
+                         ('0x' || substr(hx, CAST(6 * j + 1 AS INT), 2))::INT
+                         + 256 *
+                         ('0x' || substr(hx, CAST(6 * j + 3 AS INT), 2))::INT
+                         + 65536 *
+                         ('0x' || substr(hx, CAST(6 * j + 5 AS INT), 2))::INT
+                           AS v
+                  FROM f, (SELECT unnest(range(0, 88)) AS j) r
+                  WHERE bits = 24 AND j < nf * ch)),
+        sf32 AS (SELECT media_id, sr, ch, bits, nf,
+                        CASE WHEN e = 0
+                             THEN sgn * pow(2.0, -126) * (mant / 8388608.0)
+                             ELSE sgn * pow(2.0, e - 127)
+                                  * (1.0 + mant / 8388608.0) END AS samp
+                 FROM (
+                   SELECT media_id, sr, ch, bits, nf,
+                          b0 + 256 * b1 + 65536 * (b2 % 128) AS mant,
+                          (b3 % 128) * 2 + (b2 // 128) AS e,
+                          CASE WHEN b3 >= 128 THEN -1.0 ELSE 1.0 END AS sgn
+                   FROM (
+                     SELECT media_id, sr, ch, bits, nf,
+                            ('0x' || substr(hx, CAST(8 * j + 1 AS INT), 2))::INT AS b0,
+                            ('0x' || substr(hx, CAST(8 * j + 3 AS INT), 2))::INT AS b1,
+                            ('0x' || substr(hx, CAST(8 * j + 5 AS INT), 2))::INT AS b2,
+                            ('0x' || substr(hx, CAST(8 * j + 7 AS INT), 2))::INT AS b3
+                     FROM f, (SELECT unnest(range(0, 64)) AS j) r
+                     WHERE bits = 32 AND j < nf * ch))),
+        allsamp AS (
+          SELECT media_id, sr, ch, bits, nf, CAST(samp AS DOUBLE) AS v
+          FROM s24
+          UNION ALL
+          SELECT media_id, sr, ch, bits, nf, samp AS v FROM sf32)
+        SELECT media_id, sr AS sample_rate, CAST(ch AS INT) AS n_channels,
+               CAST(bits AS INT) AS bits_per_sample,
+               CAST(nf AS INT) AS n_frames,
+               CAST(sum(CAST(floor(
+                 LEAST(1000000.0, GREATEST(-1000000.0, v)) * 1000000.0
+                 + 0.5) AS BIGINT)) AS BIGINT) AS amp_q
+        FROM allsamp GROUP BY media_id, sr, ch, bits, nf
     """
 
     # real WAV decode: the Spark side chunk-walks + fmt-parses an actual

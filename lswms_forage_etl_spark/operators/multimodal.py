@@ -11,9 +11,11 @@ WAV/RIFF kernel (`_parse_wav` — chunk walk with word-align padding,
 8/16-bit integer PCM, mono/stereo) with its twin `encode_wav`. JPEG
 decodes for real as well — the baseline sequential Huffman+IDCT kernel
 in `operators/jpeg.py` (4:4:4/4:2:0, restart intervals, twin encoder);
-progressive/arithmetic JPEG and non-integer-PCM WAV (IEEE float /
-extensible) raise ``NotImplementedError`` at their
-dispatch points — the seams a codec-lib-backed kernel would extend. Everything
+WAV covers 8/16/24-bit integer PCM, IEEE-float32, and
+WAVE_FORMAT_EXTENSIBLE wrapping since round 12. Progressive/arithmetic
+JPEG, A-law/mu-law audio, and float64 PCM raise ``NotImplementedError``
+at their dispatch points — the seams a codec-lib-backed kernel would
+extend. Everything
 Spark-side — schemas, Arrow-batched `mapInPandas` signatures, per-kind
 partitioning, frame explosion — is real and tested.
 
