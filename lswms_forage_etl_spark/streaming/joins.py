@@ -104,3 +104,73 @@ def last_touch_attribution(impressions: DataFrame,
             .select("user_id", F.col("last_imp").alias("imp_id"),
                     F.col("last_imp_ts").alias("imp_ts"),
                     "conv_id", F.col("ets").alias("conv_ts")))
+
+
+def interval_attribution_topk(impressions: DataFrame,
+                              conversions: DataFrame,
+                              k: int = 3,
+                              window_minutes: int = 30,
+                              user_col: str = "user_id") -> DataFrame:
+    """BOUNDED pair attribution (VERDICT r11 item 6): each conversion
+    gets its up-to-k most recent same-user in-window impressions, with
+    a recency rank (1 = last touch) — the whale-safe middle ground
+    between `last_touch_attribution` (k=1 semantics) and the
+    unbounded `interval_attribution_join` (quadratic per user BY
+    SEMANTICS on whale keys: every in-window pair is a row).
+
+    Shape: number the impressions per user (row_number over (ts,
+    event_id)), carry the last impression seq to each conversion with
+    the same merged-timeline window scan last-touch uses, then EXPLODE
+    each conversion to its last-k seq range and equi-join back on
+    (user_id, seq). No interval join anywhere: output is bounded by
+    k * |conversions|, the join is a plain hash join whose composite
+    key spreads a whale user across partitions, and the window filter
+    runs after the join — valid because in-window impressions form a
+    PREFIX of the recency order (older = further from the conversion),
+    so last-k-then-filter equals filter-then-last-k, rank numbering
+    included.
+
+    Batch shape (like `last_touch_attribution` — append-mode streaming
+    cannot re-emit superseded ranks; the streaming twin is the
+    watermarked join + per-conversion rank cut)."""
+    imp = impressions.select(
+        F.col(user_col).alias("user_id"),
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("imp_id"))
+    iw = Window.partitionBy("user_id").orderBy("ets", "imp_id")
+    imp_seq = imp.withColumn("seq", F.row_number().over(iw))
+    conv = conversions.select(
+        F.col(user_col).alias("user_id"),
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("conv_id"))
+    merged = (imp_seq.select("user_id", "ets", "seq",
+                             F.lit(None).cast("long").alias("conv_id"))
+              .unionByName(conv.select(
+                  "user_id", "ets", F.lit(None).cast("int").alias("seq"),
+                  "conv_id"))
+              .withColumn("_is_conv",
+                          F.col("conv_id").isNotNull().cast("int")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ets", "_is_conv", "seq")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    conv_star = (merged.select(
+        "user_id", "ets", "conv_id",
+        F.last("seq", ignorenulls=True).over(w).alias("last_seq"))
+        .where(F.col("conv_id").isNotNull()
+               & F.col("last_seq").isNotNull()))
+    exploded = conv_star.select(
+        "user_id", "conv_id", F.col("ets").alias("conv_ts"), "last_seq",
+        F.explode(F.sequence(
+            F.greatest(F.lit(1),
+                       F.col("last_seq") - F.lit(int(k) - 1)),
+            F.col("last_seq"))).alias("seq"))
+    return (exploded.join(imp_seq.select("user_id", "seq",
+                                         F.col("ets").alias("imp_ts"),
+                                         "imp_id"),
+                          ["user_id", "seq"])
+            .where(F.col("conv_ts")
+                   < F.col("imp_ts")
+                   + F.expr(f"INTERVAL {window_minutes} MINUTES"))
+            .select("user_id", "imp_id", "imp_ts", "conv_id", "conv_ts",
+                    (F.col("last_seq") - F.col("seq") + 1).cast("int")
+                    .alias("touch_rank")))

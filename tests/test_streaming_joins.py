@@ -214,3 +214,60 @@ def test_last_touch_randomized_vs_bruteforce(spark):
                 its, iid = max(cands)
                 want[cid] = (iid, its, cts)
         assert got == want, f"seed {seed}"
+
+
+def test_topk_randomized_vs_bruteforce(spark):
+    """Randomized equivalence for the bounded pair form (VERDICT r11
+    item 6): interval_attribution_topk(k) must equal the brute-force
+    pick — per conversion, the k most recent in-window impressions by
+    (ts, id) recency, with 1-based recency ranks."""
+    import random
+    from lswms_forage_etl_spark.streaming.joins import (
+        interval_attribution_topk)
+    for seed, k in ((1, 1), (7, 3), (42, 5)):
+        rng = random.Random(seed)
+        imps, convs = [], []
+        eid = 0
+        for _ in range(150):
+            u = rng.randint(1, 5)
+            t = _mins(rng.randint(0, 150))
+            eid += 1
+            (imps if rng.random() < 0.6 else convs).append((eid, t, u))
+        imp = spark.createDataFrame(imps, SCHEMA)
+        conv = spark.createDataFrame(convs, SCHEMA)
+        got = {(r["conv_id"], r["touch_rank"]): r["imp_id"]
+               for r in interval_attribution_topk(imp, conv, k=k,
+                                                  window_minutes=30)
+               .collect()}
+        want = {}
+        for cid, cts, cu in convs:
+            cands = sorted(((its, iid) for iid, its, iu in imps
+                            if iu == cu and its <= cts
+                            and cts < its + dt.timedelta(minutes=30)),
+                           reverse=True)
+            for rk, (its, iid) in enumerate(cands[:k], start=1):
+                want[(cid, rk)] = iid
+        assert got == want, f"seed {seed} k {k}"
+        # k=1 rows must equal last-touch's picks
+        if k == 1:
+            from lswms_forage_etl_spark.streaming.joins import (
+                last_touch_attribution)
+            lt = {r["conv_id"]: r["imp_id"]
+                  for r in last_touch_attribution(imp, conv, 30)
+                  .collect()}
+            assert {c: i for (c, _), i in got.items()} == lt
+
+
+def test_topk_output_bounded_on_whale_user(spark):
+    """A whale user with w impressions and c conversions all in-window
+    produces exactly k*c pairs (the unbounded join would produce ~w*c)."""
+    from lswms_forage_etl_spark.streaming.joins import (
+        interval_attribution_topk)
+    imps = [(i, _mins(i % 20), 1) for i in range(1, 201)]
+    convs = [(1000 + j, _mins(21), 1) for j in range(10)]
+    out = interval_attribution_topk(
+        spark.createDataFrame(imps, SCHEMA),
+        spark.createDataFrame(convs, SCHEMA),
+        k=3, window_minutes=30).collect()
+    assert len(out) == 3 * len(convs)
+    assert {r["touch_rank"] for r in out} == {1, 2, 3}
