@@ -10,9 +10,12 @@ dropped.
 Spark's `window(col, '16 days')` aligns buckets to a fixed epoch origin and
 cannot express the year reset, so the engine materializes the (tiny) period
 table on the driver — O(days/16) rows, a few hundred per decade — and
-assigns buckets with a range join that Catalyst turns into a broadcast
-nested-loop over a broadcast-sized build side. At 100 TB the fact side
-streams through untouched; no shuffle is introduced by bucketing.
+assigns buckets with `assign_period`'s BLOCK-KEY BROADCAST HASH JOIN:
+periods explode to one row per covered 16-day block, facts compute their
+block key arithmetically, and the equi-join broadcasts the tiny block
+table (a naive BETWEEN range join would plan as a broadcast nested loop —
+every fact row probing every period). At 100 TB the fact side streams
+through untouched; no shuffle is introduced by bucketing.
 """
 
 from __future__ import annotations

@@ -1,8 +1,10 @@
-"""Full-surface smoke: run EVERY queries() entry to completion against
-a directory (default /root/scale100x) — the zero-failure-at-100x claim
-SCALE.md records (round 10: 138/138 OK, 1488 s; round 11 re-runs over
-the grown registry and ALSO over the adversarial-skew slices, VERDICT
-r10 item 1). Prints OK/FAIL per query and a DONE summary; exit code =
+"""Full-surface smoke: run EVERY queries() entry (the LIVE registry —
+the tool enumerates `entrymod.queries()`, so the count tracks the
+registry automatically; 150 as of round 12) to completion against a
+directory (default /root/scale100x) — the zero-failure-at-100x claim
+SCALE.md records per round (round 10: 138/138 in 1488 s; round 11:
+142/142 in 702 s, plus the adversarial-skew slices, VERDICT r10
+item 1). Prints OK/FAIL per query and a DONE summary; exit code =
 number of failures.
 
 Usage: python tools/smoke_surface.py [sf_dir] [--out walls.jsonl]
