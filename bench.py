@@ -92,6 +92,10 @@ HEADLINE = [
     # round-11 perf-fixed heavies (track them from now on)
     "text_rarity",
     "ann_quantize",
+    # round-12 additions
+    "corpus_bpe_train_scaled",
+    "mm_decode_jpeg",
+    "events_attr_topk",
 ]
 
 

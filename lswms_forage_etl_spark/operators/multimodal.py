@@ -4,8 +4,9 @@ The engine treats media as opaque ``binary`` payload columns plus a typed
 metadata struct — the schema/partitioning/UDF-batch shape a 100 TB
 training-data pipeline needs. Raster formats decode for REAL: pure-numpy
 netpbm P5/P6 and BI_RGB 8/24-bit BMP kernels, plus a pure-stdlib PNG
-kernel (zlib inflate + per-scanline unfilter, 8-bit greyscale/RGB,
-non-interlaced — all five filter types), each round-trip tested against
+kernel (zlib inflate + per-scanline unfilter; greyscale 1-16 bit, RGB
+8/16, palette 1-8 bit, Adam7 interlacing at depth >= 8 — all five
+filter types), each round-trip tested against
 the twin encoders below. Audio decodes for real too: a pure-stdlib
 WAV/RIFF kernel (`_parse_wav` — chunk walk with word-align padding,
 8/16-bit integer PCM, mono/stereo) with its twin `encode_wav`. JPEG
@@ -317,35 +318,20 @@ def _paeth_predict(a: np.ndarray, b: np.ndarray,
                     np.where(pb <= pc, b, c))
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0,
-               compress_level: int = 6) -> bytes:
-    """Pure-stdlib PNG encoder (zlib deflate, one IDAT chunk):
-    (H, W) uint8 -> 8-bit greyscale (color type 0), (H, W, 3) uint8 ->
-    8-bit RGB (color type 2), non-interlaced. `filter_type` (0..4)
-    applies that PNG scanline filter to EVERY row — the test-fixture
-    twin of `_parse_png`, covering each unfilter branch in round-trip
-    tests the way `encode_bmp` covers `_parse_bmp`."""
-    import struct
-    import zlib
-    a = np.ascontiguousarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        color, nch = 0, 1
-    elif a.ndim == 3 and a.shape[2] == 3:
-        color, nch = 2, 3
-    else:
-        raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
-    if filter_type not in range(5):
-        raise ValueError(f"PNG filter type must be 0..4, got {filter_type}")
-    h, w = a.shape[:2]
-    raw = a.reshape(h, w * nch).astype(np.int32)
-    zeros = np.zeros(nch, dtype=np.int32)
-    prev = np.zeros(w * nch, dtype=np.int32)
+def _png_filter_rows(rows: np.ndarray, bpp: int,
+                     filter_type: int) -> bytes:
+    """Apply one PNG scanline filter to every byte row — the encode
+    mirror of `_png_unfilter`."""
+    h, stride = rows.shape
+    raw = rows.astype(np.int32)
+    zeros = np.zeros(bpp, dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
     lines = []
     for y in range(h):
         cur = raw[y]
-        left = np.concatenate([zeros, cur[:-nch]]) if w * nch > nch \
+        left = np.concatenate([zeros, cur[:-bpp]]) if stride > bpp \
             else np.zeros_like(cur)
-        upleft = np.concatenate([zeros, prev[:-nch]]) if w * nch > nch \
+        upleft = np.concatenate([zeros, prev[:-bpp]]) if stride > bpp \
             else np.zeros_like(cur)
         if filter_type == 0:
             f = cur
@@ -360,36 +346,168 @@ def encode_png(arr: np.ndarray, filter_type: int = 0,
         lines.append(bytes([filter_type])
                      + (f % 256).astype(np.uint8).tobytes())
         prev = cur
+    return b"".join(lines)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0,
+               compress_level: int = 6, bit_depth: int = 8,
+               palette: np.ndarray | None = None,
+               interlace: int = 0) -> bytes:
+    """Pure-stdlib PNG encoder (zlib deflate, one IDAT chunk) — the
+    test-fixture twin of `_parse_png`, covering each decode branch:
+    (H, W) -> greyscale (color 0) at `bit_depth` 1/2/4/8/16 (values
+    must fit the depth; 16-bit takes uint16), (H, W, 3) -> RGB
+    (color 2) at 8/16, and with `palette` (N, 3) -> palette (color 3)
+    indices at 1/2/4/8. `filter_type` (0..4) applies that scanline
+    filter to EVERY row; `interlace=1` emits Adam7 (depths >= 8)."""
+    import struct
+    import zlib
+    a = np.asarray(arr)
+    if palette is not None:
+        color, nch = 3, 1
+        if a.ndim != 2 or bit_depth not in (1, 2, 4, 8):
+            raise ValueError("palette PNG needs (H,W) indices, depth<=8")
+    elif a.ndim == 2:
+        color, nch = 0, 1
+        if bit_depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"bad grey bit depth {bit_depth}")
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, nch = 2, 3
+        if bit_depth not in (8, 16):
+            raise ValueError(f"bad RGB bit depth {bit_depth}")
+    else:
+        raise ValueError(f"expected (H,W) or (H,W,3), got {a.shape}")
+    if filter_type not in range(5):
+        raise ValueError(f"PNG filter type must be 0..4, got {filter_type}")
+    if interlace == 1 and bit_depth < 8:
+        raise ValueError("Adam7 encode supported at depth >= 8 only")
+    h, w = a.shape[:2]
+    bits_pp = bit_depth * nch
+    bpp = max(1, bits_pp // 8)
+
+    def byte_rows(sub: np.ndarray) -> np.ndarray:
+        """(ph, pw[, nch]) samples -> (ph, row_bytes) packed bytes."""
+        ph, pw = sub.shape[:2]
+        flat = sub.reshape(ph, pw * nch)
+        if bit_depth == 16:
+            wide = flat.astype(">u2")
+            return wide.view(np.uint8).reshape(ph, pw * nch * 2)
+        if bit_depth == 8:
+            return flat.astype(np.uint8)
+        per = 8 // bit_depth
+        padded_w = (pw + per - 1) // per * per
+        vals = np.zeros((ph, padded_w), dtype=np.uint8)
+        vals[:, :pw] = flat
+        out = np.zeros((ph, padded_w // per), dtype=np.uint8)
+        for k in range(per):
+            shift = 8 - bit_depth * (k + 1)
+            out |= (vals[:, k::per] & ((1 << bit_depth) - 1)) << shift
+        return out
+
+    if interlace == 0:
+        body = _png_filter_rows(byte_rows(a), bpp, filter_type)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_png_filter_rows(byte_rows(sub), bpp,
+                                              filter_type))
+        body = b"".join(parts)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
-        body = typ + data
-        return (struct.pack(">I", len(data)) + body
-                + struct.pack(">I", zlib.crc32(body)))
+        chunk_body = typ + data
+        return (struct.pack(">I", len(data)) + chunk_body
+                + struct.pack(">I", zlib.crc32(chunk_body)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), compress_level)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color, 0, 0,
+                       interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.ascontiguousarray(
+            palette, dtype=np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(body, compress_level))
+    return out + chunk(b"IEND", b"")
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo the five PNG scanline filters over `h` rows of
+    `stride` raster bytes each (raw rows carry the leading filter-type
+    byte). `bpp` is the filter delta distance in BYTES (>= 1 even for
+    sub-byte depths, per spec). Sequential BY CONSTRUCTION within a
+    scanline for Sub/Average/Paeth; None and Up are vectorized and Sub
+    reduces to a per-channel cumulative sum."""
+    raw = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ft == 0:                                  # None
+            cur = line
+        elif ft == 1:                                # Sub = channel cumsum
+            if stride % bpp:
+                raise ValueError("PNG stride not a bpp multiple")
+            cur = line.reshape(stride // bpp, bpp) \
+                .cumsum(axis=0).reshape(stride) % 256
+        elif ft == 2:                                # Up
+            cur = (line + prev) % 256
+        elif ft == 3:                                # Average
+            cur = line
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + (left + prev[i]) // 2) % 256
+        elif ft == 4:                                # Paeth
+            cur = line
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else \
+                    (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _png_unpack_bits(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Expand sub-byte (1/2/4-bit) packed samples (MSB-first) to one
+    value per pixel, cropping the row-end padding bits."""
+    h = rows.shape[0]
+    per = 8 // depth
+    vals = np.zeros((h, rows.shape[1] * per), dtype=np.uint8)
+    for k in range(per):
+        shift = 8 - depth * (k + 1)
+        vals[:, k::per] = (rows >> shift) & ((1 << depth) - 1)
+    return vals[:, :w]
 
 
 def _parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
     """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter):
-    8-bit greyscale (color type 0) and RGB (color type 2),
-    non-interlaced; all five scanline filters (None/Sub/Up/Average/
-    Paeth). Returns (width, height, flat uint8 pixels, row-major,
-    RGB byte order). Palette/alpha/16-bit/interlaced raise
-    ``NotImplementedError`` — honest gates, same discipline as
-    `_parse_bmp`'s bpp/compression gate.
-
-    Unfiltering is sequential BY CONSTRUCTION within a scanline for
-    Sub/Average/Paeth (each byte depends on the reconstructed byte bpp
-    back); None and Up are fully vectorized and Sub reduces to a
-    per-channel cumulative sum — only Average/Paeth pay a per-byte
-    Python loop, bounded by the scanline width."""
+    greyscale (color 0) at 1/2/4/8/16 bits, RGB (color 2) at 8/16,
+    palette (color 3, PLTE) at 1/2/4/8 bits; non-interlaced or Adam7
+    (interlace 1, depths >= 8); all five scanline filters. Returns
+    (width, height, flat uint8 pixels, row-major, RGB byte order for
+    color output) — 16-bit samples are reduced to their high byte
+    (libpng's "chop"), sub-byte greys scale to 0..255 by max-value
+    ratio. Alpha channels (color 4/6), tRNS transparency, and
+    sub-byte Adam7 raise ``NotImplementedError`` — honest gates, same
+    discipline as `_parse_bmp`'s bpp/compression gate."""
     import zlib
     if buf[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG stream")
-    pos, idat = 8, []
+    pos, idat, plte = 8, [], None
     w = h = depth = color = interlace = None
     while pos + 8 <= len(buf):
         ln = int.from_bytes(buf[pos:pos + 4], "big")
@@ -400,54 +518,79 @@ def _parse_png(buf: bytes) -> tuple[int, int, np.ndarray]:
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             depth, color, interlace = data[8], data[9], data[12]
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            raise NotImplementedError("PNG tRNS transparency")
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG stream has no IHDR")
-    if depth != 8 or color not in (0, 2) or interlace != 0:
+    ok = ((color == 0 and depth in (1, 2, 4, 8, 16))
+          or (color == 2 and depth in (8, 16))
+          or (color == 3 and depth in (1, 2, 4, 8)))
+    if not ok or interlace not in (0, 1) \
+            or (interlace == 1 and depth < 8):
         raise NotImplementedError(
-            f"only 8-bit greyscale/RGB non-interlaced PNG supported "
-            f"(depth={depth}, color={color}, interlace={interlace})")
+            f"unsupported PNG shape (depth={depth}, color={color}, "
+            f"interlace={interlace}) — greyscale 1-16 bit, RGB 8/16, "
+            "palette 1-8, Adam7 only at depth >= 8")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
     nch = 3 if color == 2 else 1
-    stride = w * nch
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG raster size mismatch")
-    raw = raw.reshape(h, stride + 1)
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        ft = int(raw[y, 0])
-        line = raw[y, 1:].astype(np.int32)
-        if ft == 0:                                  # None
-            cur = line
-        elif ft == 1:                                # Sub = channel cumsum
-            cur = line.reshape(w, nch).cumsum(axis=0).reshape(stride) % 256
-        elif ft == 2:                                # Up
-            cur = (line + prev) % 256
-        elif ft == 3:                                # Average
-            cur = line
-            for i in range(stride):
-                left = cur[i - nch] if i >= nch else 0
-                cur[i] = (cur[i] + (left + prev[i]) // 2) % 256
-        elif ft == 4:                                # Paeth
-            cur = line
-            for i in range(stride):
-                a = cur[i - nch] if i >= nch else 0
-                b = prev[i]
-                c = prev[i - nch] if i >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else \
-                    (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) % 256
-        else:
-            raise ValueError(f"invalid PNG filter type {ft}")
-        out[y] = cur
-        prev = cur
-    return w, h, out.reshape(-1)
+    bits_pp = depth * nch
+    bpp = max(1, bits_pp // 8)
+
+    def row_bytes(width: int) -> int:
+        return (width * bits_pp + 7) // 8
+
+    inflated = np.frombuffer(zlib.decompress(b"".join(idat)),
+                             dtype=np.uint8)
+
+    def to_samples(rows: np.ndarray, width: int) -> np.ndarray:
+        """(h, row_bytes) filtered-out bytes -> (h, width*nch) uint8."""
+        if depth == 16:
+            wide = rows.reshape(rows.shape[0], -1, 2)
+            return wide[:, :width * nch, 0]          # high-byte chop
+        if depth == 8:
+            return rows[:, :width * nch]
+        vals = _png_unpack_bits(rows, width, depth)
+        if color == 3:
+            return vals
+        return (vals.astype(np.uint16) * 255
+                // ((1 << depth) - 1)).astype(np.uint8)
+
+    if interlace == 0:
+        stride = row_bytes(w)
+        if len(inflated) != h * (stride + 1):
+            raise ValueError("PNG raster size mismatch")
+        img = to_samples(_png_unfilter(inflated, h, stride, bpp), w)
+    else:                                            # Adam7
+        img = np.zeros((h, w * nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = row_bytes(pw)
+            need = ph * (stride + 1)
+            sub = to_samples(
+                _png_unfilter(inflated[off:off + need], ph, stride,
+                              bpp), pw)
+            off += need
+            ys = np.arange(y0, h, dy)
+            xs = np.arange(x0, w, dx)
+            for ci in range(nch):
+                img[np.ix_(ys, xs * nch + ci)] = sub[:, ci::nch]
+        if off != len(inflated):
+            raise ValueError("PNG Adam7 raster size mismatch")
+    if color == 3:
+        img = plte[img.reshape(-1)]                  # indices -> RGB
+        return w, h, img.reshape(-1)
+    return w, h, img.reshape(h * w * nch)
 
 
 def _parse_netpbm(buf: bytes) -> tuple[int, int, np.ndarray]:
