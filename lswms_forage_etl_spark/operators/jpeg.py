@@ -4,13 +4,19 @@ the `decode_image_bytes` dispatch seam).
 
 Same twin-encoder discipline as the PNG/BMP/WAV kernels in
 `operators/multimodal.py`: `encode_jpeg` writes a spec-conformant
-baseline JFIF stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, Annex-K quant +
-Huffman tables, optional 4:2:0 chroma subsampling and DRI/RSTn restart
-intervals), `parse_jpeg` decodes baseline sequential Huffman + dequant
-+ IDCT + YCbCr->RGB. Progressive (SOF2), arithmetic coding, 12-bit
-precision, and >4 sampling factors raise ``NotImplementedError`` —
-honest gates, the same discipline as `_parse_png`'s depth/interlace
-gate. Reference behavior lives at
+JFIF stream (Annex-K quant + Huffman tables, optional 4:2:0 chroma
+subsampling and DRI/RSTn restart intervals) — baseline sequential
+(SOF0) or, with ``progressive=True``, SOF2 progressive with the
+libjpeg-shaped scan script (spectral selection + successive
+approximation, per-scan generated Huffman tables). `parse_jpeg`
+decodes BOTH: baseline sequential and full progressive (DC/AC
+first/refinement scans, EOBRUN with buffered correction bits).
+Arithmetic coding, hierarchical/lossless SOFs, 12-bit precision, and
+>2x2 sampling factors raise ``NotImplementedError`` — honest gates,
+the same discipline as `_parse_png`'s depth/interlace gate. The
+progressive<->baseline equality (same quantized coefficients, so
+IDENTICAL pixels) is the entropy-layer exactness proof for every
+progressive path. Reference behavior lives at
 /root/reference/src/codes/BiomassAggregate.py:128-154 only in the
 sense that the reference reads arbitrary rasters through rasterio;
 this engine decodes media payload columns through Arrow batches.
@@ -299,44 +305,12 @@ def _pad_to(a: np.ndarray, h: int, w: int) -> np.ndarray:
                   mode="edge")
 
 
-def _encode_block(wtr: _BitWriter, coef: np.ndarray, pred: int,
-                  dc_codes: dict, ac_codes: dict) -> int:
-    zz = coef.reshape(-1)[ZIGZAG]
-    diff = int(zz[0]) - pred
-    s = _category(diff)
-    code, ln = dc_codes[s]
-    wtr.write(code, ln)
-    if s:
-        wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if k > last_nz:
-            code, ln = ac_codes[0x00]          # EOB
-            wtr.write(code, ln)
-            break
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, ln = ac_codes[0xF0]          # ZRL
-            wtr.write(code, ln)
-            run -= 16
-        s = _category(v)
-        code, ln = ac_codes[(run << 4) | s]
-        wtr.write(code, ln)
-        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
-        run = 0
-    return int(zz[0])
-
-
-def encode_jpeg(arr: np.ndarray, quality: int = 50,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Baseline JFIF encoder: (H, W) uint8 -> 1-component greyscale,
-    (H, W, 3) uint8 RGB -> YCbCr, 4:4:4 or 4:2:0 (`subsampling`).
-    `restart_interval` > 0 emits DRI + RSTn every that many MCUs."""
+def _image_coefficients(arr: np.ndarray, quality: int,
+                        subsampling: str):
+    """Shared front half of both encoders: color convert, subsample,
+    pad to the interleaved MCU grid, DCT+quantize every block.
+    Returns (h, w, samp, qtabs, coefs) with coefs[ci] an int64
+    (block_rows, block_cols, 64) array in ZIGZAG order."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         comps = [a.astype(np.float64)]
@@ -370,89 +344,517 @@ def encode_jpeg(arr: np.ndarray, quality: int = 50,
     vmax = max(s[1] for s in samp)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # pad each component plane to its own MCU-aligned size
-    planes = []
+    coefs = []
     for ci, (c, (sh, sv)) in enumerate(zip(comps, samp)):
-        ph, pw = mcuy * sv * 8, mcux * sh * 8
-        planes.append(_pad_to(c, ph, pw))
+        bh, bw = mcuy * sv, mcux * sh
+        plane = _pad_to(c, bh * 8, bw * 8)
+        q = qtabs[min(ci, 1)]
+        cc = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                blk = fdct_quant(
+                    plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q)
+                cc[by, bx] = blk.reshape(-1)[ZIGZAG]
+        coefs.append(cc)
+    return h, w, samp, qtabs, coefs
 
-    dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
-    ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
-    dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
-    ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
 
-    wtr = _BitWriter()
-    preds = [0] * len(comps)
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_n and \
-                    mcu_n % restart_interval == 0:
-                wtr.align()
-                wtr.out += bytes([0xFF, 0xD0 + ((mcu_n //
-                                  restart_interval - 1) % 8)])
-                preds = [0] * len(comps)
-            for ci, (plane, (sh, sv)) in enumerate(zip(planes, samp)):
-                q = qtabs[min(ci, 1)]
-                dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                for by in range(sv):
-                    for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        coef = fdct_quant(
-                            plane[y0:y0 + 8, x0:x0 + 8], q)
-                        preds[ci] = _encode_block(
-                            wtr, coef, preds[ci], dc, ac)
-            mcu_n += 1
-    wtr.align()
-    data = bytes(wtr.out)
+def _encode_block(wtr: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    code, ln = dc_codes[s]
+    wtr.write(code, ln)
+    if s:
+        wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if k > last_nz:
+            code, ln = ac_codes[0x00]          # EOB
+            wtr.write(code, ln)
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]          # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    return int(zz[0])
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
-            + body
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+        + body
+
+
+def _ni_grid(frame_h: int, frame_w: int, sh: int, sv: int,
+             hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved block grid of one component (T.81 A.2: sampling
+    factors are ignored in a single-component scan — the grid covers
+    ceil(component_size / 8), which can be SMALLER than the padded
+    interleaved grid)."""
+    cw = (frame_w * sh + hmax - 1) // hmax
+    ch = (frame_h * sv + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _scan_blocks(frame_h, frame_w, samp, comps_in_scan, coef_grids):
+    """Yield (ci, by, bx) in scan order: MCU-interleaved when the scan
+    has >1 component, component-raster (non-interleaved grid) when 1."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if len(comps_in_scan) > 1:
+        mcux = (frame_w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (frame_h + 8 * vmax - 1) // (8 * vmax)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in comps_in_scan:
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, my * sv + by, mx * sh + bx
+    else:
+        ci = comps_in_scan[0]
+        sh, sv = samp[ci]
+        bh, bw = _ni_grid(frame_h, frame_w, sh, sv, hmax, vmax)
+        for by in range(bh):
+            for bx in range(bw):
+                yield ci, by, bx
+
+
+def _fixed_scan_table(symbols) -> tuple[list, list]:
+    """Equal-length canonical Huffman table over exactly the symbols a
+    scan uses (progressive encoder; compression is irrelevant for the
+    twin-fixture role). Length chosen so the all-ones code stays
+    unused (the libjpeg safety convention)."""
+    syms = sorted(symbols) or [0]
+    length = max(2, (len(syms) + 1).bit_length())
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, syms
+
+
+_PROG_SCANS_1 = [((0,), 0, 0, 0, 1), ((0,), 1, 5, 0, 2),
+                 ((0,), 6, 63, 0, 2), ((0,), 1, 63, 2, 1),
+                 ((0,), 0, 0, 1, 0), ((0,), 1, 63, 1, 0)]
+_PROG_SCANS_3 = [((0, 1, 2), 0, 0, 0, 1),
+                 ((0,), 1, 5, 0, 2), ((1,), 1, 63, 0, 1),
+                 ((2,), 1, 63, 0, 1), ((0,), 6, 63, 0, 2),
+                 ((0,), 1, 63, 2, 1), ((0, 1, 2), 0, 0, 1, 0),
+                 ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+                 ((0,), 1, 63, 1, 0)]
+
+
+class _ScanSink:
+    """Symbol sink used twice per progressive scan: pass 1 collects
+    used symbols, pass 2 writes bits through the table built from
+    them."""
+
+    def __init__(self, wtr: _BitWriter | None, codes: dict | None):
+        self.wtr = wtr
+        self.codes = codes
+        self.used: set = set()
+
+    def sym(self, s: int) -> None:
+        if self.wtr is None:
+            self.used.add(s)
+        else:
+            code, ln = self.codes[s]
+            self.wtr.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if self.wtr is not None and n:
+            self.wtr.write(v, n)
+
+
+def _emit_prog_scan(sink: _ScanSink, order: list, coefs, Ss: int,
+                    Se: int, Ah: int, Al: int, ncomp_in_scan: int
+                    ) -> None:
+    """Emit one progressive scan's entropy symbols/bits (T.81 G.1.2).
+    `order` is the precomputed [(ci, by, bx)] block sequence."""
+    if Ss == 0 and Ah == 0:                          # DC first
+        preds: dict = {}
+        for ci, by, bx in order:
+            v = int(coefs[ci][by, bx, 0]) >> Al
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            s = _category(diff)
+            sink.sym(s)
+            if s:
+                sink.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        return
+    if Ss == 0:                                      # DC refine
+        for ci, by, bx in order:
+            sink.bits((int(coefs[ci][by, bx, 0]) >> Al) & 1, 1)
+        return
+    # AC scans: single component by spec
+    assert ncomp_in_scan == 1
+    eobrun = 0
+    pend_bits: list = []                             # buffered corrections
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pend_bits
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            sink.sym(r << 4)
+            if r:
+                sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in pend_bits:
+            sink.bits(b, 1)
+        pend_bits = []
+
+    if Ah == 0:                                      # AC first
+        for ci, by, bx in order:
+            zz = coefs[ci][by, bx]
+            run = 0
+            emitted = False
+            for k in range(Ss, Se + 1):
+                c = int(zz[k])
+                v = (abs(c) >> Al) * (1 if c >= 0 else -1)
+                if v == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    sink.sym(0xF0)
+                    run -= 16
+                s = _category(v)
+                sink.sym((run << 4) | s)
+                sink.bits(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+                emitted = True
+            if run > 0 or not emitted:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return
+    # AC refine (Ah = Al + 1): send bit Al of already-started coefs,
+    # introduce newly-nonzero ones as +-1 << Al, EOBRUN with buffered
+    # correction bits. The walk mirrors libjpeg's encode_mcu_AC_refine
+    # POSITIONALLY: a ZRL is emitted the moment 16 zero-history
+    # positions have accumulated with another newly-nonzero still
+    # ahead, and each symbol carries exactly the correction bits
+    # gathered since the previous symbol — the decoder reads
+    # corrections as it passes their positions, so deferring them
+    # across a ZRL window would desynchronize the streams.
+    for ci, by, bx in order:
+        zz = coefs[ci][by, bx]
+        band = list(range(Ss, Se + 1))
+        t = {k: abs(int(zz[k])) >> Al for k in band}
+        eobk = max((k for k in band if t[k] == 1), default=Ss - 1)
+        run = 0
+        block_bits: list = []
+        for k in band:
+            if t[k] == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eobk:
+                flush_eob()
+                sink.sym(0xF0)
+                run -= 16
+                for b in block_bits:
+                    sink.bits(b, 1)
+                block_bits = []
+            if t[k] > 1:                             # history: correction
+                block_bits.append(t[k] & 1)
+                continue
+            flush_eob()                              # newly nonzero
+            sink.sym((run << 4) | 1)
+            sink.bits(1 if int(zz[k]) > 0 else 0, 1)
+            for b in block_bits:
+                sink.bits(b, 1)
+            block_bits = []
+            run = 0
+        if run > 0 or block_bits:
+            eobrun += 1
+            pend_bits.extend(block_bits)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 50,
+                subsampling: str = "444",
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """JFIF encoder: (H, W) uint8 -> 1-component greyscale, (H, W, 3)
+    uint8 RGB -> YCbCr, 4:4:4 or 4:2:0 (`subsampling`).
+    `restart_interval` > 0 emits DRI + RSTn every that many MCUs
+    (baseline mode). With `progressive=True` the SAME quantized
+    coefficients are emitted as an SOF2 multi-scan stream — the
+    libjpeg-shaped script (DC with point transform + refinement,
+    spectral AC bands with successive approximation + refinements) so
+    every progressive decode path has a twin fixture; per-scan
+    equal-length Huffman tables are generated from the symbols each
+    scan actually uses."""
+    h, w, samp, qtabs, coefs = _image_coefficients(
+        arr, quality, subsampling)
+    ncomp = len(coefs)
 
     out = [b"\xff\xd8",                                     # SOI
-           seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
+           _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")]
     for ti, q in enumerate(qtabs):
-        out.append(seg(0xDB, bytes([ti])
-                       + bytes(int(x) for x in
-                               q.reshape(-1)[ZIGZAG])))
-    sof = bytearray([8]) + struct.pack(">HH", h, w) \
-        + bytes([len(comps)])
+        out.append(_seg(0xDB, bytes([ti])
+                        + bytes(int(x) for x in q.reshape(-1)[ZIGZAG])))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
-    out.append(seg(0xC0, bytes(sof)))
-    for cls, tid, bits, vals in [
-            (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
-            (1, 0, AC_LUMA_BITS, AC_LUMA_VALS)] + ([
-            (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
-            (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)]
-            if len(comps) == 3 else []):
-        out.append(seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
-                       + bytes(vals)))
-    if restart_interval:
-        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
-    sos = bytearray([len(comps)])
-    for ci in range(len(comps)):
-        t = min(ci, 1)
-        sos += bytes([ci + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out.append(seg(0xDA, bytes(sos)))
-    out.append(data)
-    out.append(b"\xff\xd9")                                 # EOI
+    out.append(_seg(0xC2 if progressive else 0xC0, bytes(sof)))
+
+    if not progressive:
+        dc_l = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_l = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+        dc_c = _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+        ac_c = _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+        for cls, tid, bits, vals in [
+                (0, 0, DC_LUMA_BITS, DC_LUMA_VALS),
+                (1, 0, AC_LUMA_BITS, AC_LUMA_VALS)] + ([
+                (0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS),
+                (1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)]
+                if ncomp == 3 else []):
+            out.append(_seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                            + bytes(vals)))
+        if restart_interval:
+            out.append(_seg(0xDD, struct.pack(">H", restart_interval)))
+        sos = bytearray([ncomp])
+        for ci in range(ncomp):
+            t = min(ci, 1)
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out.append(_seg(0xDA, bytes(sos)))
+
+        wtr = _BitWriter()
+        preds = [0] * ncomp
+        mcu_n = 0
+        hmax = max(s[0] for s in samp)
+        vmax = max(s[1] for s in samp)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_n and \
+                        mcu_n % restart_interval == 0:
+                    wtr.align()
+                    wtr.out += bytes([0xFF, 0xD0 + ((mcu_n //
+                                      restart_interval - 1) % 8)])
+                    preds = [0] * ncomp
+                for ci, (sh, sv) in enumerate(samp):
+                    dc, ac = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                    for by in range(sv):
+                        for bx in range(sh):
+                            preds[ci] = _encode_block(
+                                wtr, coefs[ci][my * sv + by,
+                                               mx * sh + bx],
+                                preds[ci], dc, ac)
+                mcu_n += 1
+        wtr.align()
+        out.append(bytes(wtr.out))
+        out.append(b"\xff\xd9")
+        return b"".join(out)
+
+    # progressive emission
+    scans = _PROG_SCANS_1 if ncomp == 1 else _PROG_SCANS_3
+    for comps_in_scan, Ss, Se, Ah, Al in scans:
+        order = list(_scan_blocks(h, w, samp, list(comps_in_scan),
+                                  coefs))
+        needs_table = not (Ss == 0 and Ah > 0)
+        tcls = 0 if Ss == 0 else 1
+        if needs_table:
+            probe = _ScanSink(None, None)
+            _emit_prog_scan(probe, order, coefs, Ss, Se, Ah, Al,
+                            len(comps_in_scan))
+            bits, vals = _fixed_scan_table(probe.used)
+            out.append(_seg(0xC4, bytes([(tcls << 4) | 0]) + bytes(bits)
+                            + bytes(vals)))
+            codes = _canonical_codes(bits, vals)
+        else:
+            codes = {}
+        sos = bytearray([len(comps_in_scan)])
+        for ci in comps_in_scan:
+            sos += bytes([ci + 1, 0])                # tables 0/0
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out.append(_seg(0xDA, bytes(sos)))
+        wtr = _BitWriter()
+        _emit_prog_scan(_ScanSink(wtr, codes), order, coefs, Ss, Se,
+                        Ah, Al, len(comps_in_scan))
+        wtr.align()
+        out.append(bytes(wtr.out))
+    out.append(b"\xff\xd9")
     return b"".join(out)
 
 
 # ----------------------------------------------------------- decoder
 
+def _decode_seq_block(rdr: _BitReader, dtab: dict, atab: dict,
+                      zz: np.ndarray, preds: list, ci: int) -> None:
+    """One baseline-sequential block into zigzag-order zz."""
+    s = _read_symbol(rdr, dtab)
+    diff = _extend(rdr.read_bits(s), s) if s else 0
+    preds[ci] += diff
+    zz[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = _read_symbol(rdr, atab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:                              # ZRL
+                k += 16
+                continue
+            break                                    # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC index overrun")
+        zz[k] = _extend(rdr.read_bits(s), s)
+        k += 1
+
+
+def _decode_scan(buf: bytes, pos: int, frame: dict, scan_comps: list,
+                 sel: dict, Ss: int, Se: int, Ah: int, Al: int,
+                 huff_dc: dict, huff_ac: dict, restart_interval: int,
+                 coefs: list, progressive: bool) -> int:
+    """Decode one scan's entropy data into the per-component zigzag
+    coefficient arrays; returns the buffer position just past the
+    scan. Handles baseline-sequential single scans and all four
+    progressive scan kinds (DC/AC x first/refine) incl. EOBRUN and
+    restart markers (T.81 F.2 / G.2)."""
+    comps = frame["comps"]
+    samp = [(c["h"], c["v"]) for c in comps]
+    order = list(_scan_blocks(frame["h"], frame["w"], samp, scan_comps,
+                              coefs))
+    rdr = _BitReader(buf, pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+    p1 = 1 << Al
+    m1 = -1 << Al
+    n_done = 0
+    # restart intervals count MCUs (interleaved) / blocks (single-comp)
+    units_per_restart = restart_interval
+    if restart_interval and len(scan_comps) > 1:
+        per_mcu = sum(samp[ci][0] * samp[ci][1] for ci in scan_comps)
+        units_per_restart = restart_interval * per_mcu
+
+    def ac_table(ci):
+        return huff_ac[sel[comps[ci]["id"]][1]]
+
+    def dc_table(ci):
+        return huff_dc[sel[comps[ci]["id"]][0]]
+
+    for ci, by, bx in order:
+        if units_per_restart and n_done and \
+                n_done % units_per_restart == 0:
+            rdr.restart()
+            preds = [0] * len(comps)
+            eobrun = 0
+        n_done += 1
+        zz = coefs[ci][by, bx]
+        if not progressive:
+            _decode_seq_block(rdr, dc_table(ci), ac_table(ci), zz,
+                              preds, ci)
+            continue
+        if Ss == 0 and Ah == 0:                      # DC first
+            s = _read_symbol(rdr, dc_table(ci))
+            diff = _extend(rdr.read_bits(s), s) if s else 0
+            preds[ci] += diff
+            zz[0] = preds[ci] << Al
+        elif Ss == 0:                                # DC refine
+            if rdr.read_bit():
+                zz[0] |= p1
+        elif Ah == 0:                                # AC first
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                rs = _read_symbol(rdr, ac_table(ci))
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rdr.read_bits(r)
+                    break
+                k += r
+                if k > Se:
+                    raise ValueError("AC index overrun")
+                zz[k] = _extend(rdr.read_bits(s), s) << Al
+                k += 1
+        else:                                        # AC refine
+            def correct(k):
+                if rdr.read_bit() and (int(zz[k]) & p1) == 0:
+                    zz[k] += p1 if int(zz[k]) > 0 else m1
+
+            if eobrun > 0:
+                for k in range(Ss, Se + 1):
+                    if zz[k] != 0:
+                        correct(k)
+                eobrun -= 1
+                continue
+            k = Ss
+            while k <= Se:
+                rs = _read_symbol(rdr, ac_table(ci))
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:                       # EOB run declared
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rdr.read_bits(r)
+                        break
+                    val = 0                          # ZRL: skip 16 zeros
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement size > 1")
+                    val = p1 if rdr.read_bit() else m1
+                # advance over r zero-history positions, correcting
+                # nonzero-history coefficients as they are passed
+                while k <= Se:
+                    if zz[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= Se:
+                    zz[k] = val
+                k += 1
+            if eobrun > 0:                           # declaring block:
+                while k <= Se:                       # trailing corrections
+                    if zz[k] != 0:
+                        correct(k)
+                    k += 1
+                eobrun -= 1
+    # skip to the next marker (pad bits, then 0xFF non-stuffing)
+    p = rdr.pos
+    while p + 1 < len(buf) and not (
+            buf[p] == 0xFF and buf[p + 1] != 0x00
+            and not 0xD0 <= buf[p + 1] <= 0xD7):
+        p += 1
+    return p
+
+
 def parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """Baseline sequential JPEG decode. Returns (width, height, flat
-    uint8 pixels, row-major; RGB byte order for 3-component streams,
-    greyscale for 1-component) — the `decode_image_bytes` contract.
-    Chroma upsampling is nearest-neighbor replication. Raises
-    ``NotImplementedError`` for progressive/arithmetic/12-bit/other
-    unsupported SOF types, >2 sampling factors, or >2 components
-    configurations this baseline does not cover."""
+    """JPEG decode: baseline sequential (SOF0/1) AND progressive
+    (SOF2 — spectral selection + successive approximation, DC/AC
+    first/refinement scans, EOBRUN, since round 12). Returns (width,
+    height, flat uint8 pixels, row-major; RGB byte order for
+    3-component streams, greyscale for 1-component) — the
+    `decode_image_bytes` contract. Chroma upsampling is
+    nearest-neighbor replication. Raises ``NotImplementedError`` for
+    arithmetic coding, hierarchical/lossless SOFs, 12-bit precision,
+    >2x2 sampling factors, or component counts other than 1/3."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -461,7 +863,8 @@ def parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     huff_ac: dict = {}
     restart_interval = 0
     frame = None
-    scan = None
+    progressive = False
+    coefs: list = []
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -492,7 +895,8 @@ def parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 (huff_dc if cls == 0 else huff_ac)[tid] = \
                     _decode_map(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):                         # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):                   # SOF0/1/2
+            progressive = marker == 0xC2
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -509,92 +913,71 @@ def parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                         f"sampling factors {sh}x{sv}")
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             if ncomp == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1):
-                # a single-component scan is non-interleaved: sampling
+                # a single-component frame is non-interleaved: sampling
                 # factors are ignored per T.81 A.2 — the generic MCU
-                # loop below would mis-shape it, so gate honestly
+                # loop would mis-shape it, so gate honestly
                 raise NotImplementedError(
                     "single-component JPEG with sampling factors != 1x1")
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                              dtype=np.int64) for c in comps]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"SOF marker 0x{marker:02x} (progressive/arithmetic/"
-                "hierarchical JPEG not supported by this baseline)")
+                f"SOF marker 0x{marker:02x} (arithmetic/hierarchical/"
+                "lossless JPEG not supported)")
         elif marker == 0xDD:                                 # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:                                 # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
             sel = {}
+            scan_comps = []
+            id_to_idx = {c["id"]: i for i, c in
+                         enumerate(frame["comps"])}
             for si in range(ns):
                 cs, tt = body[1 + 2 * si:3 + 2 * si]
                 sel[cs] = (tt >> 4, tt & 0xF)
-            scan = sel
-            data_start = pos
-            break
+                scan_comps.append(id_to_idx[cs])
+            Ss, Se, AhAl = body[1 + 2 * ns:4 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 0xF
+            if not progressive:
+                Ss, Se, Ah, Al = 0, 63, 0, 0
+            if progressive and Ss > 0 and ns != 1:
+                raise ValueError("interleaved progressive AC scan")
+            pos = _decode_scan(buf, pos, frame, scan_comps, sel,
+                               Ss, Se, Ah, Al, huff_dc, huff_ac,
+                               restart_interval, coefs, progressive)
         # APPn/COM/others: skipped via ln
-    if frame is None or scan is None:
+    if frame is None or not coefs:
         raise ValueError("JPEG stream missing SOF/SOS")
 
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8),
-                       dtype=np.uint8) for c in comps]
-    rdr = _BitReader(buf, data_start)
-    preds = [0] * len(comps)
-    mcu_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_n and \
-                    mcu_n % restart_interval == 0:
-                rdr.restart()
-                preds = [0] * len(comps)
-            for ci, c in enumerate(comps):
-                dtab = huff_dc[scan[c["id"]][0]]
-                atab = huff_ac[scan[c["id"]][1]]
-                q = qt[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _read_symbol(rdr, dtab)
-                        diff = _extend(rdr.read_bits(s), s) if s else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _read_symbol(rdr, atab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:                  # ZRL
-                                    k += 16
-                                    continue
-                                break                        # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overrun")
-                            zz[k] = _extend(rdr.read_bits(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.int64)
-                        coef[ZIGZAG] = zz
-                        blk = dequant_idct(coef.reshape(8, 8), q)
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
-            mcu_n += 1
-
-    # upsample to full resolution and crop
-    full = []
+    planes = []
     for ci, c in enumerate(comps):
-        p = planes[ci]
-        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
-                      hmax // c["h"], axis=1)
-        full.append(p[:h, :w].astype(np.float64))
+        bh, bw = coefs[ci].shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        q = qt[c["tq"]]
+        for by in range(bh):
+            for bx in range(bw):
+                rm = np.zeros(64, dtype=np.int64)
+                rm[ZIGZAG] = coefs[ci][by, bx]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    dequant_idct(rm.reshape(8, 8), q)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w].astype(np.float64))
     if len(comps) == 1:
-        return w, h, full[0].astype(np.uint8).reshape(-1)
-    y, cb, cr = full
+        return w, h, planes[0].astype(np.uint8).reshape(-1)
+    y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)

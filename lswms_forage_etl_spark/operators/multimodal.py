@@ -177,7 +177,13 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                 arr = np.repeat(np.repeat(vals.reshape(2, nb), 8, 0),
                                 8, 1)
                 ids.append(doc_id)
-                payloads.append(encode_jpeg(arr, quality=50))
+                # every 3rd doc lands as PROGRESSIVE (SOF2) — identical
+                # decoded pixels by construction (same quantized
+                # coefficients), so the oracle is unchanged while the
+                # gate runs the multi-scan successive-approximation
+                # decode path end-to-end
+                payloads.append(encode_jpeg(
+                    arr, quality=50, progressive=doc_id % 3 == 0))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     from lswms_forage_etl_spark.operators.dedup import _spread

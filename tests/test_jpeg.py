@@ -120,9 +120,9 @@ def test_rgb_420_odd_dims_pad_and_crop():
 
 
 def test_dispatch_gates_raise():
-    # progressive SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
-        parse_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9")
+    # lossless SOF3 (progressive SOF2 is SUPPORTED since round 12)
+    with pytest.raises(NotImplementedError, match="lossless"):
+        parse_jpeg(b"\xff\xd8\xff\xc3\x00\x0b" + bytes(9) + b"\xff\xd9")
     # arithmetic SOF9
     with pytest.raises(NotImplementedError):
         parse_jpeg(b"\xff\xd8\xff\xc9\x00\x0b" + bytes(9) + b"\xff\xd9")
@@ -182,3 +182,44 @@ def test_decode_image_bytes_dispatches_jpeg(spark):
         assert r["decoded_width"] == 8 * nb
         assert r["decoded_height"] == 16
         assert 0.0 <= r["mean_intensity"] <= 254.0
+
+
+def test_progressive_equals_baseline_exactly():
+    """Progressive (SOF2: spectral selection + successive
+    approximation, DC/AC refinement scans, EOBRUN) emits the SAME
+    quantized coefficients as baseline, so decode must be
+    pixel-identical — the entropy-layer exactness proof for every
+    progressive path, across qualities, shapes, and subsampling."""
+    rng = np.random.RandomState(42)
+    for q in (10, 50, 90):
+        for shape in ((21, 35), (8, 8), (3, 5), (64, 48)):
+            img = rng.randint(0, 256, shape, dtype=np.uint8)
+            b = parse_jpeg(encode_jpeg(img, quality=q))
+            p = parse_jpeg(encode_jpeg(img, quality=q, progressive=True))
+            assert (b[0], b[1]) == (p[0], p[1])
+            assert np.array_equal(b[2], p[2]), (q, shape)
+    for q in (25, 95):
+        for sub in ("444", "420"):
+            img = rng.randint(0, 256, (33, 17, 3), dtype=np.uint8)
+            b = parse_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            p = parse_jpeg(encode_jpeg(img, quality=q, subsampling=sub,
+                                       progressive=True))
+            assert np.array_equal(b[2], p[2]), (q, sub)
+
+
+def test_progressive_degenerate_streams():
+    # constant image: everything is EOB runs (long EOBRUN paths)
+    img = np.full((40, 40), 128, dtype=np.uint8)
+    assert np.array_equal(
+        parse_jpeg(encode_jpeg(img, progressive=True))[2],
+        parse_jpeg(encode_jpeg(img))[2])
+    # checkerboard at q95: dense AC activity through every refinement
+    img = np.zeros((24, 24), dtype=np.uint8)
+    img[::2, ::2] = 255
+    assert np.array_equal(
+        parse_jpeg(encode_jpeg(img, quality=95, progressive=True))[2],
+        parse_jpeg(encode_jpeg(img, quality=95))[2])
+    # the stream really is SOF2 multi-scan
+    buf = encode_jpeg(img, progressive=True)
+    assert b"\xff\xc2" in buf
+    assert buf.count(b"\xff\xda") >= 5
