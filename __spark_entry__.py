@@ -2062,6 +2062,20 @@ def q_mm_decode_wav_ext(spark, sf):
         synth_wav_ext_media(_t(spark, sf, "documents")))
 
 
+def q_mm_decode_wav_law(spark, sf):
+    """G.711 companded audio decode: even docs mu-law, odd docs A-law
+    (format codes 7/6) — the telephony corpus transport forms. Text
+    bytes are the code bytes; the Arrow stage expands them through the
+    canonical integer G.711 tables and the oracle replays the same
+    expansion formulas per byte (pure BIGINT arithmetic end to end:
+    the linear values are < 1e6 so the scaled-amp convention is exact
+    integer on both engines)."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_audio_ext, synth_wav_law_media)
+    return decode_audio_ext(
+        synth_wav_law_media(_t(spark, sf, "documents")))
+
+
 def q_mm_audio_energy(spark, sf):
     """Audio feature extraction over REAL decoded WAV payloads:
     non-overlapping 16-frame windows, exact int64 sum-of-squares energy
@@ -2974,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_jpeg": q_mm_decode_jpeg,
         "mm_decode_wav_ext": q_mm_decode_wav_ext,
         "events_attr_topk": q_events_attr_topk,
+        "mm_decode_wav_law": q_mm_decode_wav_law,
     }
 
 
@@ -5024,6 +5039,56 @@ def oracle_sql() -> dict[str, str]:
                  LEAST(1000000.0, GREATEST(-1000000.0, v)) * 1000000.0
                  + 0.5) AS BIGINT)) AS BIGINT) AS amp_q
         FROM allsamp GROUP BY media_id, sr, ch, bits, nf
+    """
+
+    # G.711 companded decode: the canonical integer expansion formulas
+    # (Sun g711.c ulaw2linear/alaw2linear) replayed per code byte —
+    # pure BIGINT arithmetic, linear values < 1e6 so the scaled-amp
+    # convention multiplies exactly
+    sql["mm_decode_wav_law"] = """
+        WITH m AS (SELECT doc_id AS media_id,
+                          CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+                            AS ch,
+                          CAST(24 + (doc_id % 8) * 4 AS INT) AS nf,
+                          CAST(8000 * (1 + doc_id % 3) AS INT) AS sr,
+                          doc_id % 2 = 0 AS is_mu,
+                          hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        f AS (SELECT * FROM m WHERE n >= nf * ch),
+        b AS (SELECT media_id, sr, ch, nf, is_mu,
+                     ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT
+                       AS byte
+              FROM f, (SELECT unnest(range(0, 104)) AS j) r
+              WHERE j < nf * ch),
+        mu AS (SELECT media_id, sr, ch, nf,
+                      CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END
+                        AS v
+               FROM (SELECT media_id, sr, ch, nf, u,
+                            ((u % 16) * 8 + 132) << ((u // 16) % 8) AS t
+                     FROM (SELECT media_id, sr, ch, nf,
+                                  255 - byte AS u
+                           FROM b WHERE is_mu))),
+        al AS (SELECT media_id, sr, ch, nf,
+                      CASE WHEN a >= 128 THEN t2 ELSE -t2 END AS v
+               FROM (SELECT media_id, sr, ch, nf, a,
+                            CASE WHEN (a // 16) % 8 = 0
+                                 THEN (a % 16) * 16 + 8
+                                 WHEN (a // 16) % 8 = 1
+                                 THEN (a % 16) * 16 + 264
+                                 ELSE ((a % 16) * 16 + 264)
+                                      << ((a // 16) % 8 - 1) END AS t2
+                     FROM (SELECT media_id, sr, ch, nf,
+                                  xor(byte, 85) AS a
+                           FROM b WHERE NOT is_mu))),
+        allv AS (SELECT media_id, sr, ch, nf, 8 AS bits, v FROM mu
+                 UNION ALL
+                 SELECT media_id, sr, ch, nf, 8 AS bits, v FROM al)
+        SELECT media_id, sr AS sample_rate, CAST(ch AS INT) AS n_channels,
+               CAST(bits AS INT) AS bits_per_sample,
+               CAST(nf AS INT) AS n_frames,
+               CAST(sum(CAST(v AS BIGINT) * 1000000) AS BIGINT) AS amp_q
+        FROM allv GROUP BY media_id, sr, ch, nf, bits
     """
 
     # real WAV decode: the Spark side chunk-walks + fmt-parses an actual

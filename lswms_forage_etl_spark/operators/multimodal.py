@@ -676,6 +676,29 @@ def decode_image_bytes(buf: bytes) -> tuple[int, int, np.ndarray]:
         "sequential JPEG decode without external codec libraries")
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(mu-law, A-law) code -> linear int16 decode tables, the
+    canonical G.711 expansion formulas (Sun g711.c ulaw2linear /
+    alaw2linear — integer arithmetic, so the oracle replays them in
+    SQL)."""
+    codes = np.arange(256)
+    u = 255 - codes                                  # ~code & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u >> 4) & 7)
+    mu = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    a = codes ^ 0x55
+    ta = (a & 0x0F) << 4
+    seg = (a >> 4) & 7
+    ta = np.where(seg == 0, ta + 8,
+                  np.where(seg == 1, ta + 0x108,
+                           (ta + 0x108) << np.maximum(seg - 1, 0)))
+    al = np.where(a & 0x80, ta, -ta)
+    return mu.astype(np.int32), al.astype(np.int32)
+
+
+_MULAW_DECODE, _ALAW_DECODE = _g711_tables()
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
                bits: int = 16, channels: int = 1,
                extra_chunk: bytes | None = None,
@@ -705,6 +728,13 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
             raise ValueError(f"float WAV must be 32-bit, got {bits}")
         code = 3
         data = s.astype("<f4").tobytes()
+    elif audio_format in ("alaw", "mulaw"):
+        # G.711 companded: `samples` are the 8-bit CODE bytes (the
+        # transport form; linear expansion is the decoder's job)
+        if bits != 8:
+            raise ValueError(f"{audio_format} WAV must be 8-bit")
+        code = 6 if audio_format == "alaw" else 7
+        data = s.astype(np.uint8).tobytes()
     elif audio_format == "pcm":
         code = 1
         if bits == 8:
@@ -777,13 +807,18 @@ def _parse_wav(buf: bytes) -> tuple[int, int, int, int, np.ndarray]:
     if fmt_code is None or data is None:
         raise ValueError("WAV stream has no fmt /data chunk")
     ok = ((fmt_code == 1 and bits in (8, 16, 24))
-          or (fmt_code == 3 and bits == 32)) and channels in (1, 2)
+          or (fmt_code == 3 and bits == 32)
+          or (fmt_code in (6, 7) and bits == 8)) and channels in (1, 2)
     if not ok:
         raise NotImplementedError(
-            f"only integer-PCM 8/16/24-bit or IEEE-float 32-bit "
-            f"mono/stereo WAV supported "
+            f"only integer-PCM 8/16/24-bit, IEEE-float 32-bit, or "
+            f"G.711 A-law/mu-law mono/stereo WAV supported "
             f"(format={fmt_code}, bits={bits}, channels={channels})")
-    if fmt_code == 3:
+    if fmt_code in (6, 7):                           # G.711 expansion
+        codes = np.frombuffer(data, dtype=np.uint8)
+        table = _ALAW_DECODE if fmt_code == 6 else _MULAW_DECODE
+        samples = table[codes]
+    elif fmt_code == 3:
         samples = np.frombuffer(
             data[:len(data) - len(data) % 4], dtype="<f4")
     elif bits == 8:
@@ -900,6 +935,42 @@ def synth_wav_ext_media(docs: DataFrame) -> DataFrame:
     src = (docs.select(F.col("doc_id").alias("media_id"),
                        F.encode(F.col("text"), "UTF-8").alias("raw"),
                        (nf * ch * bpers).cast("int").alias("need"))
+           .where(F.octet_length("raw") >= F.col("need")))
+    return _spread(src).mapInPandas(build, schema=out_schema)
+
+
+def synth_wav_law_media(docs: DataFrame) -> DataFrame:
+    """G.711 companded audio payloads: each doc's first nf*ch text
+    bytes are the CODE bytes of a mu-law (even ids) / A-law (odd ids)
+    WAV — the telephony transport form. One byte per sample, so the
+    oracle replays the exact integer expansion formulas per byte."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, raw in zip(pdf["media_id"], pdf["raw"]):
+                doc_id = int(doc_id)
+                ch = 2 if doc_id % 3 == 0 else 1
+                nf = 24 + (doc_id % 8) * 4
+                rate = 8000 * (1 + doc_id % 3)
+                fmt = "mulaw" if doc_id % 2 == 0 else "alaw"
+                codes = np.frombuffer(bytes(raw)[:nf * ch],
+                                      dtype=np.uint8)
+                ids.append(doc_id)
+                payloads.append(encode_wav(codes, rate, 8, ch,
+                                           audio_format=fmt))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    ch = F.when(F.col("doc_id") % 3 == 0, F.lit(2)).otherwise(F.lit(1))
+    nf = F.lit(24) + (F.col("doc_id") % 8) * 4
+    src = (docs.select(F.col("doc_id").alias("media_id"),
+                       F.encode(F.col("text"), "UTF-8").alias("raw"),
+                       (nf * ch).cast("int").alias("need"))
            .where(F.octet_length("raw") >= F.col("need")))
     return _spread(src).mapInPandas(build, schema=out_schema)
 

@@ -539,3 +539,41 @@ def test_png_remaining_gates_raise():
     # sub-byte Adam7 is a documented encoder+decoder gate
     with pytest.raises(ValueError, match="Adam7"):
         encode_png(np.zeros((4, 4), np.uint8), bit_depth=4, interlace=1)
+
+
+def test_wav_g711_law_decode_round_trips(spark):
+    """G.711 mu-law/A-law (fmt 7/6): the canonical expansion tables
+    applied to code-byte payloads, plain and extensible-wrapped, and
+    the end-to-end Arrow path vs a driver-side table replay."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        _ALAW_DECODE, _MULAW_DECODE, _parse_wav, decode_audio_ext,
+        encode_wav, synth_wav_law_media)
+    # spec anchor points (Sun g711.c values)
+    assert _MULAW_DECODE[0xFF] == 0          # +0
+    assert _MULAW_DECODE[0x7F] == -0         # -0 == 0
+    assert _MULAW_DECODE[0x80] == 32124      # max positive
+    assert _MULAW_DECODE[0x00] == -32124     # max negative
+    assert _ALAW_DECODE[0xD5] == 8           # +min
+    assert _ALAW_DECODE[0x55] == -8
+    assert _ALAW_DECODE[0xAA] == 32256       # max positive
+    assert _ALAW_DECODE[0x2A] == -32256
+    codes = np.arange(256, dtype=np.uint8)
+    for fmt, table in (("mulaw", _MULAW_DECODE), ("alaw", _ALAW_DECODE)):
+        rate, ch, bits, nf, got = _parse_wav(
+            encode_wav(codes, 8000, 8, 1, audio_format=fmt))
+        assert (rate, ch, bits, nf) == (8000, 1, 8, 256)
+        assert np.array_equal(got, table)
+    # Arrow path over the graded synth == driver replay
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(30)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = decode_audio_ext(synth_wav_law_media(docs)).collect()
+    assert len(out) > 10
+    for r in out:
+        did = r["media_id"]
+        ch = 2 if did % 3 == 0 else 1
+        nf = 24 + (did % 8) * 4
+        table = _MULAW_DECODE if did % 2 == 0 else _ALAW_DECODE
+        v = table[np.frombuffer(
+            rows[did].encode("utf-8")[:nf * ch], dtype=np.uint8)]
+        assert r["amp_q"] == int(v.astype(np.int64).sum()) * 1000000, did
