@@ -2810,6 +2810,54 @@ def q_corpus_bpe_encode(spark, sf):
     return bpe_encoded_words(_t(spark, sf, "documents"), k=6)
 
 
+LM_TRAIN_SOURCES = ["src0", "src1", "src2", "src3"]
+"""Reference slice for the CCNet-style LM filter (the 'Wikipedia'
+stand-in): ~20% of the corpus, every language represented."""
+
+DSIR_TARGET_SOURCES = ["src0", "src1"]
+"""Target-domain slice for DSIR importance weighting."""
+
+
+def q_text_perplexity_bucket(spark, sf):
+    """CCNet-style perplexity filter (Wenzek et al. 2020): per-language
+    bigram LM trained on the LM_TRAIN_SOURCES reference slice, every
+    doc scored by average surprisal in EXACT whole-bit log2 units
+    (bitlen arithmetic — no float contract), bucketed head/middle/tail
+    per language. Counts table vocab^2-bounded and staged once for its
+    four consumers; corpus stream joins two bounded broadcast lookups;
+    one doc-key shuffle + the per-lang ntile window (at 100 TB the
+    bucketing swaps to sketched thresholds; exact rank is the graded
+    form)."""
+    from lswms_forage_etl_spark.operators.lm import bigram_lm_surprisal
+    return bigram_lm_surprisal(_t(spark, sf, "documents"),
+                               LM_TRAIN_SOURCES)
+
+
+def q_text_quality_classifier(spark, sf):
+    """fastText-style hashed linear quality classifier (Joulin et al.
+    2017): unigram + adjacent-bigram features, md5-derived integer
+    weights in [-1000, 1000], keep iff the exact integer score > 0.
+    ZERO shuffles — weights are computed inline inside aggregate/
+    zip_with HOFs, so a 100 TB corpus scores as a pure map over the
+    scan (no weight table, no join, no agg)."""
+    from lswms_forage_etl_spark.operators.lm import hashed_linear_quality
+    return hashed_linear_quality(_t(spark, sf, "documents"))
+
+
+def q_corpus_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): unigram + bigram
+    occurrences hashed into 1024 buckets, target (DSIR_TARGET_SOURCES)
+    vs raw bucket distributions from ONE conditional-sum aggregation,
+    per-doc weight = sum of whole-bit quantized log(p_t/p_r) over
+    feature occurrences. The 1024-row score table broadcasts back onto
+    the recomputed feature stream (staging a corpus-sized explode
+    loses — round-11 text_rarity lesson); shuffles: bounded bucket key
+    + doc key."""
+    from lswms_forage_etl_spark.operators.lm import dsir_importance
+    return dsir_importance(_t(spark, sf, "documents"),
+                           DSIR_TARGET_SOURCES)
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2989,6 +3037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_wav_ext": q_mm_decode_wav_ext,
         "events_attr_topk": q_events_attr_topk,
         "mm_decode_wav_law": q_mm_decode_wav_law,
+        "text_perplexity_bucket": q_text_perplexity_bucket,
+        "text_quality_classifier": q_text_quality_classifier,
+        "corpus_dsir_weights": q_corpus_dsir_weights,
     }
 
 
@@ -5912,6 +5963,121 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY valid_from, event_id)
                  IS NULL AS is_current
         FROM c
+    """
+
+    # CCNet-style bigram-LM perplexity buckets: whole-bit log2 via
+    # length(bin(n)) on both engines, stupid backoff +4 bits, ntile(3)
+    # per language over the deterministic (surprisal, doc_id) order.
+    _lm_train = ", ".join(f"'{s}'" for s in LM_TRAIN_SOURCES)
+    sql["text_perplexity_bucket"] = rf"""
+        WITH t AS (SELECT doc_id, lang, source, list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        i AS (SELECT doc_id, lang, source, toks,
+                     unnest(range(1, len(toks))) AS k
+              FROM t WHERE len(toks) >= 2),
+        bg AS (SELECT doc_id, lang, source,
+                      toks[k] AS a, toks[k + 1] AS b FROM i),
+        c2 AS (SELECT lang, a, b, CAST(count(*) AS BIGINT) AS c2
+               FROM bg WHERE source IN ({_lm_train}) GROUP BY 1, 2, 3),
+        c1 AS (SELECT lang, a, CAST(sum(c2) AS BIGINT) AS c1
+               FROM c2 GROUP BY 1, 2),
+        c1u AS (SELECT lang, b, CAST(sum(c2) AS BIGINT) AS c1u
+                FROM c2 GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(sum(c2) AS BIGINT) AS t
+                FROM c2 GROUP BY 1),
+        seen AS (SELECT c2.lang, a, b,
+                        length(bin(c1)) - length(bin(c2.c2)) AS s_seen
+                 FROM c2 JOIN c1 USING (lang, a)),
+        back AS (SELECT c1u.lang, b,
+                        length(bin(t)) - length(bin(c1u)) + 4 AS s_back
+                 FROM c1u JOIN tot USING (lang)),
+        sc AS (SELECT doc_id, bg.lang,
+                      coalesce(s_seen, s_back,
+                               length(bin(t)) + 4, 5) AS s
+               FROM bg
+               LEFT JOIN seen ON bg.lang = seen.lang
+                 AND bg.a = seen.a AND bg.b = seen.b
+               LEFT JOIN back ON bg.lang = back.lang
+                 AND bg.b = back.b
+               LEFT JOIN tot ON bg.lang = tot.lang),
+        pd AS (SELECT doc_id, lang,
+                      CAST(count(*) AS BIGINT) AS n_bigrams,
+                      CAST(sum(s) * 1000000 // count(*) AS BIGINT)
+                        AS surprisal_ppm
+               FROM sc GROUP BY 1, 2)
+        SELECT doc_id, lang, n_bigrams, surprisal_ppm,
+               CASE ntile(3) OVER (PARTITION BY lang
+                                   ORDER BY surprisal_ppm, doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+        FROM pd
+    """
+
+    # fastText-style hashed linear classifier: weight(f) =
+    # u32(md5('w|'||f)) % 2001 - 1000 summed over every unigram and
+    # adjacent-bigram OCCURRENCE — exact integers end to end.
+    sql["text_quality_classifier"] = r"""
+        WITH t AS (SELECT doc_id, source, list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        f AS (SELECT doc_id, 'u|' || unnest(toks) AS f FROM t
+              UNION ALL
+              SELECT doc_id, 'b|' || toks[k] || ' ' || toks[k + 1] AS f
+              FROM (SELECT doc_id, toks,
+                           unnest(range(1, len(toks))) AS k
+                    FROM t WHERE len(toks) >= 2)),
+        w AS (SELECT doc_id,
+                     ('0x' || substr(md5('w|' || f), 1, 8))::BIGINT
+                       % 2001 - 1000 AS w
+              FROM f),
+        s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_sum
+              FROM w GROUP BY 1)
+        SELECT t.doc_id, source,
+               CAST(len(toks) + greatest(len(toks) - 1, 0) AS BIGINT)
+                 AS n_features,
+               score_sum,
+               CASE WHEN score_sum > 0 THEN 'keep' ELSE 'drop' END
+                 AS label
+        FROM t JOIN s ON s.doc_id = t.doc_id
+    """
+
+    # DSIR importance weights: 1024 md5 buckets, target vs raw counts
+    # in one pass, whole-bit quantized log(p_t/p_r) per bucket.
+    _dsir_tgt = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    sql["corpus_dsir_weights"] = rf"""
+        WITH t AS (SELECT doc_id, source, list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        f0 AS (SELECT doc_id, source, 'u|' || unnest(toks) AS f FROM t
+               UNION ALL
+               SELECT doc_id, source,
+                      'b|' || toks[k] || ' ' || toks[k + 1] AS f
+               FROM (SELECT doc_id, source, toks,
+                            unnest(range(1, len(toks))) AS k
+                     FROM t WHERE len(toks) >= 2)),
+        f AS (SELECT doc_id, source,
+                     ('0x' || substr(md5('d|' || f), 1, 8))::BIGINT
+                       % 1024 AS bucket
+              FROM f0),
+        c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+                     CAST(sum(CASE WHEN source IN ({_dsir_tgt})
+                              THEN 1 ELSE 0 END) AS BIGINT) AS ct
+              FROM f GROUP BY 1),
+        s AS (SELECT bucket,
+                     (length(bin(ct + 1))
+                      - length(bin(CAST(sum(ct) OVER () AS BIGINT))))
+                     - (length(bin(cr + 1))
+                        - length(bin(CAST(sum(cr) OVER () AS BIGINT))))
+                       AS s
+              FROM c)
+        SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_features,
+               CAST(sum(s) AS BIGINT) AS weight_qbits,
+               CAST(sum(s) AS BIGINT) > 0 AS selected
+        FROM f JOIN s USING (bucket) GROUP BY 1, 2
     """
 
     return sql

@@ -96,6 +96,9 @@ HEADLINE = [
     "corpus_bpe_train_scaled",
     "mm_decode_jpeg",
     "events_attr_topk",
+    "text_perplexity_bucket",
+    "text_quality_classifier",
+    "corpus_dsir_weights",
 ]
 
 

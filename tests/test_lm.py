@@ -1,0 +1,169 @@
+"""Unit tests for the LM corpus-filter operators (operators/lm.py):
+every value is exact integer arithmetic, so the Spark results must
+equal a pure-Python replay bit for bit."""
+
+from __future__ import annotations
+
+import hashlib
+
+from lswms_forage_etl_spark.lifecycle import release_tracked
+from lswms_forage_etl_spark.operators.lm import (
+    BACKOFF_PENALTY_BITS,
+    CLS_WEIGHT_SPAN,
+    bigram_lm_surprisal,
+    dsir_importance,
+    hashed_linear_quality,
+)
+
+DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "the cat sat on the mat", "en", "ref"),
+    (1, "the cat ran on the mat", "en", "ref"),
+    (2, "the dog sat on a log", "en", "web"),
+    (3, "zx qq zx qq zx", "en", "web"),          # mostly unseen bigrams
+    (4, "  The   CAT sat  ", "en", "web"),       # case/space normalize
+    (5, "le chat dort", "fr", "web"),            # lang absent from train
+    (6, "the the the the", "en", "ref"),         # repeat bigrams kept
+]
+SCHEMA = "doc_id long, text string, lang string, source string"
+TRAIN = ["ref"]
+
+
+def _toks(s):
+    return [t for t in s.strip().lower().split() if t]
+
+
+def _bl(n):
+    return n.bit_length()
+
+
+def _u32(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_surprisal(docs, train_sources, penalty=BACKOFF_PENALTY_BITS):
+    bg = []
+    for did, text, lang, src in docs:
+        t = _toks(text)
+        for a, b in zip(t, t[1:]):
+            bg.append((did, lang, src, a, b))
+    c2, c1, c1u, tot = {}, {}, {}, {}
+    for _, lang, src, a, b in bg:
+        if src in train_sources:
+            c2[(lang, a, b)] = c2.get((lang, a, b), 0) + 1
+            c1[(lang, a)] = c1.get((lang, a), 0) + 1
+            c1u[(lang, b)] = c1u.get((lang, b), 0) + 1
+            tot[lang] = tot.get(lang, 0) + 1
+    per = {}
+    for did, lang, _, a, b in bg:
+        if (lang, a, b) in c2:
+            s = _bl(c1[(lang, a)]) - _bl(c2[(lang, a, b)])
+        elif (lang, b) in c1u:
+            s = _bl(tot[lang]) - _bl(c1u[(lang, b)]) + penalty
+        elif lang in tot:
+            s = _bl(tot[lang]) + penalty
+        else:
+            s = 1 + penalty
+        n, ss = per.get((did, lang), (0, 0))
+        per[(did, lang)] = (n + 1, ss + s)
+    rows = {k: (n, ss * 1_000_000 // n) for k, (n, ss) in per.items()}
+    # ntile(3) per lang over (surprisal_ppm, doc_id)
+    buckets = {}
+    langs = {lang for _, lang in rows}
+    for lang in langs:
+        ordered = sorted((ppm, did) for (did, lg), (_, ppm)
+                         in rows.items() if lg == lang)
+        n = len(ordered)
+        base, extra = divmod(n, 3)
+        names, i = ["head", "middle", "tail"], 0
+        for tile in range(3):
+            size = base + (1 if tile < extra else 0)
+            for _ in range(size):
+                if i < n:
+                    buckets[(ordered[i][1], lang)] = names[tile]
+                    i += 1
+    return {k: (n, ppm, buckets[k]) for k, (n, ppm) in rows.items()}
+
+
+def test_bigram_surprisal_matches_python_replay(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = {(r["doc_id"], r["lang"]):
+           (r["n_bigrams"], r["surprisal_ppm"], r["bucket"])
+           for r in bigram_lm_surprisal(df, TRAIN).collect()}
+    release_tracked()
+    assert got == _py_surprisal(DOCS, TRAIN)
+    # reference-slice docs score lower (head-ier) than the gibberish doc
+    assert got[(0, "en")][1] < got[(3, "en")][1]
+
+
+def test_bigram_surprisal_backoff_and_oov(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    out = {r["doc_id"]: r for r in
+           bigram_lm_surprisal(df, TRAIN).collect()}
+    release_tracked()
+    # doc 5: its lang has no train rows at all -> every bigram costs
+    # the last-ditch constant 1 + penalty
+    assert out[5]["surprisal_ppm"] == (1 + BACKOFF_PENALTY_BITS) * 1_000_000
+    # doc 3: 'zx qq' bigrams unseen AND qq/zx OOV as continuations ->
+    # bitlen(T_en) + penalty each
+    t_en = sum(1 for did, text, lang, src in DOCS if src == "ref"
+               for _ in zip(_toks(text), _toks(text)[1:]))
+    assert out[3]["surprisal_ppm"] == (_bl(t_en)
+                                       + BACKOFF_PENALTY_BITS) * 1_000_000
+
+
+def _py_classifier(docs):
+    half = (CLS_WEIGHT_SPAN - 1) // 2
+    exp = {}
+    for did, text, _, src in docs:
+        t = _toks(text)
+        feats = [f"u|{x}" for x in t] + [f"b|{a} {b}"
+                                         for a, b in zip(t, t[1:])]
+        score = sum(_u32("w|" + f) % CLS_WEIGHT_SPAN - half
+                    for f in feats)
+        exp[did] = (src, len(feats), score,
+                    "keep" if score > 0 else "drop")
+    return exp
+
+
+def test_hashed_linear_quality_matches_python_replay(spark):
+    docs = DOCS + [(7, "solo", "en", "web")]   # single token: no bigrams
+    df = spark.createDataFrame(docs, SCHEMA)
+    got = {r["doc_id"]: (r["source"], r["n_features"],
+                         r["score_sum"], r["label"])
+           for r in hashed_linear_quality(df).collect()}
+    release_tracked()
+    assert got == _py_classifier(docs)
+    assert got[7][1] == 1   # one unigram feature, zero bigrams
+
+
+def _py_dsir(docs, target_sources, num_buckets=1024):
+    occ = []
+    for did, text, _, src in docs:
+        t = _toks(text)
+        feats = [f"u|{x}" for x in t] + [f"b|{a} {b}"
+                                         for a, b in zip(t, t[1:])]
+        for f in feats:
+            occ.append((did, src, _u32("d|" + f) % num_buckets))
+    cr, ct = {}, {}
+    for _, src, b in occ:
+        cr[b] = cr.get(b, 0) + 1
+        if src in target_sources:
+            ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    s = {b: (_bl(ct.get(b, 0) + 1) - _bl(tt))
+         - (_bl(cr[b] + 1) - _bl(tr)) for b in cr}
+    exp = {}
+    for did, src, b in occ:
+        n, w = exp.get(did, (0, 0))
+        exp[did] = (n + 1, w + s[b])
+    return {did: (n, w, w > 0) for did, (n, w) in exp.items()}
+
+
+def test_dsir_importance_matches_python_replay(spark):
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = {r["doc_id"]: (r["n_features"], r["weight_qbits"],
+                         r["selected"])
+           for r in dsir_importance(df, ["ref"]).collect()}
+    release_tracked()
+    assert got == _py_dsir(DOCS, ["ref"])
