@@ -2844,6 +2844,26 @@ def q_text_quality_classifier(spark, sf):
     return hashed_linear_quality(_t(spark, sf, "documents"))
 
 
+def q_mm_decode_gif(spark, sf):
+    """REAL palette-format decode end-to-end (completes the image
+    codec family: netpbm/BMP/PNG/JPEG/GIF): each document's first w*9
+    text bytes become the INDEX raster of a spec-conformant GIF87a —
+    real variable-width LZW (width growth + CLEAR resets), odd ids
+    interlaced so the four-pass reorder runs — then the Arrow stage
+    LZW-decodes, de-interlaces, and maps the non-degenerate color
+    table (palette[i] = (i, 255-i, i^0x55)) for real. The oracle
+    replays the decoded RGB mean from the same text bytes via the
+    integer identity sum_rgb(i) = 255 + (i XOR 0x55), so an index-echo
+    shortcut or any LZW/interlace defect hash-mismatches."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_media, synth_gif_media)
+    out = decode_media(synth_gif_media(_t(spark, sf, "documents")),
+                       fake=False)
+    return out.select(
+        "media_id", "decoded_width", "decoded_height",
+        pround(F.col("mean_intensity"), 9).alias("mean_intensity"))
+
+
 def q_corpus_dsir_weights(spark, sf):
     """DSIR importance weights (Xie et al. 2023): unigram + bigram
     occurrences hashed into 1024 buckets, target (DSIR_TARGET_SOURCES)
@@ -3040,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_bucket": q_text_perplexity_bucket,
         "text_quality_classifier": q_text_quality_classifier,
         "corpus_dsir_weights": q_corpus_dsir_weights,
+        "mm_decode_gif": q_mm_decode_gif,
     }
 
 
@@ -6078,6 +6099,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(s) AS BIGINT) AS weight_qbits,
                CAST(sum(s) AS BIGINT) > 0 AS selected
         FROM f JOIN s USING (bucket) GROUP BY 1, 2
+    """
+
+    # real GIF decode: the palette is lossless and index-based, so the
+    # oracle replays the decoded RGB mean straight from the source
+    # text bytes via sum_rgb(i) = i + (255-i) + (i^0x55) = 255 + (i^0x55);
+    # the mean divides the SAME two integers the Arrow stage divides
+    # (255*w*9 + sum_xor over 3*w*9 samples), bit-identical IEEE.
+    sql["mm_decode_gif"] = f"""
+        WITH m AS (SELECT doc_id AS media_id,
+                          CAST(doc_id % 8 + 4 AS INT) AS w,
+                          hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        f AS (SELECT * FROM m WHERE n >= w * 9),
+        b AS (SELECT media_id, w,
+                     ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT
+                       AS byte
+              FROM f, (SELECT unnest(range(0, w * 9)) AS j))
+        SELECT media_id, w AS decoded_width,
+               CAST(9 AS INT) AS decoded_height,
+               {_pr("CAST(255 * w * 9 + sum(xor(byte, 85)) AS DOUBLE)"
+                    " / (3 * w * 9)", 9)} AS mean_intensity
+        FROM b GROUP BY media_id, w
     """
 
     return sql

@@ -99,6 +99,7 @@ HEADLINE = [
     "text_perplexity_bucket",
     "text_quality_classifier",
     "corpus_dsir_weights",
+    "mm_decode_gif",
 ]
 
 

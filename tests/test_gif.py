@@ -1,0 +1,102 @@
+"""GIF codec tests (operators/gif.py): lossless round-trips through
+the REAL variable-width LZW (width growth, KwKwK, 4096-entry table
+reset), interlacing, extension skipping, an external known-bytes
+fixture, and the honest dispatch gates."""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pytest
+
+from lswms_forage_etl_spark.operators.gif import (
+    encode_gif,
+    lzw_decode,
+    lzw_encode,
+    parse_gif,
+    synth_palette,
+)
+
+PAL = synth_palette()
+
+
+def _rt(ix: np.ndarray, interlaced: bool = False) -> None:
+    w, h, pix = parse_gif(encode_gif(ix, interlaced=interlaced))
+    assert (w, h) == (ix.shape[1], ix.shape[0])
+    expect = PAL[ix.reshape(-1)].reshape(-1)
+    assert np.array_equal(pix, expect)
+
+
+def test_roundtrip_small():
+    rng = np.random.RandomState(7)
+    _rt(rng.randint(0, 256, (3, 5)).astype(np.uint8))
+    _rt(np.zeros((1, 1), dtype=np.uint8))
+    _rt(np.arange(256, dtype=np.uint8).reshape(16, 16))
+
+
+def test_roundtrip_kwkwk():
+    # constant rasters drive the cScSc decode path (code == next slot)
+    _rt(np.full((9, 11), 65, dtype=np.uint8))
+    _rt(np.tile(np.array([65, 65, 66], dtype=np.uint8), 40).reshape(8, 15))
+
+
+def test_roundtrip_width_growth_and_table_reset():
+    rng = np.random.RandomState(42)
+    # ~30k high-entropy bytes add >4096 table entries: the code width
+    # walks 9 -> 12 and the encoder must CLEAR-reset mid-stream
+    big = rng.randint(0, 256, (60, 500)).astype(np.uint8)
+    _rt(big)
+    _rt(big, interlaced=True)
+
+
+def test_roundtrip_interlaced():
+    rng = np.random.RandomState(3)
+    for h in (1, 2, 4, 7, 8, 9):          # every interlace-pass subset
+        _rt(rng.randint(0, 256, (h, 6)).astype(np.uint8),
+            interlaced=True)
+
+
+def test_lzw_stream_starts_with_clear_at_width9():
+    stream = lzw_encode(b"abc", 8)
+    first = stream[0] | (stream[1] << 8)
+    assert first & 0x1FF == 256            # CLEAR, 9 LSB-first bits
+
+
+def test_lzw_raw_roundtrip_with_reset():
+    rng = np.random.RandomState(1)
+    data = bytes(rng.randint(0, 256, 30000).astype(np.uint8).tobytes())
+    assert lzw_decode(lzw_encode(data, 8), 8) == data
+
+
+def test_external_fixture_1x1_transparent_gif():
+    # the canonical 1x1 transparent GIF (2-entry global table, GCE
+    # extension, LZW min code size 2, pixel-count termination)
+    buf = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    w, h, pix = parse_gif(buf)
+    assert (w, h) == (1, 1)
+    assert pix.tolist() == [0, 0, 0]
+
+
+def test_animated_gif_raises():
+    ix = np.zeros((2, 2), dtype=np.uint8)
+    buf = bytearray(encode_gif(ix))
+    # splice a second image descriptor chain before the trailer
+    body = bytes(buf[:-1]) + bytes(buf[13 + 768:])
+    with pytest.raises(NotImplementedError, match="animated"):
+        parse_gif(body)
+
+
+def test_bad_signature_raises():
+    with pytest.raises(ValueError, match="signature"):
+        parse_gif(b"NOTGIF" + b"\x00" * 20)
+
+
+def test_decode_dispatch_includes_gif():
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_image_bytes)
+    ix = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    w, h, pix = decode_image_bytes(encode_gif(ix))
+    assert (w, h) == (6, 5)
+    assert np.array_equal(pix, PAL[ix.reshape(-1)].reshape(-1))

@@ -163,9 +163,13 @@ def test_decode_dispatch_gates():
     # format — in-kernel gates (progressive etc.) live in test_jpeg.py
     with pytest.raises(ValueError, match="expected marker"):
         decode_image_bytes(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    # GIF magic routes to the GIF kernel (round 12); a zero-filled
+    # stream is a malformed-GIF error, not an unsupported format
+    with pytest.raises(ValueError, match="GIF: unexpected block"):
+        decode_image_bytes(b"GIF89a" + b"\x00" * 16)
     # a truly unknown magic still hits the dispatch seam
     with pytest.raises(NotImplementedError, match="unsupported image magic"):
-        decode_image_bytes(b"GIF89a" + b"\x00" * 16)
+        decode_image_bytes(b"XX-unknown-magic" + b"\x00" * 16)
     # PNG magic now routes to the PNG kernel; a header-less stream is a
     # malformed-PNG error, not an unsupported format
     with pytest.raises(ValueError, match="no IHDR"):

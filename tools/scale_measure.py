@@ -95,6 +95,13 @@ QUERIES = [
     "corpus_bpe_encode",
     "bpe_train_k1024",
     "mm_decode_jpeg",
+    # round-12 session-2 operators: G.711 WAV decode + the LM corpus
+    # filters (operators/lm.py)
+    "mm_decode_wav_law",
+    "text_perplexity_bucket",
+    "text_quality_classifier",
+    "corpus_dsir_weights",
+    "mm_decode_gif",
 ]
 
 
