@@ -4,6 +4,9 @@ Composes the engine's training-data operators through the same E1
 orchestrator (empty-guard cascade, failure hooks, lazy stage hand-offs):
 
     clean      C4-style gate: quality score + language id + length band
+    lm_filter  (optional) CCNet-style LM gate: per-language bigram-LM
+               perplexity tertiles + hashed linear classifier
+               (operators/lm.py), both exact-integer semi-join gates
     dedup      exact fingerprint keep-min -> MinHash-LSH near-dup pairs
                -> connected components -> drop non-representatives
     decontam   remove train docs whose shingles contain an eval doc
@@ -38,17 +41,43 @@ def corpus_pipeline(quality_min: float = 0.8,
                     jaccard_min: float = 0.7,
                     containment_min: float = 0.8,
                     per_source_cap: int = 10_000,
-                    mix_weights: dict[str, float] | None = None) -> Pipeline:
+                    mix_weights: dict[str, float] | None = None,
+                    lm_train_sources: list[str] | None = None) -> Pipeline:
     """Expected ctx inputs: docs (doc_id, text, source), eval_docs
     (doc_id, text). Outputs: clean, clusters, deduped, decontaminated,
     corpus (+ mixed, when `mix_weights` reweights sources — rows gain
-    copy_idx so downstream packing can salt per-copy order)."""
+    copy_idx so downstream packing can salt per-copy order).
+
+    With `lm_train_sources` set, an LM-filter stage (the CCNet recipe,
+    operators/lm.py) runs between clean and dedup: a per-language
+    bigram LM trained on that reference slice drops the worst
+    perplexity tertile, and the hashed linear classifier drops
+    score <= 0 docs — both exact-integer, both pure semi-join gates on
+    doc_id, so the stage adds no wide rows to the hand-off."""
 
     def st_clean(spark, ctx):
         d = ctx["docs"].where(
             (T.quality_score("text") >= quality_min)
             & (T.lang_id("text") != "und"))
         return {"clean": track(d.persist())}
+
+    def st_lm_filter(spark, ctx):
+        from lswms_forage_etl_spark.operators.lm import (
+            bigram_lm_surprisal, hashed_linear_quality)
+        d = ctx["clean"].withColumn("_lang", T.lang_id("text"))
+        keep_ppl = (bigram_lm_surprisal(d, lm_train_sources,
+                                        lang_col="_lang")
+                    .where(F.col("bucket") != "tail")
+                    .select("doc_id"))
+        keep_cls = (hashed_linear_quality(d)
+                    .where(F.col("label") == "keep")
+                    .select("doc_id"))
+        kept = (ctx["clean"]
+                .join(keep_ppl, "doc_id", "left_semi")
+                .join(keep_cls, "doc_id", "left_semi"))
+        # overwrite: "clean" names the current cleaned corpus, so
+        # downstream stages are oblivious to whether the LM gate ran
+        return {"clean": track(kept.persist())}
 
     def st_dedup(spark, ctx):
         d = ctx["clean"]
@@ -123,6 +152,8 @@ def corpus_pipeline(quality_min: float = 0.8,
 
     stages = [
         Stage("clean", st_clean, requires=("docs",)),
+        *([Stage("lm_filter", st_lm_filter, requires=("clean",))]
+          if lm_train_sources is not None else []),
         Stage("dedup", st_dedup, requires=("clean",)),
         Stage("decontam", st_decontam, requires=("deduped", "eval_docs")),
         Stage("sample", st_sample, requires=("decontaminated",)),

@@ -68,6 +68,37 @@ def test_corpus_pipeline_mix_stage(spark):
         assert per_doc[doc_id] == ({1, 2} if src == "web" else {1})
 
 
+def test_corpus_pipeline_lm_filter_stage(spark):
+    from pyspark.sql import functions as F
+
+    from lswms_forage_etl_spark.functions.text import lang_id
+    from lswms_forage_etl_spark.operators.lm import (
+        bigram_lm_surprisal, hashed_linear_quality)
+    pipe = corpus_pipeline(quality_min=0.8, jaccard_min=0.5,
+                           containment_min=0.8, per_source_cap=10,
+                           lm_train_sources=["srcA"])
+    ctx = pipe.run(spark, {"docs": _docs(spark), "eval_docs": _eval(spark)})
+    names = [r.name for r in pipe.results]
+    assert names == ["clean", "lm_filter", "dedup", "decontam", "sample"]
+    assert [r.status for r in pipe.results] == ["ok"] * 5
+
+    # the stage must equal composing the two operators directly over
+    # the unfiltered clean table (wiring check, exact ids)
+    base = _docs(spark).where(
+        "doc_id != 3")  # the quality gate drops doc 3
+    d = base.withColumn("_lang", lang_id("text"))
+    keep_ppl = {r["doc_id"] for r in
+                bigram_lm_surprisal(d, ["srcA"], lang_col="_lang")
+                .where(F.col("bucket") != "tail")
+                .select("doc_id").collect()}
+    keep_cls = {r["doc_id"] for r in hashed_linear_quality(base)
+                .where(F.col("label") == "keep")
+                .select("doc_id").collect()}
+    got = {r["doc_id"] for r in ctx["clean"].select("doc_id").collect()}
+    assert got == keep_ppl & keep_cls
+    assert got < {1, 2, 4, 5, 6}   # a strict subset: the gate bit
+
+
 def test_corpus_pipeline_empty_guard_cascade(spark):
     pipe = corpus_pipeline()
     empty = _docs(spark).where("doc_id < 0")
