@@ -2864,6 +2864,46 @@ def q_mm_decode_gif(spark, sf):
         pround(F.col("mean_intensity"), 9).alias("mean_intensity"))
 
 
+def q_mm_scan_zip(spark, sf):
+    """Archive-container ingest, zip: every 8 documents become ONE
+    spec-conformant zip (stdlib-zipfile writer — an INDEPENDENT
+    implementation), then the from-scratch reader walks the central
+    directory, cross-checks local headers, inflates raw-deflate
+    members (odd ids; even stored), and verifies CRC-32 inside the
+    Arrow batch loop. The oracle replays member names, sizes, and md5
+    content fingerprints straight from the documents table, so any
+    defect across encode -> EOCD walk -> inflate -> CRC
+    hash-mismatches. One groupBy shuffle to build, shuffle-free scan."""
+    from lswms_forage_etl_spark.sources.archive import (
+        scan_zip_members, synth_zip_media)
+    return scan_zip_members(synth_zip_media(_t(spark, sf, "documents")))
+
+
+def q_mm_scan_warc(spark, sf):
+    """Archive-container ingest, WARC (the Common Crawl convention):
+    every 8 documents become one .warc.gz capture (one byte-
+    deterministic gzip member per record), then the from-scratch
+    reader splits the members with a zlib decompressobj loop, parses
+    the WARC/1.0 header blocks, and frames content by Content-Length.
+    Same oracle discipline as mm_scan_zip (names/sizes/md5 replayed
+    from the source table)."""
+    from lswms_forage_etl_spark.sources.archive import (
+        scan_warc_records, synth_warc_media)
+    return scan_warc_records(synth_warc_media(_t(spark, sf, "documents")))
+
+
+def q_mm_scan_tar(spark, sf):
+    """Archive-container ingest, tar: every 8 documents become ONE
+    POSIX ustar tar (stdlib-tarfile writer — independent), then the
+    from-scratch reader walks the 512-byte headers (checksum verified
+    before anything else decodes), frames block-padded content, and
+    stops at the zero-block terminator. Same oracle discipline as
+    mm_scan_zip."""
+    from lswms_forage_etl_spark.sources.archive import (
+        scan_tar_members, synth_tar_media)
+    return scan_tar_members(synth_tar_media(_t(spark, sf, "documents")))
+
+
 def q_corpus_dsir_weights(spark, sf):
     """DSIR importance weights (Xie et al. 2023): unigram + bigram
     occurrences hashed into 1024 buckets, target (DSIR_TARGET_SOURCES)
@@ -3061,6 +3101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": q_text_quality_classifier,
         "corpus_dsir_weights": q_corpus_dsir_weights,
         "mm_decode_gif": q_mm_decode_gif,
+        "mm_scan_zip": q_mm_scan_zip,
+        "mm_scan_warc": q_mm_scan_warc,
+        "mm_scan_tar": q_mm_scan_tar,
     }
 
 
@@ -6122,6 +6165,33 @@ def oracle_sql() -> dict[str, str]:
                {_pr("CAST(255 * w * 9 + sum(xor(byte, 85)) AS DOUBLE)"
                     " / (3 * w * 9)", 9)} AS mean_intensity
         FROM b GROUP BY media_id, w
+    """
+
+    # archive scans: member names/sizes/md5 fingerprints replayed from
+    # the source table (md5 over the VARCHAR's UTF-8 bytes == the Arrow
+    # stage's md5 over the decoded member bytes)
+    sql["mm_scan_zip"] = """
+        SELECT doc_id - (doc_id % 8) AS archive_id,
+               'doc-' || doc_id || '.txt' AS member_name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_fp
+        FROM documents
+    """
+
+    sql["mm_scan_warc"] = """
+        SELECT doc_id - (doc_id % 8) AS archive_id,
+               'http://corpus/doc/' || doc_id AS member_name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_fp
+        FROM documents
+    """
+
+    sql["mm_scan_tar"] = """
+        SELECT doc_id - (doc_id % 8) AS archive_id,
+               'doc-' || doc_id || '.txt' AS member_name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_fp
+        FROM documents
     """
 
     return sql

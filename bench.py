@@ -100,6 +100,9 @@ HEADLINE = [
     "text_quality_classifier",
     "corpus_dsir_weights",
     "mm_decode_gif",
+    "mm_scan_zip",
+    "mm_scan_warc",
+    "mm_scan_tar",
 ]
 
 

@@ -1,0 +1,175 @@
+"""Archive source tests (sources/archive.py): the from-scratch zip
+reader against the INDEPENDENT stdlib-zipfile writer, the WARC codec
+against stdlib gzip, corruption/unsupported gates, and the Spark
+member-scan end to end."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import zipfile
+
+import pytest
+
+from lswms_forage_etl_spark.sources.archive import (
+    encode_tar,
+    encode_warc,
+    encode_zip,
+    parse_tar,
+    parse_warc,
+    parse_zip,
+    scan_tar_members,
+    scan_warc_records,
+    scan_zip_members,
+    synth_tar_media,
+    synth_warc_media,
+    synth_zip_media,
+)
+
+MEMBERS = [("a.txt", b"hello world", False),
+           ("big.txt", b"spark " * 2000, True),
+           ("dir/nested.txt", "unicode éü".encode(), True),
+           ("empty.bin", b"", False)]
+
+
+def test_zip_roundtrip_against_stdlib_writer():
+    buf = encode_zip(MEMBERS)
+    assert parse_zip(buf) == [(n, c) for n, c, _ in MEMBERS]
+    # and the stdlib READER agrees with our writer's bytes
+    with zipfile.ZipFile(io.BytesIO(buf)) as zf:
+        assert [(i.filename, zf.read(i.filename)) for i in zf.infolist()] \
+            == [(n, c) for n, c, _ in MEMBERS]
+
+
+def test_zip_parser_reads_foreign_zipfile_bytes():
+    # a zip written by stdlib WITHOUT our fixed-timestamp convention
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("x/y.txt", b"payload bytes here")
+        zf.writestr("z.txt", b"")
+    got = parse_zip(buf.getvalue())
+    assert got == [("x/y.txt", b"payload bytes here"), ("z.txt", b"")]
+
+
+def test_zip_crc_corruption_detected():
+    buf = bytearray(encode_zip([("a.txt", b"0123456789abcdef", False)]))
+    # flip a content byte inside the stored member
+    i = bytes(buf).find(b"0123456789abcdef")
+    buf[i] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC-32"):
+        parse_zip(bytes(buf))
+
+
+def test_zip_gates():
+    with pytest.raises(ValueError, match="end-of-central"):
+        parse_zip(b"not a zip at all")
+    # encrypted flag set in the central directory
+    buf = bytearray(encode_zip([("a.txt", b"secret", False)]))
+    cd = bytes(buf).find(b"PK\x01\x02")
+    buf[cd + 8] |= 0x1
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        parse_zip(bytes(buf))
+
+
+def test_warc_roundtrip_and_stdlib_gzip_agreement():
+    recs = [("http://corpus/doc/1", b"hello"),
+            ("http://corpus/doc/2", b"x" * 3000),
+            ("http://corpus/doc/3", b"")]
+    buf = encode_warc(recs)
+    got = parse_warc(buf)
+    assert [(h["WARC-Target-URI"], c) for h, c in got] == recs
+    assert all(h["WARC-Type"] == "response" for h, _ in got)
+    # stdlib gzip can read our fixed-header members (concatenated)
+    assert gzip.decompress(buf).startswith(b"WARC/1.0")
+    assert buf == encode_warc(recs)        # byte-determinism
+
+
+def test_warc_truncation_detected():
+    buf = encode_warc([("u", b"abcdef")])
+    inner = gzip.decompress(buf)
+    bad = gzip.compress(inner[:-4], mtime=0)   # drop the trailer
+    with pytest.raises(ValueError, match="trailer|truncated"):
+        parse_warc(bad)
+
+
+def test_tar_roundtrip_against_stdlib_writer():
+    import tarfile
+    members = [(n, c) for n, c, _ in MEMBERS]
+    buf = encode_tar(members)
+    assert parse_tar(buf) == members
+    # stdlib READER agrees with the bytes our writer produced
+    with tarfile.open(fileobj=io.BytesIO(buf)) as tf:
+        got = [(m.name, tf.extractfile(m).read())
+               for m in tf.getmembers()]
+    assert got == members
+
+
+def test_tar_parser_reads_foreign_tarfile_bytes():
+    import tarfile
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("plain.txt")
+        data = b"written by stdlib with default metadata"
+        info.size = len(data)
+        info.mtime = 1700000000
+        info.mode = 0o755
+        tf.addfile(info, io.BytesIO(data))
+        d = tarfile.TarInfo("dir/")             # directory entry skipped
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+    got = parse_tar(buf.getvalue())
+    assert got == [("plain.txt", data)]
+
+
+def test_tar_gates():
+    buf = bytearray(encode_tar([("a.txt", b"abc")]))
+    buf[0] ^= 0xFF                              # corrupt the name field
+    with pytest.raises(ValueError, match="checksum"):
+        parse_tar(bytes(buf))
+    import tarfile
+    pax = io.BytesIO()
+    with tarfile.open(fileobj=pax, mode="w",
+                      format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo("x" * 150)       # forces a PAX header
+        info.size = 0
+        tf.addfile(info)
+    with pytest.raises(NotImplementedError, match="PAX"):
+        parse_tar(pax.getvalue())
+
+
+def test_scan_tar_members_end_to_end(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = scan_tar_members(synth_tar_media(docs)).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(out) == len(src)
+    for r in out:
+        did = int(r["member_name"][4:-4])
+        raw = src[did].encode()
+        assert r["content_fp"] == hashlib.md5(raw).hexdigest()
+        assert r["n_bytes"] == len(raw)
+
+
+def test_scan_zip_members_end_to_end(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = scan_zip_members(synth_zip_media(docs)).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(out) == len(src)
+    for r in out:
+        did = int(r["member_name"][4:-4])
+        raw = src[did].encode()
+        assert r["archive_id"] == did - did % 8
+        assert r["n_bytes"] == len(raw)
+        assert r["content_fp"] == hashlib.md5(raw).hexdigest()
+
+
+def test_scan_warc_records_end_to_end(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = scan_warc_records(synth_warc_media(docs)).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(out) == len(src)
+    for r in out:
+        did = int(r["member_name"].rsplit("/", 1)[1])
+        raw = src[did].encode()
+        assert r["n_bytes"] == len(raw)
+        assert r["content_fp"] == hashlib.md5(raw).hexdigest()

@@ -102,6 +102,9 @@ QUERIES = [
     "text_quality_classifier",
     "corpus_dsir_weights",
     "mm_decode_gif",
+    "mm_scan_zip",
+    "mm_scan_warc",
+    "mm_scan_tar",
 ]
 
 
