@@ -203,8 +203,11 @@ def parse_tar(buf: bytes) -> list[tuple[str, bytes]]:
     """From-scratch ustar reader: 512-byte headers (name, octal size,
     checksum verified as the unsigned sum with the checksum field
     blanked), content in 512-padded blocks, two zero blocks end the
-    archive. Only regular files (typeflag '0' or NUL) are returned;
+    archive. A gzip-wrapped stream (.tar.gz magic 1f 8b) is inflated
+    first. Only regular files (typeflag '0' or NUL) are returned;
     GNU long-name/PAX extension headers raise — honest gates."""
+    if buf[:2] == b"\x1f\x8b":
+        buf = zlib.decompress(buf, wbits=47)
     out: list[tuple[str, bytes]] = []
     pos = 0
     while pos + 512 <= len(buf):
@@ -241,6 +244,18 @@ _MEMBER_SCHEMA = StructType([
     StructField("n_bytes", LongType(), False),
     StructField("content_fp", StringType(), False),
 ])
+
+
+
+def _maybe_spread(df: DataFrame) -> DataFrame:
+    """dedup._spread for batch inputs; a STREAMING DataFrame (the
+    binaryFile landing-dir composition in the tests) cannot be
+    repartition-probed via .rdd, and its file-source batches already
+    split per archive file."""
+    if df.isStreaming:
+        return df
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    return _spread(df)
 
 
 def synth_zip_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
@@ -317,9 +332,8 @@ def scan_tar_members(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"archive_id": aid, "member_name": name,
                                 "n_bytes": nb, "content_fp": fp})
 
-    from lswms_forage_etl_spark.operators.dedup import _spread
-    return _spread(media.select("archive_id", "payload")).mapInPandas(
-        scan, schema=_MEMBER_SCHEMA)
+    return _maybe_spread(media.select("archive_id", "payload")) \
+        .mapInPandas(scan, schema=_MEMBER_SCHEMA)
 
 
 def scan_zip_members(media: DataFrame) -> DataFrame:
@@ -339,9 +353,8 @@ def scan_zip_members(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"archive_id": aid, "member_name": name,
                                 "n_bytes": nb, "content_fp": fp})
 
-    from lswms_forage_etl_spark.operators.dedup import _spread
-    return _spread(media.select("archive_id", "payload")).mapInPandas(
-        scan, schema=_MEMBER_SCHEMA)
+    return _maybe_spread(media.select("archive_id", "payload")) \
+        .mapInPandas(scan, schema=_MEMBER_SCHEMA)
 
 
 def scan_warc_records(media: DataFrame) -> DataFrame:
@@ -359,6 +372,5 @@ def scan_warc_records(media: DataFrame) -> DataFrame:
             yield pd.DataFrame({"archive_id": aid, "member_name": name,
                                 "n_bytes": nb, "content_fp": fp})
 
-    from lswms_forage_etl_spark.operators.dedup import _spread
-    return _spread(media.select("archive_id", "payload")).mapInPandas(
-        scan, schema=_MEMBER_SCHEMA)
+    return _maybe_spread(media.select("archive_id", "payload")) \
+        .mapInPandas(scan, schema=_MEMBER_SCHEMA)

@@ -138,6 +138,46 @@ def test_tar_gates():
         parse_tar(pax.getvalue())
 
 
+def test_tar_gz_autodetect():
+    import tarfile
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        info = tarfile.TarInfo("a.txt")
+        info.size = 3
+        tf.addfile(info, io.BytesIO(b"abc"))
+    assert parse_tar(buf.getvalue()) == [("a.txt", b"abc")]
+
+
+def test_streaming_zip_ingest(spark, tmp_path):
+    # archives land as files; a binaryFile stream + availableNow batch
+    # scans members through the same from-scratch reader (the corpus-
+    # ingest composition: container scan at the streaming boundary)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(24)
+    zips = synth_zip_media(docs).collect()
+    src_dir = tmp_path / "landing"
+    src_dir.mkdir()
+    for r in zips:
+        (src_dir / f"{r['archive_id']}.zip").write_bytes(r["payload"])
+    stream = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary")
+              .option("pathGlobFilter", "*.zip")
+              .load(str(src_dir))
+              .selectExpr("cast(0 as long) as archive_id",
+                          "content as payload"))
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (scan_zip_members(stream).writeStream
+         .format("parquet").option("path", str(out_dir))
+         .option("checkpointLocation", str(ckpt))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out_dir))
+    assert got.count() == docs.count()
+    names = {r["member_name"] for r in got.collect()}
+    assert names == {f"doc-{r['doc_id']}.txt" for r in docs.collect()}
+
+
 def test_scan_tar_members_end_to_end(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = scan_tar_members(synth_tar_media(docs)).collect()
