@@ -2892,6 +2892,24 @@ def q_mm_scan_warc(spark, sf):
     return scan_warc_records(synth_warc_media(_t(spark, sf, "documents")))
 
 
+def q_mm_gif_frames(spark, sf):
+    """ANIMATED GIF frame-table decode (the video-shaped multimodal
+    path): each document's first w*9 text bytes become a three-frame
+    full-screen GIF89a animation (per-frame GCE delays 4/5/6 cs, odd
+    ids interlaced), then the Arrow stage LZW-decodes every frame,
+    reads its delay, and maps the non-degenerate palette. One row per
+    (media_id, frame_idx); the oracle replays delays and per-frame RGB
+    means from the same text byte ranges. Sub-rectangle/disposal
+    compositing stays an honest in-kernel gate."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        gif_frame_table, synth_gif_anim_media)
+    out = gif_frame_table(synth_gif_anim_media(_t(spark, sf, "documents")))
+    return out.select(
+        "media_id", "frame_idx", "delay_cs", "decoded_width",
+        "decoded_height",
+        pround(F.col("mean_intensity"), 9).alias("mean_intensity"))
+
+
 def q_mm_scan_tar(spark, sf):
     """Archive-container ingest, tar: every 8 documents become ONE
     POSIX ustar tar (stdlib-tarfile writer — independent), then the
@@ -3104,6 +3122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scan_zip": q_mm_scan_zip,
         "mm_scan_warc": q_mm_scan_warc,
         "mm_scan_tar": q_mm_scan_tar,
+        "mm_gif_frames": q_mm_gif_frames,
     }
 
 
@@ -6192,6 +6211,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_fp
         FROM documents
+    """
+
+    # animated GIF frame table: frame k covers text bytes
+    # [k*3w, (k+1)*3w); same palette identity as mm_decode_gif, delay
+    # = 4 + k from the per-frame Graphic Control Extension
+    sql["mm_gif_frames"] = f"""
+        WITH m AS (SELECT doc_id AS media_id,
+                          CAST(doc_id % 8 + 4 AS INT) AS w,
+                          hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        f AS (SELECT * FROM m WHERE n >= w * 9),
+        b AS (SELECT media_id, w, CAST(j // (3 * w) AS INT) AS k,
+                     ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT
+                       AS byte
+              FROM f, (SELECT unnest(range(0, w * 9)) AS j))
+        SELECT media_id, k AS frame_idx,
+               CAST(4 + k AS INT) AS delay_cs,
+               w AS decoded_width, CAST(3 AS INT) AS decoded_height,
+               {_pr("CAST(255 * 3 * w + sum(xor(byte, 85)) AS DOUBLE)"
+                    " / (9 * w)", 9)} AS mean_intensity
+        FROM b GROUP BY media_id, w, k
     """
 
     return sql

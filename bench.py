@@ -103,6 +103,7 @@ HEADLINE = [
     "mm_scan_zip",
     "mm_scan_warc",
     "mm_scan_tar",
+    "mm_gif_frames",
 ]
 
 

@@ -221,6 +221,123 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray | None = None,
     return bytes(out)
 
 
+def encode_gif_frames(frames: list[np.ndarray],
+                      palette: np.ndarray | None = None,
+                      interlaced: bool = False) -> bytes:
+    """Spec-conformant ANIMATED GIF89a: every frame is a full-logical-
+    screen index raster preceded by a Graphic Control Extension whose
+    delay is 4 + frame_idx centiseconds (a varying, parse-checkable
+    value). All frames share the global color table."""
+    if palette is None:
+        palette = synth_palette()
+    if not frames:
+        raise ValueError("encode_gif_frames: no frames")
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    out += palette.astype(np.uint8).tobytes()
+    for k, ix in enumerate(frames):
+        if ix.shape != (h, w):
+            raise ValueError("encode_gif_frames: frame shape mismatch")
+        delay = 4 + k
+        out += b"\x21\xf9\x04\x00" + delay.to_bytes(2, "little") \
+            + b"\x00\x00"
+        out += b"\x2c" + b"\x00" * 4
+        out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+        out += bytes([0x40 if interlaced else 0x00])
+        rows = ix[_interlace_order(h)] if interlaced else ix
+        out += bytes([8])
+        stream = lzw_encode(np.asarray(rows, dtype=np.uint8).tobytes(), 8)
+        for i in range(0, len(stream), 255):
+            block = stream[i:i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif_frames(buf: bytes
+                     ) -> list[tuple[int, int, int, np.ndarray]]:
+    """Decode an animated (or single-image) GIF into its frame table:
+    (delay_cs, width, height, flat RGB samples) per frame. Frames must
+    cover the full logical screen (sub-rectangle placement raises —
+    compositing with disposal methods is the gate left honest); each
+    frame's delay comes from its preceding Graphic Control Extension
+    (0 when absent)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad signature")
+    sw = int.from_bytes(buf[6:8], "little")
+    sh = int.from_bytes(buf[8:10], "little")
+    packed = buf[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(buf[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    frames: list[tuple[int, int, int, np.ndarray]] = []
+    delay = 0
+    while pos < len(buf):
+        b0 = buf[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            label = buf[pos]
+            if label == 0xF9:           # GCE: read the delay field
+                if buf[pos + 1] != 4:
+                    raise ValueError("GIF: bad GCE block size")
+                delay = int.from_bytes(buf[pos + 3:pos + 5], "little")
+            pos = _skip_subblocks(buf, pos + 1)
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02x}")
+        left = int.from_bytes(buf[pos:pos + 2], "little")
+        top = int.from_bytes(buf[pos + 2:pos + 4], "little")
+        w = int.from_bytes(buf[pos + 4:pos + 6], "little")
+        h = int.from_bytes(buf[pos + 6:pos + 8], "little")
+        ipacked = buf[pos + 8]
+        pos += 9
+        pal = palette
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(buf[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF: no color table")
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise NotImplementedError(
+                "GIF sub-rectangle frame placement: compositing with "
+                "disposal methods is not supported — full-frame "
+                "animations only")
+        mcs = buf[pos]
+        pos += 1
+        chunks = []
+        while True:
+            n = buf[pos]
+            pos += 1
+            if n == 0:
+                break
+            chunks.append(buf[pos:pos + n])
+            pos += n
+        ix = np.frombuffer(lzw_decode(b"".join(chunks), mcs, w * h),
+                           dtype=np.uint8, count=w * h).reshape(h, w)
+        if ipacked & 0x40:
+            rows = np.empty_like(ix)
+            rows[_interlace_order(h)] = ix
+            ix = rows
+        if int(ix.max(initial=0)) >= len(pal):
+            raise ValueError("GIF: pixel index outside color table")
+        frames.append((delay, w, h, pal[ix.reshape(-1)].reshape(-1).copy()))
+        delay = 0
+    if not frames:
+        raise ValueError("GIF: no image descriptor")
+    return frames
+
+
 def _skip_subblocks(buf: bytes, pos: int) -> int:
     """Advance past a sub-block chain (returns pos after the 0 byte)."""
     while True:

@@ -188,6 +188,83 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
     return _spread(src).mapInPandas(build, schema=out_schema)
 
 
+def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
+    """ANIMATED GIF payloads from `documents`: each doc's first w*9
+    text bytes become THREE full-frame (3, w) index rasters of one
+    GIF89a animation (per-frame Graphic Control Extensions carry
+    varying delays; odd doc_ids interlaced). The video twin of
+    `synth_gif_media`."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lswms_forage_etl_spark.operators.gif import encode_gif_frames
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, raw in zip(pdf["media_id"], pdf["raw"]):
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 8
+                pix = np.frombuffer(bytes(raw), dtype=np.uint8,
+                                    count=w * 9)
+                frames = [pix[k * 3 * w:(k + 1) * 3 * w].reshape(3, w)
+                          for k in range(3)]
+                ids.append(doc_id)
+                payloads.append(encode_gif_frames(
+                    frames, interlaced=bool(doc_id % 2)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    w = (F.pmod(F.col("doc_id"), F.lit(8)) + F.lit(4)).cast("int")
+    src = (docs.select(F.col("doc_id").alias("media_id"),
+                       F.encode(F.col("text"), "UTF-8").alias("raw"),
+                       (w * 9).alias("npix"))
+           .where(F.octet_length("raw") >= F.col("npix")))
+    return _spread(src).mapInPandas(build, schema=out_schema)
+
+
+def gif_frame_table(media: DataFrame) -> DataFrame:
+    """Frame-level decode of animated GIF payloads: one row per
+    (media_id, frame_idx) with the GCE delay and the exact RGB mean —
+    the decoded-video twin of `patch_grid`/`frame sampling`: real LZW +
+    de-interlace + palette per frame, shuffle-free Arrow scan."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("delay_cs", IntegerType(), False),
+        StructField("decoded_width", IntegerType(), False),
+        StructField("decoded_height", IntegerType(), False),
+        StructField("mean_intensity", DoubleType(), True),
+    ])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lswms_forage_etl_spark.operators.gif import parse_gif_frames
+        for pdf in batches:
+            mid, fi, dc, dw, dh, mi = [], [], [], [], [], []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                for k, (delay, w, h, pix) in enumerate(
+                        parse_gif_frames(bytes(buf))):
+                    mid.append(int(media_id))
+                    fi.append(k)
+                    dc.append(delay)
+                    dw.append(w)
+                    dh.append(h)
+                    mi.append(float(int(pix.sum(dtype=np.int64))
+                                    / len(pix)) if len(pix) else None)
+            yield pd.DataFrame({
+                "media_id": mid,
+                "frame_idx": pd.array(fi, dtype="int32"),
+                "delay_cs": pd.array(dc, dtype="int32"),
+                "decoded_width": pd.array(dw, dtype="int32"),
+                "decoded_height": pd.array(dh, dtype="int32"),
+                "mean_intensity": mi})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    return _spread(media.select("media_id", "payload")).mapInPandas(
+        decode, schema=out_schema)
+
+
 def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     """REAL JPEG payloads from `documents`: each doc's first 2*nb text
     bytes (nb = 4 + doc_id % 8; shorter docs filtered out) become the

@@ -12,9 +12,11 @@ import pytest
 
 from lswms_forage_etl_spark.operators.gif import (
     encode_gif,
+    encode_gif_frames,
     lzw_decode,
     lzw_encode,
     parse_gif,
+    parse_gif_frames,
     synth_palette,
 )
 
@@ -91,6 +93,36 @@ def test_animated_gif_raises():
 def test_bad_signature_raises():
     with pytest.raises(ValueError, match="signature"):
         parse_gif(b"NOTGIF" + b"\x00" * 20)
+
+
+def test_animated_frames_roundtrip():
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (3, 7)).astype(np.uint8)
+              for _ in range(4)]
+    for interlaced in (False, True):
+        got = parse_gif_frames(encode_gif_frames(frames,
+                                                 interlaced=interlaced))
+        assert [d for d, _, _, _ in got] == [4, 5, 6, 7]   # GCE delays
+        for (d, w, h, pix), ix in zip(got, frames):
+            assert (w, h) == (7, 3)
+            assert np.array_equal(pix, PAL[ix.reshape(-1)].reshape(-1))
+
+
+def test_frames_parser_reads_single_image_gif():
+    ix = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    got = parse_gif_frames(encode_gif(ix))
+    assert len(got) == 1 and got[0][0] == 0        # no GCE -> delay 0
+    assert np.array_equal(got[0][3], PAL[ix.reshape(-1)].reshape(-1))
+
+
+def test_frames_subrect_gate():
+    # splice a shifted image descriptor: left=1 breaks full-frame
+    buf = bytearray(encode_gif(np.zeros((2, 3), dtype=np.uint8)))
+    idesc = 6 + 7 + 768          # header + LSD + global color table
+    assert buf[idesc] == 0x2C
+    buf[idesc + 1] = 1
+    with pytest.raises(NotImplementedError, match="sub-rectangle"):
+        parse_gif_frames(bytes(buf))
 
 
 def test_decode_dispatch_includes_gif():

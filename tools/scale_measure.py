@@ -105,6 +105,7 @@ QUERIES = [
     "mm_scan_zip",
     "mm_scan_warc",
     "mm_scan_tar",
+    "mm_gif_frames",
 ]
 
 
