@@ -2892,6 +2892,22 @@ def q_mm_scan_warc(spark, sf):
     return scan_warc_records(synth_warc_media(_t(spark, sf, "documents")))
 
 
+def q_text_hybrid_rerank(spark, sf):
+    """Hybrid retrieval (the two-stage RAG-prep shape): exact-integer
+    BM25 top-20 candidates, then a dense rerank by the exact int64
+    inner product against a pseudo-relevance-feedback query vector
+    (per-dim SUM of the top-3 candidates' 1e4-quantized embeddings —
+    summing keeps it integer; cosine is query-scale-invariant and the
+    vectors are unit-norm). Everything after the BM25 cut is bounded
+    by k: the corpus never re-enters the plan. Ranking ties break
+    (rerank8, score12, doc_id) — integer-deterministic."""
+    from lswms_forage_etl_spark.operators.retrieval import hybrid_rerank
+    return hybrid_rerank(_t(spark, sf, "documents"),
+                         _t(spark, sf, "embeddings"),
+                         list(BM25_QUERY_TERMS),
+                         k_bm25=20, prf=3, k_out=10)
+
+
 def q_mm_gif_frames(spark, sf):
     """ANIMATED GIF frame-table decode (the video-shaped multimodal
     path): each document's first w*9 text bytes become a three-frame
@@ -3123,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scan_warc": q_mm_scan_warc,
         "mm_scan_tar": q_mm_scan_tar,
         "mm_gif_frames": q_mm_gif_frames,
+        "text_hybrid_rerank": q_text_hybrid_rerank,
     }
 
 
@@ -6211,6 +6228,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_fp
         FROM documents
+    """
+
+    # hybrid retrieval: the BM25 oracle (nested WITH) feeds a PRF
+    # rerank — per-dim sums of the top-3 quantized embeddings, exact
+    # int64 inner products, integer-deterministic rank cut
+    sql["text_hybrid_rerank"] = f"""
+        WITH cand AS (SELECT doc_id, score12 FROM (
+            {_bm25_sql(BM25_QUERY_TERMS, k=20)}
+        )),
+        cv AS (SELECT c.doc_id, c.score12, e.embedding
+               FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id),
+        top3 AS (SELECT embedding FROM cv
+                 ORDER BY score12 DESC, doc_id LIMIT 3),
+        q AS (SELECT j - 1 AS dim,
+                     CAST(sum(CAST(floor(CAST(embedding[j] AS DOUBLE)
+                                         * 10000 + 0.5) AS BIGINT))
+                          AS BIGINT) AS q4
+              FROM top3, (SELECT unnest(range(1, 65)) AS j)
+              GROUP BY 1),
+        d AS (SELECT doc_id, score12, j - 1 AS dim,
+                     CAST(floor(CAST(embedding[j] AS DOUBLE)
+                                * 10000 + 0.5) AS BIGINT) AS v4
+              FROM cv, (SELECT unnest(range(1, 65)) AS j)),
+        r AS (SELECT doc_id, score12,
+                     CAST(sum(v4 * q4) AS BIGINT) AS rerank8
+              FROM d JOIN q USING (dim) GROUP BY 1, 2)
+        SELECT doc_id, score12, rerank8,
+               CAST(rk AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (ORDER BY rerank8 DESC,
+                                           score12 DESC, doc_id) AS rk
+              FROM r)
+        WHERE rk <= 10
     """
 
     # animated GIF frame table: frame k covers text bytes

@@ -104,6 +104,7 @@ HEADLINE = [
     "mm_scan_warc",
     "mm_scan_tar",
     "mm_gif_frames",
+    "text_hybrid_rerank",
 ]
 
 

@@ -222,3 +222,52 @@ def phrase_search(docs: DataFrame, phrase: list[str],
     return (cur.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_matches"),
                  F.min("pos").cast("int").alias("first_pos")))
+
+
+def hybrid_rerank(docs: DataFrame, embeddings: DataFrame,
+                  query_terms: list[str], k_bm25: int = 20,
+                  prf: int = 3, k_out: int = 10,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  vec_id: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Hybrid retrieval: BM25 candidate generation + dense rerank with
+    a pseudo-relevance-feedback query vector (the classic two-stage
+    RAG-prep shape: sparse recall, dense precision).
+
+    Stage 1 takes the exact-integer BM25 top-`k_bm25`; stage 2 builds
+    the query vector as the PER-DIM SUM of the top-`prf` candidates'
+    quantized embeddings (floor(v*1e4+0.5), the ann_dim_standardize
+    convention — summing, never averaging, keeps everything integer;
+    cosine ranking is scale-invariant in the query) and reranks the
+    candidates by the exact int64 inner product (embeddings are
+    unit-norm, so the dot IS cosine). Candidates without a vector drop
+    at the inner join (documented: the block slices carry fewer
+    vectors than docs). Output rank ties break (rerank8 desc, score12
+    desc, id) — integer-deterministic across engines.
+
+    Scale shape: everything after the BM25 cut is bounded by k_bm25
+    (a 64*prf-row broadcast query vector, a k_bm25*dim exploded dot) —
+    the corpus never re-enters the plan."""
+    cands = bm25_topk(docs, query_terms, k=k_bm25,
+                      id_col=id_col, text_col=text_col)
+    e4 = F.transform(
+        vec_col,
+        lambda v: F.floor(v.cast("double") * 10000 + F.lit(0.5))
+        .cast("long"))
+    cvec = (cands.join(embeddings.select(F.col(vec_id).alias(id_col),
+                                         e4.alias("_e4")), id_col)
+            .select(id_col, "score12", "_e4"))
+    cvec = stage_table(cvec)    # consumed by the PRF pick AND the dot
+    top = (cvec.orderBy(F.col("score12").desc(), id_col).limit(prf)
+           .select(F.posexplode("_e4").alias("dim", "v4")))
+    qvec = top.groupBy("dim").agg(F.sum("v4").alias("q4"))
+    dots = (cvec.select(id_col, "score12",
+                        F.posexplode("_e4").alias("dim", "v4"))
+            .join(F.broadcast(qvec), "dim")
+            .groupBy(id_col, "score12")
+            .agg(F.sum(F.col("v4") * F.col("q4")).alias("rerank8")))
+    w = Window.orderBy(F.col("rerank8").desc(),
+                       F.col("score12").desc(), F.col(id_col))
+    return (dots.select(id_col, "score12", "rerank8",
+                        F.row_number().over(w).alias("rank"))
+            .where(F.col("rank") <= k_out))

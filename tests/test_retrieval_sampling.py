@@ -215,3 +215,37 @@ def test_phrase_search_three_terms_and_repeats(spark):
     # doc 1: matches at 0 and 2 (overlapping allowed); doc 2: none
     assert set(got) == {1}
     assert (got[1]["n_matches"], got[1]["first_pos"]) == (2, 0)
+
+
+def test_hybrid_rerank_matches_python_rerank(spark):
+    """The rerank stage replayed in pure Python over the (already
+    gate-verified) BM25 candidate set: quantize embeddings at 1e4,
+    query = per-dim sum of the top-3 candidates, exact int64 dots,
+    (rerank8, score12, doc_id) ordering."""
+    from lswms_forage_etl_spark.operators.retrieval import (
+        bm25_topk, hybrid_rerank)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    terms = ["vector", "stream", "window"]
+    cands = {r["doc_id"]: r["score12"]
+             for r in bm25_topk(docs, terms, k=20).collect()}
+    import math
+    vecs = {}
+    for r in emb.collect():
+        if r["vec_id"] in cands:
+            vecs[r["vec_id"]] = [
+                int(math.floor(float(v) * 10000 + 0.5))
+                for v in r["embedding"]]
+    top3 = sorted(vecs, key=lambda i: (-cands[i], i))[:3]
+    q = [sum(vecs[i][d] for i in top3) for d in range(64)]
+    scored = sorted(
+        ((sum(v * qq for v, qq in zip(vecs[i], q)), cands[i], i)
+         for i in vecs),
+        key=lambda t: (-t[0], -t[1], t[2]))[:10]
+    expect = {i: (s12, r8, rk + 1)
+              for rk, (r8, s12, i) in enumerate(scored)}
+    got = {r["doc_id"]: (r["score12"], r["rerank8"], r["rank"])
+           for r in hybrid_rerank(docs, emb, terms).collect()}
+    assert got == expect

@@ -152,14 +152,17 @@ def main() -> None:
             # graph_triangles crosses two 1-row aggregates (triangle
             # count x degree stats);
             # text_source_divergence crosses the 1-row corpus-size and
-            # 1-row p_total aggregates (the folded absent-token mass)
+            # 1-row p_total aggregates (the folded absent-token mass);
+            # text_hybrid_rerank inherits bm25_topk's 1-row corpus-
+            # stats cross join (its only BNLJ — the rerank joins are
+            # BroadcastHash)
             if name in ("ann_pairwise_label_sim", "ann_topk_join",
                         "text_rarity", "pack_manifest", "text_bm25_topk",
                         "sketch_hll_distinct", "text_bm25_join",
                         "sample_rebalance", "sketch_kmv_jaccard",
                         "sketch_hll_sliding", "quality_audit",
                         "events_assoc_rules", "graph_triangles",
-                        "text_source_divergence"):
+                        "text_source_divergence", "text_hybrid_rerank"):
                 flags.append("BNLJ-intentional-bounded")
             else:
                 flags.append("BNLJ")

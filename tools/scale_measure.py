@@ -106,6 +106,7 @@ QUERIES = [
     "mm_scan_warc",
     "mm_scan_tar",
     "mm_gif_frames",
+    "text_hybrid_rerank",
 ]
 
 
