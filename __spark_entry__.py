@@ -2833,6 +2833,19 @@ def q_text_perplexity_bucket(spark, sf):
                                LM_TRAIN_SOURCES)
 
 
+def q_text_perplexity_scaled(spark, sf):
+    """The 100 TB form of the CCNet bucketing: same exact-integer
+    surprisal scores as text_perplexity_bucket, but tertile THRESHOLDS
+    come from the mergeable binned-quantile sketch (exact-ppm rank
+    cuts over 50000-micro-bit bins) and docs bucket by a broadcast
+    threshold compare — no per-language global sort anywhere. Closes
+    the scale caveat the exact-ntile form documents."""
+    from lswms_forage_etl_spark.operators.lm import (
+        bigram_lm_surprisal_scaled)
+    return bigram_lm_surprisal_scaled(_t(spark, sf, "documents"),
+                                      LM_TRAIN_SOURCES)
+
+
 def q_text_quality_classifier(spark, sf):
     """fastText-style hashed linear quality classifier (Joulin et al.
     2017): unigram + adjacent-bigram features, md5-derived integer
@@ -3140,6 +3153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scan_tar": q_mm_scan_tar,
         "mm_gif_frames": q_mm_gif_frames,
         "text_hybrid_rerank": q_text_hybrid_rerank,
+        "text_perplexity_scaled": q_text_perplexity_scaled,
     }
 
 
@@ -6065,12 +6079,13 @@ def oracle_sql() -> dict[str, str]:
         FROM c
     """
 
-    # CCNet-style bigram-LM perplexity buckets: whole-bit log2 via
-    # length(bin(n)) on both engines, stupid backoff +4 bits, ntile(3)
-    # per language over the deterministic (surprisal, doc_id) order.
+    # CCNet-style bigram-LM perplexity scoring: whole-bit log2 via
+    # length(bin(n)) on both engines, stupid backoff +4 bits. The `pd`
+    # CTE chain is shared by the exact-ntile bucket oracle and the
+    # sketched-threshold (scaled) one.
     _lm_train = ", ".join(f"'{s}'" for s in LM_TRAIN_SOURCES)
-    sql["text_perplexity_bucket"] = rf"""
-        WITH t AS (SELECT doc_id, lang, source, list_filter(
+    _ppl_pd = rf"""
+        t AS (SELECT doc_id, lang, source, list_filter(
                      string_split_regex(trim(lower(text)), '\s+'),
                      x -> x <> '') AS toks
                    FROM documents),
@@ -6106,13 +6121,47 @@ def oracle_sql() -> dict[str, str]:
                       CAST(count(*) AS BIGINT) AS n_bigrams,
                       CAST(sum(s) * 1000000 // count(*) AS BIGINT)
                         AS surprisal_ppm
-               FROM sc GROUP BY 1, 2)
+               FROM sc GROUP BY 1, 2)"""
+    sql["text_perplexity_bucket"] = f"""
+        WITH {_ppl_pd}
         SELECT doc_id, lang, n_bigrams, surprisal_ppm,
                CASE ntile(3) OVER (PARTITION BY lang
                                    ORDER BY surprisal_ppm, doc_id)
                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                  ELSE 'tail' END AS bucket
         FROM pd
+    """
+
+    # sketched-threshold bucketing (the 100 TB form): tertile edges
+    # from the binned-quantile sketch (bin width 50000 micro-bits,
+    # exact-ppm rank cuts — the sketch_quantile_bins convention), then
+    # a threshold-compare assignment. No per-language global sort.
+    sql["text_perplexity_scaled"] = f"""
+        WITH {_ppl_pd},
+        sk AS (SELECT lang,
+                      CAST(floor(surprisal_ppm / 50000.0) AS BIGINT)
+                        AS bin, count(*) AS c
+               FROM pd GROUP BY 1, 2),
+        cum AS (SELECT lang, bin,
+                       CAST(sum(c) OVER (PARTITION BY lang
+                                         ORDER BY bin) AS BIGINT)
+                         AS _cum,
+                       CAST(sum(c) OVER (PARTITION BY lang)
+                            AS BIGINT) AS _n
+                FROM sk),
+        q AS (SELECT lang,
+                     CAST(min(CASE WHEN _cum >= (_n * 333334 + 999999)
+                                                // 1000000
+                              THEN bin END) * 50000 AS BIGINT) AS t1,
+                     CAST(min(CASE WHEN _cum >= (_n * 666667 + 999999)
+                                                // 1000000
+                              THEN bin END) * 50000 AS BIGINT) AS t2
+              FROM cum GROUP BY lang)
+        SELECT doc_id, pd.lang, n_bigrams, surprisal_ppm,
+               CASE WHEN surprisal_ppm <= t1 THEN 'head'
+                    WHEN surprisal_ppm <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM pd JOIN q ON q.lang = pd.lang
     """
 
     # fastText-style hashed linear classifier: weight(f) =

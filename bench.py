@@ -105,6 +105,7 @@ HEADLINE = [
     "mm_scan_tar",
     "mm_gif_frames",
     "text_hybrid_rerank",
+    "text_perplexity_scaled",
 ]
 
 

@@ -75,15 +75,14 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str,
                     F.col("p.a").alias("a"), F.col("p.b").alias("b")))
 
 
-def bigram_lm_surprisal(docs: DataFrame, train_sources: list[str],
-                        penalty: int = BACKOFF_PENALTY_BITS,
-                        id_col: str = "doc_id", text_col: str = "text",
-                        lang_col: str = "lang",
-                        source_col: str = "source") -> DataFrame:
-    """CCNet-style LM quality filter: train a per-language bigram LM on
-    the ``train_sources`` reference slice, score every document by
-    average surprisal (whole-bit log2 units, exact), and bucket
-    head/middle/tail per language by ntile(3).
+def surprisal_per_doc(docs: DataFrame, train_sources: list[str],
+                      penalty: int = BACKOFF_PENALTY_BITS,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      lang_col: str = "lang",
+                      source_col: str = "source") -> DataFrame:
+    """The shared scoring core of the CCNet-style LM filter: per-doc
+    (id, lang, n_bigrams, surprisal_ppm) under a per-language bigram
+    LM trained on the ``train_sources`` reference slice.
 
     Surprisal per bigram (w1, w2), stupid backoff:
       seen in train:  s = bitlen(C1(w1)) - bitlen(C2(w1,w2))
@@ -97,11 +96,7 @@ def bigram_lm_surprisal(docs: DataFrame, train_sources: list[str],
     and staged once for its four consumers (c1 / c1u / totals / seen
     lookup); the corpus-sized bigram stream joins the two bounded
     lookups (broadcast at any realistic vocab) and aggregates per doc
-    — one shuffle on the doc key. The final ntile(3) window partitions
-    by language; at a real 100 TB per-language slice the bucketing
-    pass would swap to sketched thresholds (sketch_quantile_bins
-    machinery) — exact rank ntile is the graded-correctness form, same
-    trade as window_ntile_rank."""
+    — one shuffle on the doc key."""
     bg = _doc_bigrams(docs, id_col, text_col, [lang_col, source_col])
     train = bg.where(F.col(source_col).isin(list(train_sources)))
     c2 = stage_table(train.groupBy(lang_col, "a", "b")
@@ -124,18 +119,69 @@ def bigram_lm_surprisal(docs: DataFrame, train_sources: list[str],
                       F.coalesce(F.col("s_seen"), F.col("s_back"),
                                  _bitlen(F.col("t")) + F.lit(penalty),
                                  F.lit(1 + penalty)).alias("s")))
-    per_doc = (scored.groupBy(id_col, lang_col)
-               .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                    F.sum("s").alias("_sum_s"))
-               .select(id_col, lang_col, "n_bigrams",
-                       F.expr("(_sum_s * 1000000) div n_bigrams")
-                       .alias("surprisal_ppm")))
+    return (scored.groupBy(id_col, lang_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("s").alias("_sum_s"))
+            .select(id_col, lang_col, "n_bigrams",
+                    F.expr("(_sum_s * 1000000) div n_bigrams")
+                    .alias("surprisal_ppm")))
+
+
+def bigram_lm_surprisal(docs: DataFrame, train_sources: list[str],
+                        penalty: int = BACKOFF_PENALTY_BITS,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        lang_col: str = "lang",
+                        source_col: str = "source") -> DataFrame:
+    """CCNet-style LM quality filter (exact-rank form): score via
+    `surprisal_per_doc`, bucket head/middle/tail per language by
+    ntile(3). The ntile window partitions by language — a per-language
+    global sort, correct-by-rank but single-sorter per language; the
+    at-scale bucketing is `bigram_lm_surprisal_scaled` (sketched
+    thresholds, no global sort). Same trade as window_ntile_rank."""
+    per_doc = surprisal_per_doc(docs, train_sources, penalty, id_col,
+                                text_col, lang_col, source_col)
     w = Window.partitionBy(lang_col).orderBy("surprisal_ppm", id_col)
     bucket = F.element_at(
         F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
         F.ntile(3).over(w))
     return per_doc.select(id_col, lang_col, "n_bigrams",
                           "surprisal_ppm", bucket.alias("bucket"))
+
+
+def bigram_lm_surprisal_scaled(docs: DataFrame,
+                               train_sources: list[str],
+                               penalty: int = BACKOFF_PENALTY_BITS,
+                               bin_width: int = 50000,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               lang_col: str = "lang",
+                               source_col: str = "source") -> DataFrame:
+    """The 100 TB form of the CCNet bucketing: tertile THRESHOLDS come
+    from the mergeable binned-quantile sketch (sketches.py — exact-ppm
+    rank cuts over fixed-width bins, error bounded by one bin width =
+    ``bin_width`` micro-bits), then every doc buckets by a broadcast
+    threshold compare. No per-language global sort anywhere: the
+    sketch is bounded by value-range/bin_width per language, and the
+    assignment is a scan-side CASE — the whole bucketing adds one
+    bounded aggregation to `surprisal_per_doc`'s plan."""
+    from lswms_forage_etl_spark.operators.sketches import \
+        binned_quantiles
+    per_doc = surprisal_per_doc(docs, train_sources, penalty, id_col,
+                                text_col, lang_col, source_col)
+    from lswms_forage_etl_spark.lifecycle import stage_table
+    per_doc = stage_table(per_doc)   # scored once: sketch + assignment
+    q = binned_quantiles(per_doc, "surprisal_ppm", [lang_col],
+                         probs_ppm=[333334, 666667],
+                         bin_width=bin_width)
+    thr = q.select(lang_col, F.col("q333334").alias("_t1"),
+                   F.col("q666667").alias("_t2"))
+    s = F.col("surprisal_ppm")
+    bucket = (F.when(s <= F.col("_t1"), F.lit("head"))
+              .when(s <= F.col("_t2"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (per_doc.join(F.broadcast(thr), lang_col)
+            .select(id_col, lang_col, "n_bigrams", "surprisal_ppm",
+                    bucket.alias("bucket")))
 
 
 def _cls_weight(feature: Column) -> Column:

@@ -167,3 +167,34 @@ def test_dsir_importance_matches_python_replay(spark):
            for r in dsir_importance(df, ["ref"]).collect()}
     release_tracked()
     assert got == _py_dsir(DOCS, ["ref"])
+
+
+def test_bigram_surprisal_scaled_matches_python_replay(spark):
+    from lswms_forage_etl_spark.operators.lm import (
+        bigram_lm_surprisal_scaled)
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = {(r["doc_id"], r["lang"]):
+           (r["n_bigrams"], r["surprisal_ppm"], r["bucket"])
+           for r in bigram_lm_surprisal_scaled(
+               df, TRAIN, bin_width=50000).collect()}
+    release_tracked()
+    # same scores as the exact form, sketched tertile thresholds
+    exact = _py_surprisal(DOCS, TRAIN)
+    scores = {k: (n, ppm) for k, (n, ppm, _) in exact.items()}
+    per_lang = {}
+    for (did, lang), (_, ppm) in scores.items():
+        per_lang.setdefault(lang, []).append(ppm)
+    thr = {}
+    for lang, vals in per_lang.items():
+        bins = sorted(v // 50000 for v in vals)
+        n = len(bins)
+        def cut(p_ppm):
+            needed = (n * p_ppm + 999999) // 1000000
+            return bins[needed - 1] * 50000
+        thr[lang] = (cut(333334), cut(666667))
+    for (did, lang), (n, ppm) in scores.items():
+        t1, t2 = thr[lang]
+        bucket = ("head" if ppm <= t1
+                  else "middle" if ppm <= t2 else "tail")
+        assert got[(did, lang)] == (n, ppm, bucket), (did, lang)
+    assert set(got) == set(scores)

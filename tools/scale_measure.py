@@ -107,6 +107,7 @@ QUERIES = [
     "mm_scan_tar",
     "mm_gif_frames",
     "text_hybrid_rerank",
+    "text_perplexity_scaled",
 ]
 
 
