@@ -252,8 +252,13 @@ def dsir_importance(docs: DataFrame, target_sources: list[str],
     bounded by num_buckets; the score lookup broadcasts back onto the
     feature stream, which is recomputed rather than staged (the
     round-11 text_rarity lesson: a corpus-sized cheap-to-recompute
-    explode is worse materialized than recomputed). One shuffle on the
-    bounded bucket key, one on the doc key."""
+    explode is worse materialized than recomputed — re-measured for
+    THIS shape in round 12: a fused single-pass variant staging
+    per-(doc, bucket) counts lost the A/B at both 1x and 100x, 1.53 vs
+    1.42 s and 11.3 vs 10.4 s, because ~120 features/doc spread over
+    1024 buckets barely compress, so the staged intermediate is as big
+    as the stream it replaces). One shuffle on the bounded bucket key,
+    one on the doc key."""
     toks = _toks(text_col)
     d = _spread(docs).select(id_col, source_col, toks.alias("toks"))
     n = F.size("toks")
