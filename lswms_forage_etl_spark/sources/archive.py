@@ -374,3 +374,54 @@ def scan_warc_records(media: DataFrame) -> DataFrame:
 
     return _maybe_spread(media.select("archive_id", "payload")) \
         .mapInPandas(scan, schema=_MEMBER_SCHEMA)
+
+
+def write_zip_shards(docs: DataFrame, path: str,
+                     group_size: int = ARCHIVE_GROUP) -> DataFrame:
+    """The WRITE direction of the container story: export the corpus
+    as zip shard files (one spec-conformant zip per `group_size`
+    documents, the `synth_zip_media` layout) plus a parquet manifest
+    (archive_id, file, n_members, n_bytes). Idempotent: a shard whose
+    file already exists is skipped, so a crashed export resumes by
+    re-running (the S3/S17 manifest-sink discipline).
+
+    Scale shape: one groupBy shuffle to assemble archives, then each
+    partition writes its shard files independently (executor-side IO,
+    nothing collects to the driver); the returned manifest is bounded
+    by the shard count. Local filesystem here; at scale the open()
+    swaps for an object-store client in the same per-partition loop."""
+    import os
+
+    media = synth_zip_media(docs, group_size)
+
+    def land(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        os.makedirs(path, exist_ok=True)
+        for pdf in batches:
+            aid, fname, nm, nb = [], [], [], []
+            for a, buf in zip(pdf["archive_id"], pdf["payload"]):
+                buf = bytes(buf)
+                f = f"shard-{int(a)}.zip"
+                full = os.path.join(path, f)
+                if not os.path.exists(full):
+                    tmp = full + ".tmp"
+                    with open(tmp, "wb") as fh:
+                        fh.write(buf)
+                    os.replace(tmp, full)   # atomic publish
+                aid.append(int(a))
+                fname.append(f)
+                nm.append(len(parse_zip(buf)))
+                nb.append(len(buf))
+            yield pd.DataFrame({"archive_id": aid, "file": fname,
+                                "n_members": nm, "n_bytes": nb})
+
+    manifest_schema = StructType([
+        StructField("archive_id", LongType(), False),
+        StructField("file", StringType(), False),
+        StructField("n_members", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+    ])
+    manifest = media.mapInPandas(land, schema=manifest_schema)
+    manifest.write.mode("overwrite").parquet(
+        path.rstrip("/") + "/_manifest.parquet")
+    return manifest.sparkSession.read.parquet(
+        path.rstrip("/") + "/_manifest.parquet")

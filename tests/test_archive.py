@@ -213,3 +213,33 @@ def test_scan_warc_records_end_to_end(spark):
         raw = src[did].encode()
         assert r["n_bytes"] == len(raw)
         assert r["content_fp"] == hashlib.md5(raw).hexdigest()
+
+
+def test_write_zip_shards_roundtrip_and_idempotence(spark, tmp_path):
+    from lswms_forage_etl_spark.sources.archive import write_zip_shards
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    out = str(tmp_path / "export")
+    m1 = {r["archive_id"]: (r["file"], r["n_members"], r["n_bytes"])
+          for r in write_zip_shards(docs, out).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    # every doc lands exactly once across the shards, content exact
+    seen = {}
+    import os
+    for aid, (fname, n_members, n_bytes) in m1.items():
+        buf = open(os.path.join(out, fname), "rb").read()
+        assert len(buf) == n_bytes
+        members = parse_zip(buf)
+        assert len(members) == n_members
+        for name, content in members:
+            seen[int(name[4:-4])] = content
+    assert set(seen) == set(src)
+    assert all(seen[i] == src[i].encode() for i in src)
+    # idempotent resume: re-run skips existing files (mtimes unchanged)
+    stats = {f: os.stat(os.path.join(out, f)).st_mtime_ns
+             for f, _, _ in m1.values()}
+    m2 = {r["archive_id"]: (r["file"], r["n_members"], r["n_bytes"])
+          for r in write_zip_shards(docs, out).collect()}
+    assert m2 == m1
+    for f, t in stats.items():
+        assert os.stat(os.path.join(out, f)).st_mtime_ns == t
