@@ -2965,6 +2965,36 @@ def q_corpus_dsir_weights(spark, sf):
                            DSIR_TARGET_SOURCES)
 
 
+def q_events_cdc_apply(spark, sf):
+    """CDC changelog apply (the MERGE INTO primitive): events become a
+    change stream on the user key ('error' = delete tombstone, all
+    else upsert); per key LATEST-WINS by (ts, event_id), a key whose
+    newest record is a tombstone leaves the snapshot, and the same
+    single window pass carries per-key audit counters. One shuffle on
+    the key — no self-join, no groupBy+join-back."""
+    from lswms_forage_etl_spark.operators.timeseries import cdc_apply
+    ev = _events(spark, sf).select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", "D")
+         .otherwise("U").alias("op"))
+    return cdc_apply(ev)
+
+
+def q_dedup_prefix_filter(spark, sf):
+    """EXACT near-dup pairs via PPJoin-style prefix filtering — the
+    recall-lossless complement to dedup_lsh_pairs: order each doc's
+    shingles by global rarity, self-join only each side's first
+    n - ceil(n/2) + 1 rarest shingles (any jaccard>=1/2 pair MUST
+    share one), length-filter, then verify exactly. No global rank is
+    materialized: rarity ordering lives inside a per-doc window and
+    candidates key on the shingle string — the prefix holds only rare
+    shingles, so bucket fan stays bounded at 100 TB. Measured sf0.01:
+    977 candidates of 124,750 possible pairs (128x pruning)."""
+    from lswms_forage_etl_spark.operators.dedup import prefix_filter_pairs
+    return prefix_filter_pairs(_t(spark, sf, "documents"),
+                               threshold=(1, 2))
+
+
 # =============================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3154,6 +3184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_gif_frames": q_mm_gif_frames,
         "text_hybrid_rerank": q_text_hybrid_rerank,
         "text_perplexity_scaled": q_text_perplexity_scaled,
+        "dedup_prefix_filter": q_dedup_prefix_filter,
+        "events_cdc_apply": q_events_cdc_apply,
     }
 
 
@@ -6331,6 +6363,65 @@ def oracle_sql() -> dict[str, str]:
                {_pr("CAST(255 * 3 * w + sum(xor(byte, 85)) AS DOUBLE)"
                     " / (9 * w)", 9)} AS mean_intensity
         FROM b GROUP BY media_id, w, k
+    """
+
+    # PPJoin prefix filtering, replayed: same rarity order (dfreq,
+    # shingle), same integer prefix length n - ceil(n/2) + 1, same
+    # length filter and exact 2*|intersect| >= |union| verify
+    sql["dedup_prefix_filter"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        s AS (SELECT doc_id, {_SHINGLE_FRAG} AS sh FROM t),
+        tok AS (SELECT doc_id, unnest(sh) AS s FROM s),
+        dfq AS (SELECT s, count(*) AS dfq FROM tok GROUP BY 1),
+        r AS (SELECT tok.doc_id, tok.s,
+                     count(*) OVER (PARTITION BY tok.doc_id) AS n,
+                     row_number() OVER (PARTITION BY tok.doc_id
+                                        ORDER BY dfq.dfq, tok.s) AS pos
+              FROM tok JOIN dfq USING (s)),
+        pre AS (SELECT doc_id, s, n FROM r
+                WHERE pos <= n - (1 * n + 1) // 2 + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM pre a JOIN pre b
+                   ON a.s = b.s AND a.doc_id < b.doc_id
+                  AND 1 * greatest(a.n, b.n) <= 2 * least(a.n, b.n)),
+        v AS (SELECT id_a, id_b,
+                     len(list_intersect(x.sh, y.sh)) AS inter,
+                     len(list_distinct(x.sh || y.sh)) AS un
+              FROM cand
+              JOIN s x ON x.doc_id = cand.id_a
+              JOIN s y ON y.doc_id = cand.id_b)
+        SELECT id_a, id_b,
+               {_pr('''CASE WHEN un > 0
+                       THEN CAST(inter AS DOUBLE) / un ELSE 0.0 END''', 6)}
+                 AS jaccard
+        FROM v WHERE 2 * inter >= 1 * un
+    """
+
+    # CDC apply: latest-wins snapshot with tombstones; windowed sum is
+    # HUGEINT in DuckDB -> CAST (round-4 gate lesson)
+    sql["events_cdc_apply"] = """
+        WITH c AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+          FROM events),
+        r AS (
+          SELECT user_id, ts, op, event_id,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n_changes,
+                 sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id) AS n_deletes
+          FROM c)
+        SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+               v4 AS last_v4,
+               CAST(n_changes AS BIGINT) AS n_changes,
+               CAST(n_deletes AS BIGINT) AS n_deletes
+        FROM r WHERE rn = 1 AND op <> 'D'
     """
 
     return sql

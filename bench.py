@@ -106,6 +106,8 @@ HEADLINE = [
     "mm_gif_frames",
     "text_hybrid_rerank",
     "text_perplexity_scaled",
+    "dedup_prefix_filter",
+    "events_cdc_apply",
 ]
 
 

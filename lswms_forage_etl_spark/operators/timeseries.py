@@ -112,3 +112,39 @@ def scd2_history(events: DataFrame, user_col: str = "user_id",
         user_col, "v4", "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"))
         .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+def cdc_apply(changes: DataFrame, key_col: str = "user_id",
+              ts_col: str = "ts", op_col: str = "op",
+              value_col: str = "value",
+              order_cols: tuple[str, ...] = ("event_id",)) -> DataFrame:
+    """Apply a CDC changelog (Debezium/Delta-CDF shape) to produce the
+    latest snapshot: per key, LATEST-WINS by (ts, order_cols); a key
+    whose newest record is a delete tombstone ('D') vanishes from the
+    snapshot. Emits per-key audit counters (total changes, deletes
+    seen) alongside the surviving payload — the MERGE INTO apply
+    primitive for maintaining a mutable dimension from an append-only
+    change stream.
+
+    Scale shape: ONE shuffle on the key; the window computes rank and
+    both counters in the same pass (no self-join, no groupBy+join-back).
+    Values quantize at 1e4 so the snapshot carries exact integers."""
+    order = [F.col(ts_col).desc(),
+             *[F.col(c).desc() for c in order_cols]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wall = (Window.partitionBy(key_col)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    v4 = F.floor(F.col(value_col) * V_SCALE + F.lit(0.5)).cast("long")
+    ranked = changes.select(
+        key_col, ts_col, op_col, *[F.col(c) for c in order_cols],
+        v4.alias("v4"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("n_changes"),
+        F.sum(F.when(F.col(op_col) == "D", 1).otherwise(0))
+         .over(wall).alias("n_deletes"))
+    return (ranked.where((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+            .select(key_col, F.col(ts_col).alias("last_ts"),
+                    *[F.col(c).alias(f"last_{c}") for c in order_cols],
+                    F.col("v4").alias("last_v4"),
+                    "n_changes", "n_deletes"))

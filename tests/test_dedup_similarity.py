@@ -520,3 +520,69 @@ def test_adaptive_num_planes_matches_sql_twin():
     for p in (6, 8, 10, 12):
         assert np.array_equal(np.asarray(hyperplanes(p, 64, 1234)),
                               np.asarray(hyperplanes(16, 64, 1234))[:p])
+
+
+def _py_shingles(text, k=3):
+    toks = [t for t in text.lower().strip().split() if t]
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_prefix_filter_exact_vs_bruteforce(spark):
+    """The recall-lossless claim, verified: prefix filtering must return
+    EXACTLY the brute-force set of pairs with jaccard >= 1/2 — no LSH
+    recall curve. Randomized corpus with planted near-dups plus noise."""
+    from lswms_forage_etl_spark.operators.dedup import prefix_filter_pairs
+    rng = np.random.RandomState(77)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        words = [vocab[j] for j in rng.randint(0, len(vocab), 12)]
+        rows.append((2 * i, " ".join(words)))
+        mut = list(words)
+        # mutate 0-3 words -> a spread of jaccard values around 1/2
+        for _ in range(int(rng.randint(0, 4))):
+            mut[int(rng.randint(0, len(mut)))] = vocab[
+                int(rng.randint(0, len(vocab)))]
+        rows.append((2 * i + 1, " ".join(mut)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in prefix_filter_pairs(docs, threshold=(1, 2)).collect()}
+
+    sh = {i: _py_shingles(t) for i, t in rows}
+    want = {}
+    ids = sorted(sh)
+    for x in ids:
+        for y in ids:
+            if x >= y or not sh[x] or not sh[y]:
+                continue
+            inter = len(sh[x] & sh[y])
+            union = len(sh[x] | sh[y])
+            if 2 * inter >= union:
+                want[(x, y)] = round(inter / union, 6)
+    assert set(got) == set(want)
+    for p, j in want.items():
+        assert abs(got[p] - j) < 1e-6, p
+
+
+def test_prefix_filter_threshold_and_edges(spark):
+    """Exact-integer threshold semantics: jaccard == t exactly is kept
+    (>=, not >); docs shorter than the shingle width never pair."""
+    from lswms_forage_etl_spark.operators.dedup import prefix_filter_pairs
+    rows = [
+        (0, "a b c d e f"),      # shingles {abc,bcd,cde,def}
+        (1, "a b c d e g"),      # {abc,bcd,cde,deg}: inter 3, union 5
+        (2, "a b c d e f"),      # exact dup of 0: jaccard 1.0
+        (3, "x y"),              # too short: no shingles
+        (4, "p q r"),            # singleton shingle, unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in prefix_filter_pairs(docs, threshold=(3, 5)).collect()}
+    assert out[(0, 1)] == 0.6          # 3/5 kept at t=3/5 (boundary)
+    assert out[(0, 2)] == 1.0
+    assert not any(3 in p or 4 in p for p in out)
+    strict = {(r["id_a"], r["id_b"])
+              for r in prefix_filter_pairs(docs, threshold=(2, 3)).collect()}
+    assert (0, 1) not in strict        # 0.6 < 2/3 dropped
+    assert (0, 2) in strict

@@ -48,3 +48,28 @@ def test_resample_ffill_carries_and_nulls(spark):
     assert out["2024-01-03"]["observed"] is False
     assert out["2024-01-04"]["v4_filled"] == 90000
     assert out["2024-01-05"]["v4_filled"] == 90000
+
+
+def test_cdc_apply_latest_wins_and_tombstones(spark):
+    from lswms_forage_etl_spark.operators.timeseries import cdc_apply
+    t = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: upsert, upsert -> survives with last value
+        (1, t, 10, 1.0, "U"), (1, t + s, 11, 2.5, "U"),
+        # user 2: upsert then DELETE last -> gone from snapshot
+        (2, t, 20, 3.0, "U"), (2, t + s, 21, 0.0, "D"),
+        # user 3: delete then resurrect -> survives, n_deletes = 1
+        (3, t, 30, 4.0, "D"), (3, t + s, 31, 5.0, "U"),
+        # user 4: same-ts tie broken by event_id DESC
+        (4, t, 40, 6.0, "U"), (4, t, 41, 7.0, "U"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "value double, op string")
+    out = {r["user_id"]: r for r in cdc_apply(df).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["last_v4"] == 25000 and out[1]["n_changes"] == 2
+    assert out[1]["n_deletes"] == 0
+    assert out[3]["last_v4"] == 50000 and out[3]["n_deletes"] == 1
+    assert out[4]["last_event_id"] == 41 and out[4]["last_v4"] == 70000
