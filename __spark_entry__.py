@@ -2965,6 +2965,35 @@ def q_corpus_dsir_weights(spark, sf):
                            DSIR_TARGET_SOURCES)
 
 
+def q_scan_zonemap_prune(spark, sf):
+    """Zone-map data skipping (parquet row-group stats / Delta file
+    stats / Snowflake micro-partitions, as a first-class operator):
+    events shard on event_id DIV 256 (time-clustered — ids are
+    ingest-ordered), ONE groupBy pass builds the per-shard manifest
+    (n_rows, min/max ts) AND the audit count of rows matching the
+    probe interval [Jan 10, Jan 20). `selected` is the interval-
+    overlap skip decision; the zone-map guarantee (pruned shard =>
+    n_matched = 0) is oracle-checked row by row. The file-level proof
+    (PartitionFilters actually skipping unselected shards) lives in
+    tests/test_layout.py::test_zonemap_write_scan_prunes."""
+    from lswms_forage_etl_spark.functions.layout import (
+        zonemap_selected, zonemap_stats)
+    lo, hi = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    ev = _events(spark, sf)
+    pred = ((F.col("ts") >= F.to_timestamp(F.lit(lo)))
+            & (F.col("ts") < F.to_timestamp(F.lit(hi))))
+    stats = zonemap_stats(
+        ev, F.floor(F.col("event_id") / F.lit(256)).cast("long"),
+        "ts", predicate=pred)
+    return stats.select(
+        "shard_id", "n_rows", F.col("min_v").alias("min_ts"),
+        F.col("max_v").alias("max_ts"),
+        zonemap_selected(F.to_timestamp(F.lit(lo)),
+                         F.to_timestamp(F.lit(hi)))
+        .alias("selected"),
+        "n_matched")
+
+
 def q_events_cdc_apply(spark, sf):
     """CDC changelog apply (the MERGE INTO primitive): events become a
     change stream on the user key ('error' = delete tombstone, all
@@ -3186,6 +3215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_scaled": q_text_perplexity_scaled,
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "events_cdc_apply": q_events_cdc_apply,
+        "scan_zonemap_prune": q_scan_zonemap_prune,
     }
 
 
@@ -6422,6 +6452,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_changes AS BIGINT) AS n_changes,
                CAST(n_deletes AS BIGINT) AS n_deletes
         FROM r WHERE rn = 1 AND op <> 'D'
+    """
+
+    # zone-map manifest + skip decision; plain sum(int) is HUGEINT in
+    # DuckDB -> CAST
+    sql["scan_zonemap_prune"] = """
+        SELECT event_id // 256 AS shard_id,
+               count(*) AS n_rows,
+               min(ts) AS min_ts, max(ts) AS max_ts,
+               max(ts) >= TIMESTAMP '2024-01-10'
+                 AND min(ts) < TIMESTAMP '2024-01-20' AS selected,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-10'
+                              AND ts < TIMESTAMP '2024-01-20'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        FROM events GROUP BY 1
     """
 
     return sql

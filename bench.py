@@ -108,6 +108,7 @@ HEADLINE = [
     "text_perplexity_scaled",
     "dedup_prefix_filter",
     "events_cdc_apply",
+    "scan_zonemap_prune",
 ]
 
 

@@ -68,3 +68,63 @@ def zorder_layout(df: DataFrame, x: str, y: str, bits: int = 16,
     parted = (keyed.repartitionByRange(num_files, "_zkey")
               if num_files else keyed.repartitionByRange("_zkey"))
     return parted.sortWithinPartitions("_zkey").drop("_zkey")
+
+
+def zonemap_stats(df: DataFrame, shard_col, value_col: str,
+                  predicate=None) -> DataFrame:
+    """Per-shard zone map — the min/max file-statistics structure behind
+    parquet row-group skipping, Delta/Iceberg file stats, and Snowflake
+    micro-partitions: one row per shard with (n_rows, min_v, max_v) for
+    `value_col`, built in ONE groupBy shuffle on the shard key.
+
+    When `predicate` (a boolean Column) is given, the same pass also
+    counts matching rows per shard (`n_matched`) — the audit column that
+    proves the zone-map guarantee: a shard whose [min_v, max_v] range
+    misses the predicate interval must show n_matched = 0, so a scan
+    that skips it drops nothing. At 100 TB the manifest is one row per
+    file — the Delta-log pattern: the driver filters THIS table (KBs-MBs)
+    instead of listing and opening every data file."""
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v")]
+    if predicate is not None:
+        aggs.append(F.sum(F.when(predicate, 1).otherwise(0))
+                    .cast("long").alias("n_matched"))
+    return df.groupBy(shard.alias("shard_id")).agg(*aggs)
+
+
+def zonemap_selected(lo, hi) -> Column:
+    """Interval-overlap selection over a zone-map manifest: shard
+    [min_v, max_v] intersects the half-open probe interval [lo, hi)."""
+    return (F.col("max_v") >= F.lit(lo)) & (F.col("min_v") < F.lit(hi))
+
+
+def zonemap_write(df: DataFrame, path: str, shard_col,
+                  value_col: str) -> DataFrame:
+    """Materialize a zone-mapped layout: the data partitioned by shard
+    (each shard = one skippable unit) plus its stats manifest at
+    `<path>/_zonemap`. Returns the manifest."""
+    shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    keyed = df.withColumn("shard_id", shard)
+    keyed.write.mode("overwrite").partitionBy("shard_id").parquet(path)
+    manifest = zonemap_stats(df, shard_col, value_col)
+    manifest.write.mode("overwrite").parquet(path + "/_zonemap")
+    return manifest
+
+
+def zonemap_scan(spark, path: str, value_col: str, lo, hi) -> DataFrame:
+    """Probe a zone-mapped layout: consult the manifest FIRST, then scan
+    only the shards whose ranges overlap [lo, hi) — literal partition
+    filters, so Spark's file listing itself skips the pruned shards
+    (PartitionFilters in the scan; plan-tested). The collect is bounded
+    by the number of SELECTED shards — selectivity-bound, the same
+    driver-side stats filtering Delta's log replay performs. The exact
+    row filter is re-applied after the coarse shard cut."""
+    manifest = spark.read.parquet(path + "/_zonemap")
+    ids = [r["shard_id"]
+           for r in manifest.where(zonemap_selected(lo, hi))
+                            .select("shard_id").collect()]
+    scan = spark.read.parquet(path).where(F.col("shard_id").isin(ids))
+    return scan.where((F.col(value_col) >= F.lit(lo))
+                      & (F.col(value_col) < F.lit(hi)))

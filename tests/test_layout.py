@@ -58,3 +58,37 @@ def test_zorder_layout_improves_two_dim_locality(spark):
     # random partitions each span ~the whole square (16x full area);
     # z-ordered tiles should cut the summed area by >4x
     assert clustered * 4 < base, (clustered, base)
+
+
+def test_zonemap_guarantee_and_write_scan_prunes(spark, tmp_path):
+    """Zone-map invariants end-to-end: (1) an unselected shard never
+    contains a matching row; (2) the materialized layout's probe scan
+    carries literal PartitionFilters (file listing skips pruned shards)
+    and returns exactly the rows a plain filter returns."""
+    from lswms_forage_etl_spark.functions.layout import (
+        zonemap_scan,
+        zonemap_selected,
+        zonemap_stats,
+        zonemap_write,
+    )
+    # v clustered on id so shards carry tight [min, max] ranges
+    rows = [(i, i // 2) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    shard = F.floor(F.col("id") / F.lit(500)).cast("long")
+    lo, hi = 300, 700
+
+    pred = (F.col("v") >= lo) & (F.col("v") < hi)
+    man = zonemap_stats(df, shard, "v", predicate=pred)
+    for r in man.collect():
+        selected = r["max_v"] >= lo and r["min_v"] < hi
+        if not selected:
+            assert r["n_matched"] == 0, r  # the skip-safety guarantee
+
+    path = str(tmp_path / "zm")
+    zonemap_write(df, path, shard, "v")
+    got = zonemap_scan(spark, path, "v", lo, hi)
+    want = sorted(r["id"] for r in df.where(pred).collect())
+    assert sorted(r["id"] for r in got.collect()) == want
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
