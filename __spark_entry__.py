@@ -2965,6 +2965,18 @@ def q_corpus_dsir_weights(spark, sf):
                            DSIR_TARGET_SOURCES)
 
 
+def q_ann_covariance(spark, sf):
+    """Exact covariance matrix of the embedding table (the moments
+    pass behind PCA/whitening): per-partition int64 numpy Gram
+    partials merged in one d^2-row groupBy — reduce-side shuffle is
+    kilobytes at any corpus size. Numerator n*Sxy - Sx*Sy exact int64;
+    one IEEE division chain at the end, portable-rounded. The oracle
+    replays the quantized moments with an i<=j self-join."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        covariance_upper)
+    return covariance_upper(_t(spark, sf, "embeddings"))
+
+
 def q_scan_zonemap_prune(spark, sf):
     """Zone-map data skipping (parquet row-group stats / Delta file
     stats / Snowflake micro-partitions, as a first-class operator):
@@ -3216,6 +3228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_filter": q_dedup_prefix_filter,
         "events_cdc_apply": q_events_cdc_apply,
         "scan_zonemap_prune": q_scan_zonemap_prune,
+        "ann_covariance": q_ann_covariance,
     }
 
 
@@ -6466,6 +6479,31 @@ def oracle_sql() -> dict[str, str]:
                               AND ts < TIMESTAMP '2024-01-20'
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
         FROM events GROUP BY 1
+    """
+
+    # exact covariance moments replayed with an i<=j self-join; dims
+    # 0-based to match posexplode
+    sql["ann_covariance"] = f"""
+        WITH x AS (
+          SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                 CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                            * 10000 + 0.5) AS BIGINT) AS v
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) _(i)),
+        p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+                     CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+              FROM x a JOIN x b
+                ON a.vec_id = b.vec_id AND a.dim <= b.dim
+              GROUP BY 1, 2),
+        s AS (SELECT dim, CAST(sum(v) AS BIGINT) AS sx,
+                     count(*) AS n
+              FROM x GROUP BY 1)
+        SELECT p.dim_i, p.dim_j, sa.n AS n,
+               CAST(sa.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS cov_num,
+               {_pr('''CAST(sa.n * p.sxy - sa.sx * sb.sx AS DOUBLE)
+                       / (sa.n * (sa.n - 1)) / 100000000.0''', 9)} AS cov
+        FROM p
+        JOIN s sa ON sa.dim = p.dim_i
+        JOIN s sb ON sb.dim = p.dim_j
     """
 
     return sql

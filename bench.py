@@ -109,6 +109,7 @@ HEADLINE = [
     "dedup_prefix_filter",
     "events_cdc_apply",
     "scan_zonemap_prune",
+    "ann_covariance",
 ]
 
 

@@ -586,3 +586,31 @@ def test_prefix_filter_threshold_and_edges(spark):
               for r in prefix_filter_pairs(docs, threshold=(2, 3)).collect()}
     assert (0, 1) not in strict        # 0.6 < 2/3 dropped
     assert (0, 2) in strict
+
+
+def test_covariance_upper_matches_numpy(spark):
+    """covariance_upper == np.cov of the quantized matrix (exact
+    moments -> same doubles), invariant to partitioning."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        covariance_upper)
+    rng = np.random.RandomState(11)
+    n, d, quant = 120, 6, 10 ** 4
+    V = rng.standard_normal((n, d)) * 0.1
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["dim_i"], r["dim_j"]): r
+           for r in covariance_upper(df, quant=quant).collect()}
+    assert len(out) == d * (d + 1) // 2
+    Vq = np.floor(V.astype("float32").astype("float64") * quant
+                  + 0.5).astype("int64")
+    C = np.cov(Vq, rowvar=False)            # sample covariance (n-1)
+    for (i, j), r in out.items():
+        assert r["n"] == n
+        want = C[i, j] / quant ** 2
+        # engine output is portable-rounded at 9 dp
+        assert abs(r["cov"] - want) < 6e-10, (i, j)
+    # partition invariance: repartition(7) gives identical cov_num
+    out2 = {(r["dim_i"], r["dim_j"]): r["cov_num"]
+            for r in covariance_upper(df.repartition(7),
+                                      quant=quant).collect()}
+    assert out2 == {k: r["cov_num"] for k, r in out.items()}
