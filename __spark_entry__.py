@@ -2965,6 +2965,17 @@ def q_corpus_dsir_weights(spark, sf):
                            DSIR_TARGET_SOURCES)
 
 
+def q_ann_pca_power(spark, sf):
+    """Dominant PCA eigenvector by 8 power-iteration rounds over the
+    EXACT integer covariance table — every round is floor-pinned
+    integer/IEEE arithmetic, so the oracle replays all 8 matvec+
+    renormalize steps as chained CTEs. Data-sized work = the one
+    distributed moments pass; iterations touch only d^2/d-row bounded
+    tables."""
+    from lswms_forage_etl_spark.operators.similarity import pca_power_top
+    return pca_power_top(_t(spark, sf, "embeddings"), iters=8)
+
+
 def q_ann_covariance(spark, sf):
     """Exact covariance matrix of the embedding table (the moments
     pass behind PCA/whitening): per-partition int64 numpy Gram
@@ -3229,6 +3240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": q_events_cdc_apply,
         "scan_zonemap_prune": q_scan_zonemap_prune,
         "ann_covariance": q_ann_covariance,
+        "ann_pca_power": q_ann_pca_power,
     }
 
 
@@ -6408,32 +6420,41 @@ def oracle_sql() -> dict[str, str]:
         FROM b GROUP BY media_id, w, k
     """
 
-    # PPJoin prefix filtering, replayed: same rarity order (dfreq,
-    # shingle), same integer prefix length n - ceil(n/2) + 1, same
-    # length filter and exact 2*|intersect| >= |union| verify
+    # PPJoin prefix + positional filtering, replayed on the same
+    # 60-bit md5 shingle keys: rarity order (dfreq, s64), integer
+    # prefix length n - ceil(n/2) + 1, positional bound
+    # min(n-pos)+1 >= ceil((na+nb)/3), length filter, exact
+    # 2*|intersect| >= |union| verify
     sql["dedup_prefix_filter"] = f"""
         WITH t AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                              x -> x <> '') AS toks
           FROM documents),
-        s AS (SELECT doc_id, {_SHINGLE_FRAG} AS sh FROM t),
-        tok AS (SELECT doc_id, unnest(sh) AS s FROM s),
-        dfq AS (SELECT s, count(*) AS dfq FROM tok GROUP BY 1),
-        r AS (SELECT tok.doc_id, tok.s,
+        s AS MATERIALIZED (
+          SELECT doc_id,
+                 list_transform({_SHINGLE_FRAG},
+                     sg -> ('0x' || substr(md5(sg), 1, 15))::BIGINT)
+                   AS sh64
+          FROM t),
+        tok AS (SELECT doc_id, unnest(sh64) AS s64 FROM s),
+        dfq AS (SELECT s64, count(*) AS dfq FROM tok GROUP BY 1),
+        r AS (SELECT tok.doc_id, tok.s64,
                      count(*) OVER (PARTITION BY tok.doc_id) AS n,
                      row_number() OVER (PARTITION BY tok.doc_id
-                                        ORDER BY dfq.dfq, tok.s) AS pos
-              FROM tok JOIN dfq USING (s)),
-        pre AS (SELECT doc_id, s, n FROM r
+                                        ORDER BY dfq.dfq, tok.s64) AS pos
+              FROM tok JOIN dfq USING (s64)),
+        pre AS (SELECT doc_id, s64, n, pos FROM r
                 WHERE pos <= n - (1 * n + 1) // 2 + 1),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM pre a JOIN pre b
-                   ON a.s = b.s AND a.doc_id < b.doc_id
-                  AND 1 * greatest(a.n, b.n) <= 2 * least(a.n, b.n)),
+                   ON a.s64 = b.s64 AND a.doc_id < b.doc_id
+                  AND 1 * greatest(a.n, b.n) <= 2 * least(a.n, b.n)
+                  AND least(a.n - a.pos, b.n - b.pos) + 1
+                      >= (1 * (a.n + b.n) + 2) // 3),
         v AS (SELECT id_a, id_b,
-                     len(list_intersect(x.sh, y.sh)) AS inter,
-                     len(list_distinct(x.sh || y.sh)) AS un
+                     len(list_intersect(x.sh64, y.sh64)) AS inter,
+                     len(list_distinct(x.sh64 || y.sh64)) AS un
               FROM cand
               JOIN s x ON x.doc_id = cand.id_a
               JOIN s y ON y.doc_id = cand.id_b)
@@ -6504,6 +6525,57 @@ def oracle_sql() -> dict[str, str]:
         FROM p
         JOIN s sa ON sa.dim = p.dim_i
         JOIN s sb ON sb.dim = p.dim_j
+    """
+
+    # PCA power iteration: the 8 matvec+renormalize rounds replayed as
+    # chained CTEs over the quant=1e2 covariance (floor-pinned
+    # integer/IEEE steps — identical bits by construction)
+    _pca_iters = []
+    prev = "u0"
+    for t in range(1, 9):
+        _pca_iters.append(f"""
+        w{t} AS MATERIALIZED (SELECT c20.i AS dim, CAST(sum(c20 * u14) AS BIGINT) AS w
+                 FROM c20 JOIN {prev} ON {prev}.dim = c20.j GROUP BY 1),
+        u{t} AS MATERIALIZED (SELECT dim,
+                        CAST(floor(CAST(w AS DOUBLE)
+                                   / (SELECT max(abs(w)) FROM w{t})
+                                   * 16384.0) AS BIGINT) AS u14
+                 FROM w{t})""")
+        prev = f"u{t}"
+    sql["ann_pca_power"] = f"""
+        WITH x AS MATERIALIZED (
+          SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+                 CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                            * 100 + 0.5) AS BIGINT) AS v
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) _(i)),
+        p AS MATERIALIZED (SELECT a.dim AS dim_i, b.dim AS dim_j,
+                     CAST(sum(a.v * b.v) AS BIGINT) AS sxy
+              FROM x a JOIN x b
+                ON a.vec_id = b.vec_id AND a.dim <= b.dim
+              GROUP BY 1, 2),
+        s AS MATERIALIZED (SELECT dim, CAST(sum(v) AS BIGINT) AS sx, count(*) AS n
+              FROM x GROUP BY 1),
+        cov AS MATERIALIZED (SELECT p.dim_i, p.dim_j,
+                       CAST(sa.n * p.sxy - sa.sx * sb.sx AS BIGINT)
+                         AS cov_num
+                FROM p
+                JOIN s sa ON sa.dim = p.dim_i
+                JOIN s sb ON sb.dim = p.dim_j),
+        c AS MATERIALIZED (SELECT dim_i AS i, dim_j AS j, cov_num FROM cov
+              UNION ALL
+              SELECT dim_j, dim_i, cov_num FROM cov
+              WHERE dim_i <> dim_j),
+        c20 AS MATERIALIZED (SELECT i, j,
+                       CAST(floor(CAST(cov_num AS DOUBLE)
+                                  / (SELECT max(abs(cov_num)) FROM c)
+                                  * 1048576.0) AS BIGINT) AS c20
+                FROM c),
+        u0 AS MATERIALIZED (SELECT DISTINCT i AS dim, CAST(16384 AS BIGINT) AS u14
+               FROM c20),{','.join(_pca_iters)}
+        SELECT dim, u14,
+               {_pr('''u14 / sqrt((SELECT sum(CAST(u14 AS DOUBLE) * u14)
+                                   FROM u8))''', 9)} AS loading
+        FROM u8
     """
 
     return sql

@@ -110,6 +110,7 @@ HEADLINE = [
     "events_cdc_apply",
     "scan_zonemap_prune",
     "ann_covariance",
+    "ann_pca_power",
 ]
 
 

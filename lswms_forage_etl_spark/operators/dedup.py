@@ -429,45 +429,67 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: tuple[int, int] = (1, 2),
                         shingles: DataFrame | None = None) -> DataFrame:
-    """EXACT all-pairs Jaccard >= num/den via prefix filtering — the
-    SSJoin/PPJoin candidate-generation pattern (Chaudhuri et al. 2006,
-    Xiao et al. 2008), the recall-lossless complement to MinHash LSH:
-    every qualifying pair is guaranteed found, no banding recall curve.
+    """EXACT all-pairs Jaccard >= num/den via prefix + positional
+    filtering — the SSJoin/PPJoin candidate-generation pattern
+    (Chaudhuri et al. 2006, Xiao et al. 2008), the recall-lossless
+    complement to MinHash LSH: every qualifying pair is guaranteed
+    found, no banding recall curve. Sets are 60-bit md5 shingle keys
+    (first 15 md5 hex chars — the engine's portable-hash convention),
+    so every sort/join/window runs on fixed-width int64, identically
+    replayable in the oracle.
 
     Prefix principle: order each doc's shingle set by GLOBAL rarity
-    (ascending document frequency, shingle string as tie-break). Two
+    (ascending document frequency, hashed shingle as tie-break). Two
     sets with jaccard >= t must share at least one shingle among each
-    side's first p = n - ceil(t*n) + 1 rarest shingles — so candidates
-    join only on PREFIX shingles, which are by construction the rare
-    ones (bounded bucket fan), never on stopword-grade shingles.
+    side's first p = n - ceil(t*n) + 1 rarest — candidates join only
+    on PREFIX shingles. Each join row then passes PPJoin's positional
+    bound BEFORE any shuffle: with the match at (sorted) positions
+    pos_a/pos_b, the max achievable overlap min(n_a-pos_a, n_b-pos_b)+1
+    must reach alpha = ceil(num*(n_a+n_b)/(num+den)) (measured 2.5x
+    candidate cut on this corpus), plus the length filter
+    num*max(n) <= den*min(n). Final verify is the exact integer test
+    den*|intersect| >= num*|union| on the staged hash-set arrays.
 
-    Scale shape (the reason this beats a naive token self-join at
-    100 TB): no global rank is materialized — the total order (dfreq,
-    shingle) is only ever used inside a PER-DOC window to pick the
-    prefix, and the candidate join keys on the shingle string itself.
-    Shuffles: one groupBy(shingle) for document frequencies, one
-    join(shingle) to attach them, one window on doc_id, one self-join
-    on prefix shingles, then id-keyed verify joins. A length filter
-    (num*max(n_a,n_b) <= den*min(n_a,n_b)) prunes candidates before
-    the distinct. Threshold is an exact integer fraction so the final
-    verify (den*|intersect| >= num*|union|) carries no float boundary.
+    Scale shape: no global rank is materialized — the rarity order
+    lives inside a per-doc window; shuffles are one groupBy(key), one
+    join(key), one doc window, the prefix self-join, and id-keyed
+    verify joins. dfreq and the prefix table are STAGED (real stats):
+    unstaged, AQE promoted the corpus-sized dfreq to a broadcast that
+    OOMed the 100x slice (round-5 stats-lie pathology).
 
-    Measured at sf0.01: 977 candidate pairs of 124,750 possible (128x
-    pruning), 25 survivors at t=1/2. Returns (id_a, id_b, jaccard)."""
+    MEASURED LIMIT (SCALE.md round 12): prefix filtering's candidate
+    fan is sum(prefix-df^2); on a LOW-DIVERSITY vocabulary (this
+    synthetic corpus: vocab grows 1.7x while docs grow 10x) even the
+    rarest shingles have df ~ O(n), so candidates grow ~quadratically
+    (16.6k at sf0.01 -> 995k at sf0.1 pre-positional). On Zipf-ish
+    real corpora the prefix df stays O(1) and the join is linear;
+    where the vocab is corpus-invariant, use the MinHash-LSH family
+    instead — this operator's value is EXACTNESS, and it says so
+    rather than silently degrading. Returns (id_a, id_b, jaccard)."""
     from lswms_forage_etl_spark.lifecycle import stage_table
     from pyspark.sql import Window
 
     num, den = threshold
     sh_tbl = shingles if shingles is not None else stage_table(
         shingle_table(docs, text_col, id_col, k))
-    tok = sh_tbl.select(F.col(id_col), F.explode("sh").alias("s"))
-    dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("dfq"))
+    # 60-bit portable hash of each shingle: fixed-width int64 keys for
+    # every downstream sort/join (strings only exist pre-hash)
+    h64 = stage_table(sh_tbl.select(
+        F.col(id_col),
+        F.transform("sh", lambda s: F.conv(
+            F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+        .alias("sh64")))
+    tok = h64.select(F.col(id_col), F.explode("sh64").alias("s64"))
+    # STAGED: dfreq is corpus-sized (near one row per distinct shingle)
+    # but its post-agg estimate lies small — see docstring
+    dfreq = stage_table(
+        tok.groupBy("s64").agg(F.count(F.lit(1)).alias("dfq")))
 
     w_doc = Window.partitionBy(id_col)
-    ranked = (tok.join(dfreq, "s")
+    ranked = (tok.join(dfreq, "s64")
               .withColumn("n", F.count(F.lit(1)).over(w_doc))
               .withColumn("pos", F.row_number().over(
-                  w_doc.orderBy("dfq", "s"))))
+                  w_doc.orderBy("dfq", "s64"))))
     # p = n - ceil(num*n/den) + 1, all-integer on both engines
     p = (F.col("n")
          - ((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
@@ -475,19 +497,25 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     # staged: the prefix table feeds BOTH sides of the candidate
     # self-join (round-4 lesson: persist before self-joining)
     prefix = stage_table(
-        ranked.where(F.col("pos") <= p).select(id_col, "s", "n"))
+        ranked.where(F.col("pos") <= p)
+        .select(id_col, "s64", "n", "pos"))
 
-    a = prefix.toDF("id_a", "s", "n_a")
-    b = prefix.toDF("id_b", "s", "n_b")
-    cand = (a.join(b, "s")
+    a = prefix.toDF("id_a", "s64", "n_a", "pos_a")
+    b = prefix.toDF("id_b", "s64", "n_b", "pos_b")
+    alpha = ((F.lit(num) * (F.col("n_a") + F.col("n_b"))
+              + F.lit(num + den - 1)) / F.lit(num + den)).cast("long")
+    cand = (a.join(b, "s64")
             .where((F.col("id_a") < F.col("id_b"))
                    & (F.lit(num) * F.greatest("n_a", "n_b")
-                      <= F.lit(den) * F.least("n_a", "n_b")))
+                      <= F.lit(den) * F.least("n_a", "n_b"))
+                   & (F.least(F.col("n_a") - F.col("pos_a"),
+                              F.col("n_b") - F.col("pos_b")) + 1
+                      >= alpha))
             .select("id_a", "id_b").distinct())
 
     v = (cand
-         .join(sh_tbl.toDF("id_a", "sh_a"), "id_a")
-         .join(sh_tbl.toDF("id_b", "sh_b"), "id_b"))
+         .join(h64.toDF("id_a", "sh_a"), "id_a")
+         .join(h64.toDF("id_b", "sh_b"), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (v.where(F.lit(den) * inter >= F.lit(num) * union)

@@ -1048,3 +1048,69 @@ def covariance_upper(emb: DataFrame, id_col: str = "vec_id",
         F.col("i").alias("dim_i"), F.col("j").alias("dim_j"),
         "n", cov_num.alias("cov_num"),
         portable_round(cov, 9).alias("cov"))
+
+
+def pca_power_top(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", iters: int = 8,
+                  quant: int = 10 ** 2) -> DataFrame:
+    """Dominant PCA eigenvector by power iteration — the projection
+    axis for spectral corpus diagnostics — run as ENGINE-PORTABLE
+    integer/IEEE arithmetic so a SQL oracle replays it bit-exactly:
+
+      1. exact covariance moments (covariance_upper at `quant`),
+         mirrored to the full d x d table;
+      2. one normalization to 20-bit ints: c20 = floor((c/maxabs)*2^20)
+         — the division runs in IEEE doubles (identical bits on every
+         engine, the standardize_dims precedent), the floor pins it;
+      3. `iters` fixed matvec rounds from the all-ones vector, each
+         renormalized to 14 bits the same way. Products stay <= 2^40.
+
+    Scale shape: the data-sized work is the ONE distributed moments
+    pass; every iteration touches only the bounded d^2 / d-row tables
+    (broadcast joins, d-row aggregates), with per-iteration
+    localCheckpoint keeping the plan flat (round-11 iterative-plan
+    lesson). Exactness bound: cov_num <= n^2*quant^2 must stay under
+    2^53 for the double-divide step — quant=1e2 allows n ~ 3e7 rows;
+    shard the moments pass beyond that.
+
+    Returns (dim, u14, loading): the 14-bit integer eigenvector and
+    its unit-norm double form (portable-rounded at 9 dp)."""
+    from pyspark.sql import Window
+
+    from lswms_forage_etl_spark.operators.dedup import _ckpt_tracked
+
+    w_all = Window.partitionBy()
+    cov = covariance_upper(emb, id_col, vec_col, quant=quant).select(
+        "dim_i", "dim_j", "cov_num")
+    full = cov.unionByName(
+        cov.where(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"),
+            "cov_num"))
+    maxc = F.max(F.abs(F.col("cov_num"))).over(w_all)
+    c20 = (full.withColumn(
+        "c20", F.floor(F.col("cov_num").cast("double") / maxc
+                       * F.lit(float(1 << 20))).cast("long"))
+        .select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"),
+                "c20"))
+    c20 = _ckpt_tracked(c20, eager=True)    # bounded: d^2 rows
+
+    u = c20.select(F.col("i").alias("dim")).distinct().withColumn(
+        "u14", F.lit(1 << 14).cast("long"))
+    for _ in range(iters):
+        w_vec = (c20.join(F.broadcast(u.withColumnRenamed("dim", "j")
+                                      .withColumnRenamed("u14", "uj")),
+                          "j")
+                 .groupBy("i")
+                 .agg(F.sum(F.col("c20") * F.col("uj")).alias("w")))
+        maxw = F.max(F.abs(F.col("w"))).over(w_all)
+        u = _ckpt_tracked(w_vec.select(
+            F.col("i").alias("dim"),
+            F.floor(F.col("w").cast("double") / maxw
+                    * F.lit(float(1 << 14))).cast("long").alias("u14")),
+            eager=True)                     # bounded: d rows
+
+    norm = F.sqrt(F.sum(F.col("u14").cast("double") * F.col("u14"))
+                  .over(w_all))
+    return u.select(
+        "dim", "u14",
+        portable_round(F.col("u14") / norm, 9).alias("loading"))

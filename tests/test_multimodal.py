@@ -214,11 +214,10 @@ def test_png_unsupported_gates():
                                              color, 0, 0, interlace))
                 + chunk(b"IEND", b""))
 
-    # round 12 moved 16-bit / palette / Adam7 INTO the kernel; the
-    # remaining honest gates are the alpha color types, sub-byte
-    # Adam7, and a palette stream missing its PLTE
-    for depth, color, il in [(8, 6, 0), (8, 4, 0), (16, 4, 0),
-                             (4, 0, 1)]:
+    # round 12 moved 16-bit / palette / Adam7 / alpha channels INTO
+    # the kernel; the remaining honest gates are sub-byte alpha,
+    # sub-byte Adam7, and a palette stream missing its PLTE
+    for depth, color, il in [(4, 4, 0), (2, 6, 0), (4, 0, 1)]:
         with pytest.raises(NotImplementedError, match="PNG shape"):
             _parse_png(ihdr_png(depth, color, il))
     with pytest.raises(ValueError, match="without PLTE"):
@@ -523,26 +522,57 @@ def test_png_remaining_gates_raise():
     from lswms_forage_etl_spark.operators.multimodal import (
         _parse_png, encode_png)
     import struct, zlib
-    # alpha color types still gate (rebuild a valid stream, patch IHDR)
+    # sub-byte alpha still gates (rebuild a valid stream, patch IHDR
+    # to the unsupported color=4/depth=4 combination)
     buf = bytearray(encode_png(np.zeros((2, 2), np.uint8)))
+    buf[24] = 4                        # bit depth 4
     buf[25] = 4                        # color type 4 (grey+alpha)
     crc = zlib.crc32(bytes(buf[12:29]))
     buf[29:33] = struct.pack(">I", crc)
     with pytest.raises(NotImplementedError, match="color=4"):
         _parse_png(bytes(buf))
-    # tRNS transparency gates
-    pal = np.zeros((2, 3), np.uint8)
-    base = encode_png(np.zeros((2, 2), np.uint8), bit_depth=8,
-                      palette=pal)
-    trns = struct.pack(">I", 1) + b"tRNS\x00" \
-        + struct.pack(">I", zlib.crc32(b"tRNS\x00"))
-    patched = base.replace(b"IDAT", b"IDAT")  # keep mypy quiet
+    # tRNS on a NON-palette stream gates (single transparent sample
+    # value — the format tail; alpha channels decode fully)
+    base = encode_png(np.zeros((2, 2), np.uint8))
+    trns = struct.pack(">I", 2) + b"tRNS\x00\x00" \
+        + struct.pack(">I", zlib.crc32(b"tRNS\x00\x00"))
     i = base.index(b"IDAT") - 4
     with pytest.raises(NotImplementedError, match="tRNS"):
         _parse_png(base[:i] + trns + base[i:])
     # sub-byte Adam7 is a documented encoder+decoder gate
     with pytest.raises(ValueError, match="Adam7"):
         encode_png(np.zeros((4, 4), np.uint8), bit_depth=4, interlace=1)
+
+
+def test_png_alpha_and_trns_roundtrip():
+    """Round 12: grey+alpha (color 4) and RGBA (color 6) at 8/16 bit,
+    every filter, both interlace modes; palette tRNS expands to RGBA
+    with alpha=255 past the table's end (per spec)."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        _parse_png, encode_png)
+    rng = np.random.RandomState(0)
+    for nch in (2, 4):
+        for ft in range(5):
+            for il in (0, 1):
+                a = rng.randint(0, 256, (13, 9, nch)).astype(np.uint8)
+                w, h, flat = _parse_png(
+                    encode_png(a, filter_type=ft, interlace=il))
+                assert (w, h) == (9, 13)
+                assert np.array_equal(flat, a.reshape(-1)), (nch, ft, il)
+        a16 = rng.randint(0, 65536, (6, 4, nch)).astype(np.uint16)
+        w, h, flat = _parse_png(encode_png(a16, bit_depth=16,
+                                           filter_type=4))
+        assert np.array_equal(
+            flat, (a16 >> 8).astype(np.uint8).reshape(-1))
+    pal = rng.randint(0, 256, (5, 3)).astype(np.uint8)
+    trns = np.array([0, 128, 255], dtype=np.uint8)   # shorter than pal
+    idx = rng.randint(0, 5, (8, 6)).astype(np.uint8)
+    w, h, flat = _parse_png(
+        encode_png(idx, bit_depth=4, palette=pal, trns=trns))
+    alpha = np.array([0, 128, 255, 255, 255], dtype=np.uint8)
+    want = np.column_stack([pal[idx.reshape(-1)],
+                            alpha[idx.reshape(-1)]]).reshape(-1)
+    assert np.array_equal(flat, want)
 
 
 def test_wav_g711_law_decode_round_trips(spark):
@@ -581,3 +611,29 @@ def test_wav_g711_law_decode_round_trips(spark):
         v = table[np.frombuffer(
             rows[did].encode("utf-8")[:nf * ch], dtype=np.uint8)]
         assert r["amp_q"] == int(v.astype(np.int64).sum()) * 1000000, did
+
+
+def test_wav_float64_decodes():
+    """IEEE-float64 PCM (format 3, bits 64): hand-built RIFF stream
+    decodes to the same float32 samples as its float32 twin."""
+    import struct
+
+    import numpy as np
+
+    from lswms_forage_etl_spark.operators.multimodal import _parse_wav
+
+    vals = np.array([0.0, 0.25, -0.5, 1.0, -1.0, 0.125], dtype="<f8")
+
+    def riff(bits, payload):
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * bits // 8,
+                          bits // 8, bits)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(payload)) + payload)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    r64 = _parse_wav(riff(64, vals.tobytes()))
+    r32 = _parse_wav(riff(32, vals.astype("<f4").tobytes()))
+    assert r64[2] == 64 and r32[2] == 32
+    assert r64[3] == r32[3] == len(vals)
+    assert r64[4].dtype == np.float32
+    assert np.array_equal(r64[4], r32[4])

@@ -108,6 +108,12 @@ QUERIES = [
     "mm_gif_frames",
     "text_hybrid_rerank",
     "text_perplexity_scaled",
+    # round-12 session-3 operators
+    "dedup_prefix_filter",
+    "events_cdc_apply",
+    "scan_zonemap_prune",
+    "ann_covariance",
+    "ann_pca_power",
 ]
 
 
