@@ -470,26 +470,48 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     num, den = threshold
-    sh_tbl = shingles if shingles is not None else stage_table(
-        shingle_table(docs, text_col, id_col, k))
-    # 60-bit portable hash of each shingle: fixed-width int64 keys for
-    # every downstream sort/join (strings only exist pre-hash)
-    h64 = stage_table(sh_tbl.select(
-        F.col(id_col),
-        F.transform("sh", lambda s: F.conv(
-            F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
-        .alias("sh64")))
-    tok = h64.select(F.col(id_col), F.explode("sh64").alias("s64"))
+    src = (shingles.select(F.col(id_col), "sh") if shingles is not None
+           else _spread(docs).select(
+               F.col(id_col), word_shingles(text_col, k).alias("sh")))
+    # ONE staged pass computes the 60-bit shingle keys (fixed-width
+    # int64 for every downstream sort/join — strings only exist
+    # pre-hash) AND the set fingerprint used for exact-dup grouping
+    sh64 = F.array_sort(F.transform("sh", lambda s: F.conv(
+        F.substring(F.md5(s), 1, 15), 16, 10).cast("long")))
+    # EXACT-DUP SKEW IMMUNITY (round-5 distinct-signature lesson): the
+    # join runs over one row per DISTINCT shingle set, never per doc —
+    # clone groups would otherwise share identical prefixes and both
+    # the candidate join and the verify would replay per clone pair.
+    # Doc pairs are recovered output-bound afterwards. Grouping is ONE
+    # window over the set fingerprint (min-id representative) in the
+    # same staged pass that computes the keys — no groupBy+membership
+    # join (the two-table fp-keyed form measured ~2x slower at 100x),
+    # and every hot stage downstream keys on the int64 rep.
+    w_fp = Window.partitionBy("_setfp")
+    marked = stage_table(
+        src.select(F.col(id_col), sh64.alias("sh64"))
+        .where(F.size("sh64") > 0)
+        .select(F.col(id_col), "sh64",
+                F.md5(F.concat_ws(
+                    ",", F.col("sh64").cast("array<string>")))
+                .alias("_setfp"))
+        .select(F.col(id_col), "sh64",
+                F.min(id_col).over(w_fp).alias("rep")))
+    sets = marked.where(F.col(id_col) == F.col("rep")).select(
+        "rep", "sh64")
+    members = marked.select(F.col(id_col), "rep")
+
+    tok = sets.select("rep", F.explode("sh64").alias("s64"))
     # STAGED: dfreq is corpus-sized (near one row per distinct shingle)
     # but its post-agg estimate lies small — see docstring
     dfreq = stage_table(
         tok.groupBy("s64").agg(F.count(F.lit(1)).alias("dfq")))
 
-    w_doc = Window.partitionBy(id_col)
+    w_set = Window.partitionBy("rep")
     ranked = (tok.join(dfreq, "s64")
-              .withColumn("n", F.count(F.lit(1)).over(w_doc))
+              .withColumn("n", F.count(F.lit(1)).over(w_set))
               .withColumn("pos", F.row_number().over(
-                  w_doc.orderBy("dfq", "s64"))))
+                  w_set.orderBy("dfq", "s64"))))
     # p = n - ceil(num*n/den) + 1, all-integer on both engines
     p = (F.col("n")
          - ((F.lit(num) * F.col("n") + F.lit(den - 1)) / F.lit(den))
@@ -498,29 +520,46 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     # self-join (round-4 lesson: persist before self-joining)
     prefix = stage_table(
         ranked.where(F.col("pos") <= p)
-        .select(id_col, "s64", "n", "pos"))
+        .select("rep", "s64", "n", "pos"))
 
-    a = prefix.toDF("id_a", "s64", "n_a", "pos_a")
-    b = prefix.toDF("id_b", "s64", "n_b", "pos_b")
+    a = prefix.toDF("rep_a", "s64", "n_a", "pos_a")
+    b = prefix.toDF("rep_b", "s64", "n_b", "pos_b")
     alpha = ((F.lit(num) * (F.col("n_a") + F.col("n_b"))
               + F.lit(num + den - 1)) / F.lit(num + den)).cast("long")
     cand = (a.join(b, "s64")
-            .where((F.col("id_a") < F.col("id_b"))
+            .where((F.col("rep_a") < F.col("rep_b"))
                    & (F.lit(num) * F.greatest("n_a", "n_b")
                       <= F.lit(den) * F.least("n_a", "n_b"))
                    & (F.least(F.col("n_a") - F.col("pos_a"),
                               F.col("n_b") - F.col("pos_b")) + 1
                       >= alpha))
-            .select("id_a", "id_b").distinct())
+            .select("rep_a", "rep_b").distinct())
 
     v = (cand
-         .join(h64.toDF("id_a", "sh_a"), "id_a")
-         .join(h64.toDF("id_b", "sh_b"), "id_b"))
+         .join(sets.select(F.col("rep").alias("rep_a"),
+                           F.col("sh64").alias("sh_a")), "rep_a")
+         .join(sets.select(F.col("rep").alias("rep_b"),
+                           F.col("sh64").alias("sh_b")), "rep_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (v.where(F.lit(den) * inter >= F.lit(num) * union)
-            .select("id_a", "id_b",
-                    jaccard_expr("sh_a", "sh_b").alias("jaccard")))
+    set_pairs = (v.where(F.lit(den) * inter >= F.lit(num) * union)
+                 .select("rep_a", "rep_b",
+                         jaccard_expr("sh_a", "sh_b").alias("jaccard")))
+
+    # output-bound doc-pair recovery: cross-group membership expansion
+    # plus the intra-group clone pairs (identical sets, jaccard 1.0)
+    cross = (set_pairs
+             .join(members.toDF("ida", "rep_a"), "rep_a")
+             .join(members.toDF("idb", "rep_b"), "rep_b")
+             .select(F.least("ida", "idb").alias("id_a"),
+                     F.greatest("ida", "idb").alias("id_b"), "jaccard"))
+    ma = members.toDF("id_a", "rep")
+    mb = members.toDF("id_b", "rep")
+    intra = (ma.join(mb, "rep")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.lit(1.0).cast("double").alias("jaccard")))
+    return cross.unionByName(intra)
 
 
 def minhash_dedup(docs: DataFrame, text_col: str = "text",
