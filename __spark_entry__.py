@@ -2965,6 +2965,34 @@ def q_corpus_dsir_weights(spark, sf):
                            DSIR_TARGET_SOURCES)
 
 
+def q_layout_compact(spark, sf):
+    """Small-file compaction planning (OPTIMIZE bin packing): the
+    per-shard manifest (one groupBy pass) feeds a contiguous
+    cumulative-size bin assignment — order-preserving, so zone-map
+    clustering survives the rewrite. The global window is over the
+    MANIFEST (one row per shard — Delta-log scale), never row data."""
+    from lswms_forage_etl_spark.functions.layout import (
+        compact_bins, zonemap_stats)
+    ev = _events(spark, sf)
+    manifest = zonemap_stats(
+        ev, F.floor(F.col("event_id") / F.lit(256)).cast("long"), "ts")
+    return compact_bins(manifest.select("shard_id", "n_rows"),
+                        target=2000)
+
+
+def q_corpus_mix_temperature(spark, sf):
+    """Temperature-flattened source mix at tau = 1/2 (mBERT/XLM-R/
+    GPT-3 style): derived targets sqrt(n_g), keep rate
+    sqrt(n_min/n_g) decided by the deterministic u32 hash threshold.
+    tau fixed at 1/2 because IEEE sqrt is correctly rounded on every
+    engine while pow() is not — the reason an arbitrary-tau version
+    would not be oracle-replayable."""
+    from lswms_forage_etl_spark.operators.sampling import (
+        temperature_rebalance)
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return temperature_rebalance(docs, "lang", "doc_id")
+
+
 def q_ann_pca_power(spark, sf):
     """Dominant PCA eigenvector by 8 power-iteration rounds over the
     EXACT integer covariance table — every round is floor-pinned
@@ -3241,6 +3269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_zonemap_prune": q_scan_zonemap_prune,
         "ann_covariance": q_ann_covariance,
         "ann_pca_power": q_ann_pca_power,
+        "layout_compact": q_layout_compact,
+        "corpus_mix_temperature": q_corpus_mix_temperature,
     }
 
 
@@ -6576,6 +6606,43 @@ def oracle_sql() -> dict[str, str]:
                {_pr('''u14 / sqrt((SELECT sum(CAST(u14 AS DOUBLE) * u14)
                                    FROM u8))''', 9)} AS loading
         FROM u8
+    """
+
+    # compaction bin packing over the shard manifest; windowed sums
+    # are HUGEINT in DuckDB -> CAST
+    sql["layout_compact"] = """
+        WITH m AS (SELECT event_id // 256 AS shard_id,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+        b AS (SELECT shard_id, n,
+                     CAST(floor(coalesce(sum(n) OVER (
+                            ORDER BY shard_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                          / 2000.0) AS BIGINT) AS bin_id
+              FROM m)
+        SELECT shard_id, n, bin_id,
+               CAST(sum(n) OVER (PARTITION BY bin_id) AS BIGINT)
+                 AS bin_rows,
+               CAST(count(*) OVER (PARTITION BY bin_id) AS BIGINT)
+                 AS bin_shards
+        FROM b
+    """
+
+    # tau=1/2 temperature mix: derived sqrt targets, keep rate
+    # sqrt(n_min/n_g), same u32 threshold family as sample_rebalance
+    sql["corpus_mix_temperature"] = """
+        WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS ng
+                   FROM documents GROUP BY lang),
+        s AS (SELECT min(sqrt(CAST(ng AS DOUBLE))) AS smin FROM c),
+        r AS (SELECT lang,
+                     CAST(floor(LEAST(1.0,
+                                      smin / sqrt(CAST(ng AS DOUBLE)))
+                                * 4294967296.0) AS BIGINT) AS thr
+              FROM c, s)
+        SELECT doc_id, lang FROM documents JOIN r USING (lang)
+        WHERE ('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)),
+                              1, 8))::BIGINT < thr
     """
 
     return sql

@@ -111,6 +111,8 @@ HEADLINE = [
     "scan_zonemap_prune",
     "ann_covariance",
     "ann_pca_power",
+    "layout_compact",
+    "corpus_mix_temperature",
 ]
 
 

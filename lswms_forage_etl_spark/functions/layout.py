@@ -128,3 +128,33 @@ def zonemap_scan(spark, path: str, value_col: str, lo, hi) -> DataFrame:
     scan = spark.read.parquet(path).where(F.col("shard_id").isin(ids))
     return scan.where((F.col(value_col) >= F.lit(lo))
                       & (F.col(value_col) < F.lit(hi)))
+
+
+def compact_bins(manifest: DataFrame, size_col: str = "n_rows",
+                 shard_col: str = "shard_id",
+                 target: int = 2000) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE/bin-packing
+    maintenance pass every file-based 100 TB table needs: assign
+    CONTIGUOUS shards (in `shard_col` order, so an existing sort/
+    zone-map clustering survives the rewrite) to target-sized bins by
+    cumulative size: bin = floor(cum_before / target). Every bin except
+    possibly the last holds >= target once full shards land in it, and
+    no bin exceeds target + max_shard - 1 rows.
+
+    The window is a GLOBAL ordered scan — correct here because the
+    input is a file MANIFEST (one row per shard/file, the Delta-log
+    scale argument: KBs-MBs where the data is TBs), never row-level
+    data. Emits (shard, n, bin_id, bin_rows, bin_shards)."""
+    from pyspark.sql import Window
+
+    w = (Window.orderBy(shard_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    binned = manifest.select(
+        shard_col, F.col(size_col).alias("n"),
+        (F.coalesce(F.sum(size_col).over(w), F.lit(0))
+         / F.lit(target)).cast("long").alias("bin_id"))
+    w_bin = Window.partitionBy("bin_id")
+    return binned.select(
+        shard_col, "n", "bin_id",
+        F.sum("n").over(w_bin).alias("bin_rows"),
+        F.count(F.lit(1)).over(w_bin).alias("bin_shards"))

@@ -203,3 +203,36 @@ def rebalance_to_target(df: DataFrame, group_col: str,
     return (df.join(F.broadcast(rates), group_col)
             .where(sample_u32(key_col, seed) < F.col("_thr"))
             .drop("_thr"))
+
+
+def temperature_rebalance(df: DataFrame, group_col: str, key_col: str,
+                          seed: int = 0) -> DataFrame:
+    """Temperature-flattened downsampling at tau = 1/2 (the
+    multilingual-corpus move popularized by mBERT/XLM-R/GPT-3: sample
+    shares proportional to n_g^tau, so head groups shrink and tail
+    groups keep everything): derived targets t_g = sqrt(n_g), binding
+    scale = min_g sqrt(n_g), per-group keep rate sqrt(n_min / n_g) —
+    the smallest group keeps 1.0, a group 100x larger keeps 1/10.
+
+    tau is FIXED at 1/2 because IEEE-754 guarantees sqrt is correctly
+    rounded (identical bits on every engine) while pow() is a libm
+    call with no such guarantee — an arbitrary-tau version would not
+    be oracle-replayable. Same in-plan shape as rebalance_to_target:
+    counts aggregate -> 1-row binding min -> broadcast rate join ->
+    deterministic u32 hash-threshold keep; no driver collect at any
+    group count."""
+    counts = (df.groupBy(group_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("_ng")))
+    scale = counts.agg(
+        F.min(F.sqrt(F.col("_ng").cast("double"))).alias("_smin"))
+    rates = (counts.crossJoin(scale)
+             .select(group_col,
+                     F.floor(F.least(
+                         F.lit(1.0),
+                         F.col("_smin")
+                         / F.sqrt(F.col("_ng").cast("double")))
+                         * F.lit(float(U32_SPAN)))
+                     .cast("long").alias("_thr")))
+    return (df.join(F.broadcast(rates), group_col)
+            .where(sample_u32(key_col, seed) < F.col("_thr"))
+            .drop("_thr"))

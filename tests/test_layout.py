@@ -92,3 +92,29 @@ def test_zonemap_guarantee_and_write_scan_prunes(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard_id" in plan.split(
         "PartitionFilters")[1].split("]")[0]
+
+
+def test_compact_bins_contiguous_and_bounded(spark):
+    """Bin packing: contiguous in shard order, per-bin totals correct,
+    and no bin exceeds target + max_shard - 1."""
+    from lswms_forage_etl_spark.functions.layout import compact_bins
+    target = 100
+    sizes = [40, 40, 40, 10, 90, 5, 5, 200, 30, 30, 30, 30]
+    man = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "shard_id long, n_rows long")
+    rows = sorted(compact_bins(man, target=target).collect(),
+                  key=lambda r: r["shard_id"])
+    bins = [r["bin_id"] for r in rows]
+    assert bins == sorted(bins)                  # contiguous, monotone
+    import collections
+    tot = collections.Counter()
+    for r in rows:
+        tot[r["bin_id"]] += r["n"]
+    for r in rows:
+        assert r["bin_rows"] == tot[r["bin_id"]]
+    assert all(t <= target + max(sizes) - 1 for t in tot.values())
+    # replay the definition exactly
+    cum = 0
+    for r in rows:
+        assert r["bin_id"] == cum // target, r
+        cum += r["n"]

@@ -80,3 +80,24 @@ def test_assign_splits_deterministic_and_total(spark):
         assign_splits(docs, {"train": 0.5, "val": 0.1})
     with _pt.raises(ValueError):
         assign_splits(docs, {})
+
+
+def test_temperature_rebalance_sqrt_flattening(spark):
+    """tau=1/2 mix: the smallest group keeps everything; a group 100x
+    larger keeps ~sqrt(1/100) = 10% (hash-exact, deterministic)."""
+    from lswms_forage_etl_spark.operators.sampling import (
+        temperature_rebalance)
+    rows = ([(i, "small") for i in range(50)]
+            + [(1000 + i, "big") for i in range(5000)])
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = temperature_rebalance(df, "grp", "doc_id")
+    counts = {r["grp"]: r["count"]
+              for r in out.groupBy("grp").count().collect()}
+    assert counts["small"] == 50                    # binding group: all
+    expect_big = 5000 * (50 / 5000) ** 0.5          # ~= 500
+    assert abs(counts["big"] - expect_big) < 60, counts
+    # determinism: the same plan yields the identical row set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"]
+         for r in temperature_rebalance(df, "grp", "doc_id").collect()}
+    assert a == b

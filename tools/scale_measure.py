@@ -114,6 +114,8 @@ QUERIES = [
     "scan_zonemap_prune",
     "ann_covariance",
     "ann_pca_power",
+    "layout_compact",
+    "corpus_mix_temperature",
 ]
 
 
