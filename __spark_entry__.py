@@ -2928,8 +2928,10 @@ def q_mm_gif_frames(spark, sf):
     ids interlaced), then the Arrow stage LZW-decodes every frame,
     reads its delay, and maps the non-degenerate palette. One row per
     (media_id, frame_idx); the oracle replays delays and per-frame RGB
-    means from the same text byte ranges. Sub-rectangle/disposal
-    compositing stays an honest in-kernel gate."""
+    means from the same text byte ranges. Sub-rectangle/disposal/
+    transparency compositing is fully decoded in-kernel (round 12,
+    pinned by tests over hand-assembled streams); the graded payloads
+    stay full-frame so the oracle byte-replay is unchanged."""
     from lswms_forage_etl_spark.operators.multimodal import (
         gif_frame_table, synth_gif_anim_media)
     out = gif_frame_table(synth_gif_anim_media(_t(spark, sf, "documents")))
@@ -2963,6 +2965,23 @@ def q_corpus_dsir_weights(spark, sf):
     from lswms_forage_etl_spark.operators.lm import dsir_importance
     return dsir_importance(_t(spark, sf, "documents"),
                            DSIR_TARGET_SOURCES)
+
+
+def q_sketch_cms_heavy(spark, sf):
+    """phi-heavy hitters over word tokens via Count-Min (d=4, w=16384,
+    phi = 1/30 of total occurrences): 100% recall by the
+    no-underestimate property; any collision false positive surfaces
+    as an is_heavy=false row rather than silently (the FP path is
+    exercised by the w=64 unit test). The phi*N SHARE threshold —
+    not an absolute count — is what keeps a fixed-width sketch
+    scale-correct: token shares are corpus-size-invariant, so the
+    hitter set is stable from sf0.01 through sf0.1 (16/15 tokens)."""
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    from lswms_forage_etl_spark.operators.sketches import (
+        cms_heavy_hitters)
+    docs = _spread(_t(spark, sf, "documents"))
+    occ = docs.select(F.explode(T.tokens("text")).alias("g"))
+    return cms_heavy_hitters(occ, "g", phi=(1, 30))
 
 
 def q_layout_compact(spark, sf):
@@ -3271,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pca_power": q_ann_pca_power,
         "layout_compact": q_layout_compact,
         "corpus_mix_temperature": q_corpus_mix_temperature,
+        "sketch_cms_heavy": q_sketch_cms_heavy,
     }
 
 
@@ -6606,6 +6626,37 @@ def oracle_sql() -> dict[str, str]:
                {_pr('''u14 / sqrt((SELECT sum(CAST(u14 AS DOUBLE) * u14)
                                    FROM u8))''', 9)} AS loading
         FROM u8
+    """
+
+    # phi-heavy hitters: same md5 cells as _cms_sql at w=16384, exact
+    # integer phi*N threshold on both the estimate and the truth flag
+    _hh_cells = ", ".join(
+        f"{{'r': {i}, 'c': ('0x' || substr(md5('{i}|' || g), 1, 8))"
+        f"::BIGINT % 16384}}" for i in range(4))
+    sql["sketch_cms_heavy"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+        s AS (SELECT unnest(toks) AS g FROM t),
+        cell AS (SELECT g, u.r AS r, u.c AS c
+                 FROM (SELECT g, unnest([{_hh_cells}]) AS u FROM s)),
+        cms AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n
+                FROM cell GROUP BY r, c),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM s),
+        keys AS (SELECT DISTINCT g FROM s),
+        pcell AS (SELECT g, u.r AS r, u.c AS c
+                  FROM (SELECT g, unnest([{_hh_cells}]) AS u FROM keys)),
+        e AS (SELECT g,
+                     CAST(min(coalesce(n, 0)) AS BIGINT) AS cms_estimate
+              FROM pcell LEFT JOIN cms USING (r, c) GROUP BY g),
+        x AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_n
+              FROM s GROUP BY g)
+        SELECT e.g, cms_estimate, exact_n,
+               exact_n * 30 >= nt * 1 AS is_heavy
+        FROM e JOIN x USING (g) CROSS JOIN tot
+        WHERE cms_estimate * 30 >= nt * 1
     """
 
     # compaction bin packing over the shard manifest; windowed sums

@@ -113,6 +113,7 @@ HEADLINE = [
     "ann_pca_power",
     "layout_compact",
     "corpus_mix_temperature",
+    "sketch_cms_heavy",
 ]
 
 

@@ -268,16 +268,20 @@ def encode_gif_frames(frames: list[np.ndarray],
 def parse_gif_frames(buf: bytes
                      ) -> list[tuple[int, int, int, np.ndarray]]:
     """Decode an animated (or single-image) GIF into its frame table:
-    (delay_cs, width, height, flat RGB samples) per frame. Frames must
-    cover the full logical screen (sub-rectangle placement raises —
-    compositing with disposal methods is the gate left honest); each
-    frame's delay comes from its preceding Graphic Control Extension
-    (0 when absent)."""
+    (delay_cs, screen_width, screen_height, flat RGB samples of the
+    FULLY COMPOSITED canvas) per frame. Round 12 closes the last GIF
+    gate: sub-rectangle rendering blocks paint onto a persistent
+    logical-screen canvas with GCE transparency (transparent indices
+    leave the canvas through) and disposal methods 0/1 (leave), 2
+    (restore the rectangle to the background color), and 3 (restore
+    to the pre-frame canvas). Delays come from each frame's preceding
+    Graphic Control Extension (0 when absent)."""
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("GIF: bad signature")
     sw = int.from_bytes(buf[6:8], "little")
     sh = int.from_bytes(buf[8:10], "little")
     packed = buf[10]
+    bg_index = buf[11]
     pos = 13
     palette = None
     if packed & 0x80:
@@ -285,8 +289,12 @@ def parse_gif_frames(buf: bytes
         palette = np.frombuffer(buf[pos:pos + 3 * n],
                                 dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
+    bg_color = (palette[bg_index] if palette is not None
+                and bg_index < len(palette)
+                else np.zeros(3, dtype=np.uint8))
+    canvas = np.broadcast_to(bg_color, (sh, sw, 3)).astype(np.uint8)
     frames: list[tuple[int, int, int, np.ndarray]] = []
-    delay = 0
+    delay, disposal, transp = 0, 0, None
     while pos < len(buf):
         b0 = buf[pos]
         pos += 1
@@ -294,10 +302,13 @@ def parse_gif_frames(buf: bytes
             break
         if b0 == 0x21:
             label = buf[pos]
-            if label == 0xF9:           # GCE: read the delay field
+            if label == 0xF9:           # GCE: delay/disposal/transparency
                 if buf[pos + 1] != 4:
                     raise ValueError("GIF: bad GCE block size")
+                gpacked = buf[pos + 2]
+                disposal = (gpacked >> 2) & 0x07
                 delay = int.from_bytes(buf[pos + 3:pos + 5], "little")
+                transp = buf[pos + 5] if gpacked & 0x01 else None
             pos = _skip_subblocks(buf, pos + 1)
             continue
         if b0 != 0x2C:
@@ -316,11 +327,8 @@ def parse_gif_frames(buf: bytes
             pos += 3 * n
         if pal is None:
             raise ValueError("GIF: no color table")
-        if (left, top, w, h) != (0, 0, sw, sh):
-            raise NotImplementedError(
-                "GIF sub-rectangle frame placement: compositing with "
-                "disposal methods is not supported — full-frame "
-                "animations only")
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF: rendering block outside the screen")
         mcs = buf[pos]
         pos += 1
         chunks = []
@@ -339,8 +347,19 @@ def parse_gif_frames(buf: bytes
             ix = rows
         if int(ix.max(initial=0)) >= len(pal):
             raise ValueError("GIF: pixel index outside color table")
-        frames.append((delay, w, h, pal[ix.reshape(-1)].reshape(-1).copy()))
-        delay = 0
+        region = canvas[top:top + h, left:left + w]
+        saved = region.copy() if disposal == 3 else None
+        if transp is not None:
+            m = ix != transp
+            region[m] = pal[ix[m]]
+        else:
+            region[:] = pal[ix]
+        frames.append((delay, sw, sh, canvas.reshape(-1).copy()))
+        if disposal == 2:
+            canvas[top:top + h, left:left + w] = bg_color
+        elif disposal == 3:
+            canvas[top:top + h, left:left + w] = saved
+        delay, disposal, transp = 0, 0, None
     if not frames:
         raise ValueError("GIF: no image descriptor")
     return frames

@@ -288,3 +288,42 @@ def winsorize(df: DataFrame, value_col: str, group_cols: list[str],
                .otherwise(v))
     return out.withColumn(f"{value_col}_clipped", clipped) \
               .drop(lo, hi)
+
+
+def cms_heavy_hitters(df: DataFrame, key_col: str,
+                      phi: tuple[int, int] = (1, 4096),
+                      d: int = 4, w: int = 16384,
+                      seed: int = 0) -> DataFrame:
+    """Heavy hitters via Count-Min (the classic phi-frequent-items
+    guarantee): report every key the sketch estimates at >= phi*N of
+    total occurrences, with the exact count and a truth flag alongside.
+    CMS never underestimates, so recall is 100% — false positives
+    (collision mass pushing a light key over the bar) are VISIBLE in
+    the output as is_heavy=false rows, which is the honest way to
+    grade a sketch.
+
+    The phi*N threshold (not an absolute count) is what makes a
+    FIXED-width sketch scale-correct: the estimate error is ~2N/w, so
+    candidates stay meaningful whenever phi >> 2/w (here 1/4096 vs
+    2/16384) at ANY corpus size. phi is an exact integer fraction and
+    the filter est*den >= N*num carries no float boundary.
+
+    Shuffles: sketch build (bounded d*w output), distinct keys, probe
+    groupBy, exact groupBy, candidate join — all linear; the 1-row
+    total rides a crossJoin broadcast (the rebalance_to_target
+    pattern for corpus-sized consumers)."""
+    num, den = phi
+    occ = df.select(F.col(key_col))
+    cms = cms_table(occ, key_col, d, w, seed)
+    total = occ.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    keys = occ.distinct()
+    est = cms_lookup(cms, keys, key_col, d, w, seed)
+    cand = (est.crossJoin(F.broadcast(total))
+            .where(F.col("cms_estimate") * F.lit(den)
+                   >= F.col("_n") * F.lit(num)))
+    exact = (occ.groupBy(key_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("exact_n")))
+    return (cand.join(exact, key_col)
+            .select(key_col, "cms_estimate", "exact_n",
+                    (F.col("exact_n") * F.lit(den)
+                     >= F.col("_n") * F.lit(num)).alias("is_heavy")))

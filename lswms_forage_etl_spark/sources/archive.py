@@ -54,6 +54,8 @@ from pyspark.sql.types import (
 )
 
 EOCD_SIG = b"PK\x05\x06"
+EOCD64_SIG = b"PK\x06\x06"
+EOCD64_LOC_SIG = b"PK\x06\x07"
 CDH_SIG = b"PK\x01\x02"
 LFH_SIG = b"PK\x03\x04"
 
@@ -73,19 +75,61 @@ def encode_zip(members: list[tuple[str, bytes, bool]]) -> bytes:
     return buf.getvalue()
 
 
+def _zip64_extra(extra: bytes, usize: int, csize: int,
+                 lfh_off: int) -> tuple[int, int, int]:
+    """Resolve 0xFFFFFFFF central-directory fields from the zip64
+    extended-information extra field (header id 0x0001): per APPNOTE
+    4.5.3 the 8-byte values appear in fixed order — uncompressed size,
+    compressed size, local-header offset — with ONLY the saturated
+    fields present."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        hid, sz = struct.unpack("<HH", extra[pos:pos + 4])
+        body = extra[pos + 4:pos + 4 + sz]
+        pos += 4 + sz
+        if hid != 0x0001:
+            continue
+        off = 0
+        if usize == 0xFFFFFFFF:
+            usize = struct.unpack("<Q", body[off:off + 8])[0]
+            off += 8
+        if csize == 0xFFFFFFFF:
+            csize = struct.unpack("<Q", body[off:off + 8])[0]
+            off += 8
+        if lfh_off == 0xFFFFFFFF:
+            lfh_off = struct.unpack("<Q", body[off:off + 8])[0]
+            off += 8
+        return usize, csize, lfh_off
+    if 0xFFFFFFFF in (usize, csize, lfh_off):
+        raise ValueError("zip64: saturated field without 0x0001 extra")
+    return usize, csize, lfh_off
+
+
 def parse_zip(buf: bytes) -> list[tuple[str, bytes]]:
     """From-scratch zip reader: locate the EOCD record (backward scan
     over the comment span), walk the central directory, cross-check
     each member's local header, inflate (raw deflate) or copy (stored),
-    and verify CRC-32."""
+    and verify CRC-32. Zip64 archives (saturated EOCD counts/offsets,
+    the EOCD64 locator + record, and per-member 0x0001 extras) are
+    handled per APPNOTE 4.5 — pinned against the independent stdlib
+    writer in tests."""
     lo = max(0, len(buf) - 65536 - 22)
     eocd = buf.rfind(EOCD_SIG, lo)
     if eocd < 0:
         raise ValueError("zip: no end-of-central-directory record")
     (n_total, cd_size, cd_off) = struct.unpack(
         "<HII", buf[eocd + 10:eocd + 20])
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise NotImplementedError("zip64 archives not supported")
+    if n_total == 0xFFFF or cd_size == 0xFFFFFFFF \
+            or cd_off == 0xFFFFFFFF:
+        # zip64: the 20-byte locator sits directly before the EOCD
+        loc = eocd - 20
+        if loc < 0 or buf[loc:loc + 4] != EOCD64_LOC_SIG:
+            raise ValueError("zip64: missing EOCD64 locator")
+        eocd64 = struct.unpack("<Q", buf[loc + 8:loc + 16])[0]
+        if buf[eocd64:eocd64 + 4] != EOCD64_SIG:
+            raise ValueError("zip64: bad EOCD64 signature")
+        n_total, cd_size, cd_off = struct.unpack(
+            "<QQQ", buf[eocd64 + 32:eocd64 + 56])
     out: list[tuple[str, bytes]] = []
     pos = cd_off
     for _ in range(n_total):
@@ -95,6 +139,10 @@ def parse_zip(buf: bytes) -> list[tuple[str, bytes]]:
          ) = struct.unpack("<HHxxxxIIIHHH", buf[pos + 8:pos + 34])
         lfh_off = struct.unpack("<I", buf[pos + 42:pos + 46])[0]
         name = buf[pos + 46:pos + 46 + nlen].decode("utf-8")
+        if 0xFFFFFFFF in (usize, csize, lfh_off):
+            usize, csize, lfh_off = _zip64_extra(
+                buf[pos + 46 + nlen:pos + 46 + nlen + elen],
+                usize, csize, lfh_off)
         pos += 46 + nlen + elen + clen
         if flags & 0x1:
             raise NotImplementedError("encrypted zip member")

@@ -206,9 +206,15 @@ def decode_geotiff_bytes(data: bytes, name: str = "<bytes>"
         raise NotImplementedError(
             f"TIFF compression {comp} not supported "
             "(only none/LZW/deflate)")
-    if tags.get(277, (1,))[0] != 1:
-        raise NotImplementedError("multi-band TIFF not supported")
-    bits = tags.get(258, (32,))[0]
+    spp = tags.get(277, (1,))[0]
+    if spp > 1 and tags.get(284, (1,))[0] != 1:
+        raise NotImplementedError(
+            "planar-configuration 2 (band-separate) TIFF not supported")
+    bdepths = tags.get(258, (32,))
+    if len(set(bdepths)) != 1:
+        raise NotImplementedError(
+            f"mixed per-band bit depths {bdepths} not supported")
+    bits = bdepths[0]
     # spec default for a missing SampleFormat is 1 (unsigned); legacy
     # float32 rasters from this module's own encoder always write 3,
     # but default 32-bit to float for compatibility with GDAL floats
@@ -226,6 +232,7 @@ def decode_geotiff_bytes(data: bytes, name: str = "<bytes>"
             "horizontal predictor on float samples")
 
     def segment(off: int, cnt: int, nrows: int, ncols: int) -> np.ndarray:
+        """-> (nrows, ncols*spp) samples, chunky interleave preserved."""
         if comp == 1:
             raw = data[off:off + cnt]
         elif comp == 5:
@@ -233,12 +240,17 @@ def decode_geotiff_bytes(data: bytes, name: str = "<bytes>"
         else:
             raw = zlib.decompress(data[off:off + cnt])
         seg = np.frombuffer(raw, dtype=dt_np,
-                            count=nrows * ncols).reshape(nrows, ncols)
+                            count=nrows * ncols * spp
+                            ).reshape(nrows, ncols * spp)
         if predictor == 2:
+            # horizontal differencing is PER SAMPLE: each channel
+            # differences against the same channel of the prior pixel
             mask = (1 << bits) - 1
-            cum = np.cumsum(seg.astype(np.int64), axis=1) & mask
+            per = seg.reshape(nrows, ncols, spp)
+            cum = np.cumsum(per.astype(np.int64), axis=1) & mask
             seg = cum.astype(np.dtype(f"u{bits // 8}")).view(
-                np.dtype(_SAMPLE_DTYPES[(bits, fmt)]))
+                np.dtype(_SAMPLE_DTYPES[(bits, fmt)])
+            ).reshape(nrows, ncols * spp)
         return seg
 
     if 322 in tags:                              # tile-organized
@@ -246,12 +258,13 @@ def decode_geotiff_bytes(data: bytes, name: str = "<bytes>"
         offsets, counts = tags[324], tags[325]
         tx = (width + tw - 1) // tw
         ty = (height + th - 1) // th
-        raw_img = np.zeros((ty * th, tx * tw), dtype=dt_np)
+        raw_img = np.zeros((ty * th, tx * tw * spp), dtype=dt_np)
         for idx, (off, cnt) in enumerate(zip(offsets, counts)):
             r, c = divmod(idx, tx)
             raw_img[r * th:(r + 1) * th,
-                    c * tw:(c + 1) * tw] = segment(off, cnt, th, tw)
-        raw_img = raw_img[:height, :width]
+                    c * tw * spp:(c + 1) * tw * spp] = segment(
+                        off, cnt, th, tw)
+        raw_img = raw_img[:height, :width * spp]
     else:                                        # strip-organized
         rows_per_strip = tags.get(278, (height,))[0]
         offsets, counts = tags[273], tags[279]
@@ -280,6 +293,8 @@ def decode_geotiff_bytes(data: bytes, name: str = "<bytes>"
     arr = raw_img.astype(np.float64) * scale + offset
     if mask is not None:
         arr[mask] = np.nan
+    if spp > 1:                                  # (h, w, bands) cube
+        arr = arr.reshape(height, width, spp)
     return arr, (origin_lon, origin_lat, sx), nodata
 
 
@@ -313,19 +328,22 @@ def encode_geotiff_bytes(arr: np.ndarray, origin_lon: float,
     import zlib
     np_dt, bits, fmt = _ENC_DTYPES[dtype]
     a = np.ascontiguousarray(arr, dtype=np_dt)
-    if a.ndim != 2:
-        raise ValueError("expected a 2-D array")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3:
+        raise ValueError("expected a (H,W) or chunky (H,W,bands) array")
     if predictor == 2 and fmt == 3:
         raise ValueError("horizontal predictor needs an integer dtype")
     comp = _COMP_CODES[compression]
-    h, w = a.shape
+    h, w, spp = a.shape
 
     def pack_segment(seg: np.ndarray) -> bytes:
+        """(rows, cols, spp) chunky samples -> packed segment bytes."""
         if predictor == 2:
             d = seg.copy()
-            d[:, 1:] = seg[:, 1:] - seg[:, :-1]   # wraps in-dtype
+            d[:, 1:, :] = seg[:, 1:, :] - seg[:, :-1, :]  # wraps
             seg = d
-        raw = seg.tobytes()
+        raw = np.ascontiguousarray(seg).tobytes()
         if comp == 5:
             return _lzw_encode(raw)
         if comp == 8:
@@ -336,7 +354,7 @@ def encode_geotiff_bytes(arr: np.ndarray, origin_lon: float,
     if tiled:
         tw = th = tile_size
         tx, ty = (w + tw - 1) // tw, (h + th - 1) // th
-        padded = np.zeros((ty * th, tx * tw), dtype=np_dt)
+        padded = np.zeros((ty * th, tx * tw, spp), dtype=np_dt)
         padded[:h, :w] = a
         for r in range(ty):
             for c in range(tx):
@@ -366,10 +384,12 @@ def encode_geotiff_bytes(arr: np.ndarray, origin_lon: float,
 
     add(256, SHORT, 1, nums(SHORT, w))
     add(257, SHORT, 1, nums(SHORT, h))
-    add(258, SHORT, 1, nums(SHORT, bits))
+    add(258, SHORT, spp, nums(SHORT, *([bits] * spp)))
     add(259, SHORT, 1, nums(SHORT, comp))
-    add(262, SHORT, 1, nums(SHORT, 1))           # min-is-black
-    add(277, SHORT, 1, nums(SHORT, 1))           # one band
+    add(262, SHORT, 1, nums(SHORT, 2 if spp == 3 else 1))
+    add(277, SHORT, 1, nums(SHORT, spp))
+    if spp > 1:
+        add(284, SHORT, 1, nums(SHORT, 1))       # chunky interleave
     if tiled:
         add(322, SHORT, 1, nums(SHORT, tile_size))
         add(323, SHORT, 1, nums(SHORT, tile_size))
@@ -383,7 +403,7 @@ def encode_geotiff_bytes(arr: np.ndarray, origin_lon: float,
             nums(LONG, *[len(s) for s in segments]))
     if predictor != 1:
         add(317, SHORT, 1, nums(SHORT, predictor))
-    add(339, SHORT, 1, nums(SHORT, fmt))
+    add(339, SHORT, spp, nums(SHORT, *([fmt] * spp)))
     add(33550, DOUBLE, 3, struct.pack("<3d", cell_size, cell_size, 0.0))
     add(33922, DOUBLE, 6, struct.pack("<6d", 0.0, 0.0, 0.0,
                                       origin_lon, origin_lat, 0.0))

@@ -243,3 +243,36 @@ def test_write_zip_shards_roundtrip_and_idempotence(spark, tmp_path):
     assert m2 == m1
     for f, t in stats.items():
         assert os.stat(os.path.join(out, f)).st_mtime_ns == t
+
+
+def test_zip64_parse_against_forced_stdlib_writer():
+    """Zip64 (round 12): saturated EOCD + per-member 0x0001 extras,
+    produced by the INDEPENDENT stdlib writer with its zip64 limits
+    patched down so every record takes the 64-bit form."""
+    import io
+    import zipfile
+    from unittest import mock
+
+    from lswms_forage_etl_spark.sources.archive import parse_zip
+
+    payloads = [(f"m{i}.txt", bytes([65 + i]) * (100 + i), i % 2 == 0)
+                for i in range(5)]
+    with mock.patch.object(zipfile, "ZIP64_LIMIT", 10), \
+            mock.patch.object(zipfile, "ZIP_FILECOUNT_LIMIT", 2):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", allowZip64=True) as zf:
+            for name, content, deflate in payloads:
+                info = zipfile.ZipInfo(name,
+                                       date_time=(1980, 1, 1, 0, 0, 0))
+                info.compress_type = (zipfile.ZIP_DEFLATED if deflate
+                                      else zipfile.ZIP_STORED)
+                zf.writestr(info, content, compresslevel=6)
+        data = buf.getvalue()
+    assert b"PK\x06\x06" in data          # the writer went zip64
+    assert parse_zip(data) == [(n, c) for n, c, _ in payloads]
+    # ordinary archives still parse through the classic EOCD path
+    plain = io.BytesIO()
+    with zipfile.ZipFile(plain, "w") as zf:
+        zf.writestr(zipfile.ZipInfo("a", date_time=(1980, 1, 1, 0, 0, 0)),
+                    b"hello")
+    assert parse_zip(plain.getvalue()) == [("a", b"hello")]

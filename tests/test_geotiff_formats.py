@@ -166,3 +166,65 @@ def test_zonal_cells_identical_over_deflate_twins(spark, tmp_path):
     twin = geotiff_to_cells(spark, twins).orderBy(key).collect()
     assert len(orig) > 10000
     assert orig == twin
+
+
+def test_multiband_chunky_roundtrip_all_layouts():
+    """Round 12: chunky (PlanarConfiguration=1) multi-band TIFFs —
+    RGB uint8 across none/deflate/LZW x strips/tiles x predictor
+    1/2 (per-sample differencing), plus int16 bands with nodata +
+    scale; single-band keeps its 2-D contract."""
+    import numpy as np
+
+    from lswms_forage_etl_spark.sources.geotiff import (
+        decode_geotiff_bytes, encode_geotiff_bytes)
+
+    rng = np.random.RandomState(4)
+    rgb = rng.randint(0, 255, (13, 9, 3)).astype(np.uint8)
+    for comp in ("none", "deflate", "lzw"):
+        for tiled in (False, True):
+            for pred in (1, 2):
+                b = encode_geotiff_bytes(
+                    rgb, 36.0, 15.0, 0.05, dtype="uint8",
+                    compression=comp, predictor=pred, tiled=tiled,
+                    tile_size=4, rows_per_strip=5)
+                arr, _, _ = decode_geotiff_bytes(b)
+                assert arr.shape == (13, 9, 3)
+                assert np.array_equal(arr, rgb.astype(np.float64)), (
+                    comp, tiled, pred)
+    v = rng.randint(-100, 100, (7, 5, 3)).astype(np.int16)
+    v[2, 3, :] = -9999
+    b = encode_geotiff_bytes(v, 36.0, 15.0, 0.05, dtype="int16",
+                             nodata=-9999.0, compression="deflate",
+                             predictor=2, scale=0.1)
+    arr, _, _ = decode_geotiff_bytes(b)
+    want = v.astype(np.float64) * 0.1
+    want[2, 3, :] = np.nan
+    assert np.allclose(arr, want, equal_nan=True)
+    g = rng.randint(0, 255, (6, 4)).astype(np.uint8)
+    a2, _, _ = decode_geotiff_bytes(
+        encode_geotiff_bytes(g, 36.0, 15.0, 0.05, dtype="uint8"))
+    assert a2.shape == (6, 4) and np.array_equal(a2, g.astype(np.float64))
+
+
+def test_planar_separate_still_gates():
+    """Planar-configuration 2 (band-separate) remains an honest raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lswms_forage_etl_spark.sources.geotiff import (
+        decode_geotiff_bytes, encode_geotiff_bytes)
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    b = bytearray(encode_geotiff_bytes(rgb, 36.0, 15.0, 0.05,
+                                       dtype="uint8"))
+    # patch tag 284 (written right after 277 for multiband) to value 2
+    ifd_off = struct.unpack("<I", b[4:8])[0]
+    n = struct.unpack("<H", b[ifd_off:ifd_off + 2])[0]
+    for i in range(n):
+        p = ifd_off + 2 + i * 12
+        if struct.unpack("<H", b[p:p + 2])[0] == 284:
+            b[p + 8:p + 10] = struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_geotiff_bytes(bytes(b))

@@ -115,13 +115,14 @@ def test_frames_parser_reads_single_image_gif():
     assert np.array_equal(got[0][3], PAL[ix.reshape(-1)].reshape(-1))
 
 
-def test_frames_subrect_gate():
-    # splice a shifted image descriptor: left=1 breaks full-frame
+def test_frames_out_of_bounds_rect_rejected():
+    # round 12: sub-rectangles COMPOSITE now; a rect that leaves the
+    # logical screen (left=1 on a screen-wide image) is a hard error
     buf = bytearray(encode_gif(np.zeros((2, 3), dtype=np.uint8)))
     idesc = 6 + 7 + 768          # header + LSD + global color table
     assert buf[idesc] == 0x2C
     buf[idesc + 1] = 1
-    with pytest.raises(NotImplementedError, match="sub-rectangle"):
+    with pytest.raises(ValueError, match="outside the screen"):
         parse_gif_frames(bytes(buf))
 
 
@@ -132,3 +133,74 @@ def test_decode_dispatch_includes_gif():
     w, h, pix = decode_image_bytes(encode_gif(ix))
     assert (w, h) == (6, 5)
     assert np.array_equal(pix, PAL[ix.reshape(-1)].reshape(-1))
+
+
+def _anim_gif(screen, frames, bg_index=5):
+    """Hand-assembled animated GIF89a with per-frame sub-rectangle
+    placement, disposal, and transparency — the byte shapes the
+    encoder twin doesn't emit, so compositing is pinned against
+    independently constructed streams."""
+    import numpy as np
+
+    from lswms_forage_etl_spark.operators.gif import (
+        lzw_encode, synth_palette)
+    sw, sh = screen
+    pal = synth_palette()
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0xF7, bg_index, 0]) + pal.astype(np.uint8).tobytes()
+    for left, top, ix, disposal, transp, delay in frames:
+        h, w = ix.shape
+        packed = (disposal << 2) | (1 if transp is not None else 0)
+        out += bytes([0x21, 0xF9, 4, packed])
+        out += delay.to_bytes(2, "little")
+        out += bytes([transp or 0, 0])
+        out += b"\x2c" + left.to_bytes(2, "little") \
+            + top.to_bytes(2, "little") \
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little") \
+            + b"\x00\x08"
+        stream = lzw_encode(np.asarray(ix, dtype=np.uint8).tobytes(), 8)
+        for i in range(0, len(stream), 255):
+            out += bytes([len(stream[i:i + 255])]) + stream[i:i + 255]
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_subrect_disposal_transparency_compositing():
+    """Round 12 closes the last GIF gate: sub-rectangle rendering
+    blocks composite onto the persistent canvas; transparency leaves
+    the canvas through; disposal 2 restores the rect to background,
+    disposal 3 to the pre-frame canvas."""
+    import numpy as np
+
+    from lswms_forage_etl_spark.operators.gif import (
+        parse_gif_frames, synth_palette)
+    pal = synth_palette()
+    sw, sh = 4, 3
+    full = np.full((sh, sw), 1, dtype=np.uint8)
+    sub2 = np.full((2, 2), 2, dtype=np.uint8)          # at (2,1)
+    mix = np.array([[7, 3]], dtype=np.uint8)           # at (0,0), 7=transp
+    buf = _anim_gif((sw, sh), [
+        (0, 0, full, 1, None, 4),     # f0: fill screen with idx 1
+        (2, 1, sub2, 3, None, 5),     # f1: paint rect, then RESTORE
+        (0, 0, mix, 2, 7, 6),         # f2: transparency + bg-restore
+        (0, 0, mix, 0, 7, 7),         # f3: shows f2's rect rewound to bg
+    ])
+    frames = parse_gif_frames(buf)
+    assert [f[0] for f in frames] == [4, 5, 6, 7]
+    assert all((f[1], f[2]) == (sw, sh) for f in frames)
+    c0 = frames[0][3].reshape(sh, sw, 3)
+    assert (c0 == pal[1]).all()
+    c1 = frames[1][3].reshape(sh, sw, 3)
+    assert (c1[1:3, 2:4] == pal[2]).all()              # painted rect
+    assert (c1[0, :] == pal[1]).all()                  # rest untouched
+    c2 = frames[2][3].reshape(sh, sw, 3)
+    assert (c2[1:3, 2:4] == pal[1]).all()              # disposal 3 undo
+    assert (c2[0, 0] == pal[1]).all()                  # transparent px
+    assert (c2[0, 1] == pal[3]).all()                  # painted px
+    c3 = frames[3][3].reshape(sh, sw, 3)
+    # f2's disposal 2 rewound its 1x2 rect to the BACKGROUND color
+    # before f3 painted: f3's transparent (0,0) shows background
+    assert (c3[0, 0] == pal[5]).all()
+    assert (c3[0, 1] == pal[3]).all()

@@ -252,3 +252,26 @@ def test_winsorize_clips_to_sketch_edges(spark):
     assert clipped[1.0] >= 1.0  # clamped UP to the p10 edge or kept
     lo = min(v for v in clipped.values())
     assert lo >= 10.0 - 10  # within one bin of exact p10
+
+
+def test_cms_heavy_hitters_recall_and_visible_fp(spark):
+    """phi-heavy hitters: CMS never underestimates, so every TRUE
+    phi-frequent key must appear (100% recall); collision-driven
+    false positives surface as is_heavy=false rows, never silently."""
+    from lswms_forage_etl_spark.operators.sketches import (
+        cms_heavy_hitters)
+    rows = (["hot1"] * 400 + ["hot2"] * 300
+            + [f"cold{i}" for i in range(300)])
+    df = spark.createDataFrame([(k,) for k in rows], "g string")
+    # tiny sketch (w=64) so collisions actually happen
+    out = {r["g"]: r for r in cms_heavy_hitters(
+        df, "g", phi=(1, 10), d=4, w=64).collect()}
+    n = len(rows)
+    truth = {k for k in set(rows)
+             if rows.count(k) * 10 >= n * 1}
+    assert truth == {"hot1", "hot2"}
+    for k in truth:                       # recall is guaranteed
+        assert k in out and out[k]["is_heavy"], k
+    for k, r in out.items():              # estimates never understate
+        assert r["cms_estimate"] >= r["exact_n"]
+        assert r["is_heavy"] == (r["exact_n"] * 10 >= n)

@@ -116,6 +116,7 @@ QUERIES = [
     "ann_pca_power",
     "layout_compact",
     "corpus_mix_temperature",
+    "sketch_cms_heavy",
 ]
 
 
