@@ -2967,6 +2967,21 @@ def q_corpus_dsir_weights(spark, sf):
                            DSIR_TARGET_SOURCES)
 
 
+def q_events_pattern_match(spark, sf):
+    """Row-pattern matching (MATCH_RECOGNIZE-lite): each 30-min
+    session's ordered event types become one code string and a regex
+    detects 'a view, then a click, then a purchase, with no error
+    between' (v[^e]*c[^e]*p). One user-key shuffle; the regex runs on
+    session-bounded strings, never across rows. Both engines' RE2-
+    compatible subset keeps the oracle bit-exact."""
+    from lswms_forage_etl_spark.operators.sessions import (
+        session_pattern_match)
+    return session_pattern_match(
+        _events(spark, sf), r"v[^e]*c[^e]*p",
+        {"view": "v", "click": "c", "purchase": "p",
+         "error": "e", "signup": "s"})
+
+
 def q_sketch_cms_heavy(spark, sf):
     """phi-heavy hitters over word tokens via Count-Min (d=4, w=16384,
     phi = 1/30 of total occurrences): 100% recall by the
@@ -3291,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_compact": q_layout_compact,
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "sketch_cms_heavy": q_sketch_cms_heavy,
+        "events_pattern_match": q_events_pattern_match,
     }
 
 
@@ -6626,6 +6642,39 @@ def oracle_sql() -> dict[str, str]:
                {_pr('''u14 / sqrt((SELECT sum(CAST(u14 AS DOUBLE) * u14)
                                    FROM u8))''', 9)} AS loading
         FROM u8
+    """
+
+    # MATCH_RECOGNIZE-lite: same session CTE as window_sessionize,
+    # per-session ordered code string, RE2-subset regex on both sides
+    sql["events_pattern_match"] = """
+        WITH c AS (
+          SELECT user_id, ts, event_id,
+                 CASE event_type
+                   WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                   WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                   WHEN 'signup' THEN 's' ELSE '?' END AS code
+          FROM events),
+        s AS (
+          SELECT user_id, ts, event_id, code,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                         > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM c
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s2 AS (
+          SELECT user_id, code, ts, event_id,
+                 CAST(sum(ns) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS INT) AS session_idx
+          FROM s),
+        g AS (SELECT user_id, session_idx,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     string_agg(code, '' ORDER BY ts, event_id) AS seq
+              FROM s2 GROUP BY 1, 2)
+        SELECT user_id, session_idx, n_events, seq,
+               regexp_matches(seq, 'v[^e]*c[^e]*p') AS matched
+        FROM g
     """
 
     # phi-heavy hitters: same md5 cells as _cms_sql at w=16384, exact

@@ -114,6 +114,7 @@ HEADLINE = [
     "layout_compact",
     "corpus_mix_temperature",
     "sketch_cms_heavy",
+    "events_pattern_match",
 ]
 
 

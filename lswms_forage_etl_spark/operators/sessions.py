@@ -50,3 +50,38 @@ def session_stats(events: DataFrame, gap_minutes: int = 30,
             .agg(F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+def session_pattern_match(events: DataFrame, pattern: str,
+                          codes: dict[str, str],
+                          gap_minutes: int = 30,
+                          user_col: str = "user_id",
+                          ts_col: str = "ts",
+                          type_col: str = "event_type",
+                          order_cols: tuple[str, ...] = ("event_id",),
+                          ) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: per session, encode the ordered event-type
+    stream as one character per event (via `codes`; unknown types
+    become '?') and test a regex over it — the idiomatic Spark
+    re-expression of row-pattern matching (sequence detection like
+    "a view, then a click, then a purchase, with no error between" is
+    `v[^e]*c[^e]*p` over the code string). One shuffle on the user key
+    (sessionize + per-session aggregate share it); the regex runs on
+    session-bounded strings, never across rows.
+
+    Both engines use RE2-compatible pattern syntax (character classes,
+    `*`/`+`, anchors) — keep patterns inside that common subset so the
+    DuckDB oracle replays the match bit-for-bit.
+
+    Emits (user, session_idx, n_events, seq, matched)."""
+    code_col = F.create_map(
+        *[F.lit(x) for kv in codes.items() for x in kv])[F.col(type_col)]
+    s = sessionize(events, gap_minutes, user_col, ts_col, order_cols)
+    order_struct = F.struct(
+        F.col(ts_col), *[F.col(c) for c in order_cols],
+        F.coalesce(code_col, F.lit("?")).alias("_c"))
+    seq = F.concat_ws("", F.transform(
+        F.array_sort(F.collect_list(order_struct)), lambda r: r["_c"]))
+    return (s.groupBy(F.col(user_col), "session_idx")
+            .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("seq"))
+            .withColumn("matched", F.col("seq").rlike(pattern)))

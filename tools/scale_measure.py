@@ -117,6 +117,7 @@ QUERIES = [
     "layout_compact",
     "corpus_mix_temperature",
     "sketch_cms_heavy",
+    "events_pattern_match",
 ]
 
 
