@@ -2967,6 +2967,21 @@ def q_corpus_dsir_weights(spark, sf):
                            DSIR_TARGET_SOURCES)
 
 
+def q_events_intervals_merge(spark, sf):
+    """Overlapping-interval merge (gaps-and-islands): each event opens
+    a (1 + event_id % 7)-hour validity interval; per user the
+    overlapping ones collapse to coverage islands — the uptime/
+    coverage primitive. One key shuffle, two window passes over the
+    same sort, no self-join; bounds are exact epoch-second integers."""
+    from lswms_forage_etl_spark.operators.timeseries import (
+        merge_intervals)
+    ev = _events(spark, sf).select(
+        "user_id", "event_id", F.col("ts").alias("start"),
+        F.expr("ts + make_dt_interval(0, cast(1 + event_id % 7 as int),"
+               " 0, 0)").alias("end"))
+    return merge_intervals(ev, order_cols=("event_id",))
+
+
 def q_events_pattern_match(spark, sf):
     """Row-pattern matching (MATCH_RECOGNIZE-lite): each 30-min
     session's ordered event types become one code string and a regex
@@ -3307,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_temperature": q_corpus_mix_temperature,
         "sketch_cms_heavy": q_sketch_cms_heavy,
         "events_pattern_match": q_events_pattern_match,
+        "events_intervals_merge": q_events_intervals_merge,
     }
 
 
@@ -6642,6 +6658,40 @@ def oracle_sql() -> dict[str, str]:
                {_pr('''u14 / sqrt((SELECT sum(CAST(u14 AS DOUBLE) * u14)
                                    FROM u8))''', 9)} AS loading
         FROM u8
+    """
+
+    # gaps-and-islands interval merge: island starts where start >
+    # running max end; exact epoch-second integers; windowed sums are
+    # HUGEINT in DuckDB -> CAST
+    sql["events_intervals_merge"] = """
+        WITH iv AS (
+          SELECT user_id, event_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   + 3600 * (1 + event_id % 7) AS e
+          FROM events),
+        m AS (
+          SELECT user_id, s, e,
+                 CASE WHEN max(e) OVER (PARTITION BY user_id
+                        ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) IS NULL
+                      OR s > max(e) OVER (PARTITION BY user_id
+                        ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS nw
+          FROM iv),
+        g AS (
+          SELECT user_id, s, e,
+                 CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS UNBOUNDED PRECEDING) AS INT) AS island
+          FROM m)
+        SELECT user_id, island,
+               CAST(min(s) AS BIGINT) AS start_s,
+               CAST(max(e) AS BIGINT) AS end_s,
+               CAST(count(*) AS BIGINT) AS n_merged
+        FROM g GROUP BY 1, 2
     """
 
     # MATCH_RECOGNIZE-lite: same session CTE as window_sessionize,

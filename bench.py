@@ -115,6 +115,7 @@ HEADLINE = [
     "corpus_mix_temperature",
     "sketch_cms_heavy",
     "events_pattern_match",
+    "events_intervals_merge",
 ]
 
 

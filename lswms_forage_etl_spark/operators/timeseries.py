@@ -148,3 +148,36 @@ def cdc_apply(changes: DataFrame, key_col: str = "user_id",
                     *[F.col(c).alias(f"last_{c}") for c in order_cols],
                     F.col("v4").alias("last_v4"),
                     "n_changes", "n_deletes"))
+
+
+def merge_intervals(intervals: DataFrame, key_col: str = "user_id",
+                    start_col: str = "start", end_col: str = "end",
+                    order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge overlapping/touching half-open intervals per key — the
+    gaps-and-islands primitive behind uptime/coverage/session-overlap
+    math: an interval starts a new ISLAND iff its start exceeds the
+    running max end of everything before it; islands then collapse in
+    one aggregate. One shuffle on the key, two window passes over the
+    same sort — no self-join, no explode.
+
+    Emits (key, island, start, end, n_merged) with exact integer
+    second bounds (epoch seconds), so the oracle replays bit-for-bit."""
+    s = F.unix_timestamp(F.col(start_col))
+    e = F.unix_timestamp(F.col(end_col))
+    order = [s, e, *[F.col(c) for c in order_cols]]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = intervals.select(
+        F.col(key_col), s.alias("_s"), e.alias("_e"),
+        F.when(prev_max_end.isNull() | (s > prev_max_end), 1)
+        .otherwise(0).alias("_new"))
+    w2 = (Window.partitionBy(key_col)
+          .orderBy("_s", "_e")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (marked
+            .withColumn("island", F.sum("_new").over(w2).cast("int"))
+            .groupBy(key_col, "island")
+            .agg(F.min("_s").alias("start_s"),
+                 F.max("_e").alias("end_s"),
+                 F.count(F.lit(1)).alias("n_merged")))

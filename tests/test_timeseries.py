@@ -73,3 +73,36 @@ def test_cdc_apply_latest_wins_and_tombstones(spark):
     assert out[1]["n_deletes"] == 0
     assert out[3]["last_v4"] == 50000 and out[3]["n_deletes"] == 1
     assert out[4]["last_event_id"] == 41 and out[4]["last_v4"] == 70000
+
+
+def test_merge_intervals_islands(spark):
+    from lswms_forage_etl_spark.operators.timeseries import (
+        merge_intervals)
+    t = dt.datetime(2024, 1, 1)
+
+    def iv(u, m0, m1, eid):
+        return (u, eid, t + dt.timedelta(minutes=m0),
+                t + dt.timedelta(minutes=m1))
+
+    rows = [
+        iv(1, 0, 10, 1), iv(1, 5, 20, 2),     # overlap -> one island
+        iv(1, 30, 40, 3),                     # gap -> new island
+        iv(1, 35, 36, 4),                     # contained
+        iv(2, 0, 5, 5), iv(2, 5, 9, 6),       # touching (half-open:
+                                              # s == prev end merges)
+        iv(3, 0, 1, 7), iv(3, 0, 1, 8),       # exact duplicates
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, start timestamp, "
+              "end timestamp")
+    out = {(r["user_id"], r["island"]): r
+           for r in merge_intervals(df, order_cols=("event_id",))
+           .collect()}
+    e = int(t.timestamp())
+    assert out[(1, 1)]["start_s"] == e and out[(1, 1)]["end_s"] == e + 1200
+    assert out[(1, 1)]["n_merged"] == 2
+    assert out[(1, 2)]["start_s"] == e + 1800
+    assert out[(1, 2)]["end_s"] == e + 2400 and out[(1, 2)]["n_merged"] == 2
+    assert out[(2, 1)]["n_merged"] == 2 and out[(2, 1)]["end_s"] == e + 540
+    assert out[(3, 1)]["n_merged"] == 2 and len(
+        [k for k in out if k[0] == 3]) == 1

@@ -118,6 +118,7 @@ QUERIES = [
     "corpus_mix_temperature",
     "sketch_cms_heavy",
     "events_pattern_match",
+    "events_intervals_merge",
 ]
 
 
