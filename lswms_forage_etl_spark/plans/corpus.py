@@ -42,7 +42,8 @@ def corpus_pipeline(quality_min: float = 0.8,
                     containment_min: float = 0.8,
                     per_source_cap: int = 10_000,
                     mix_weights: dict[str, float] | None = None,
-                    lm_train_sources: list[str] | None = None) -> Pipeline:
+                    lm_train_sources: list[str] | None = None,
+                    near_dup: str = "lsh") -> Pipeline:
     """Expected ctx inputs: docs (doc_id, text, source), eval_docs
     (doc_id, text). Outputs: clean, clusters, deduped, decontaminated,
     corpus (+ mixed, when `mix_weights` reweights sources — rows gain
@@ -53,7 +54,15 @@ def corpus_pipeline(quality_min: float = 0.8,
     bigram LM trained on that reference slice drops the worst
     perplexity tertile, and the hashed linear classifier drops
     score <= 0 docs — both exact-integer, both pure semi-join gates on
-    doc_id, so the stage adds no wide rows to the hand-off."""
+    doc_id, so the stage adds no wide rows to the hand-off.
+
+    `near_dup` picks the pair generator: "lsh" (MinHash banding —
+    approximate, recall governed by the band S-curve, robust to
+    low-diversity vocabularies) or "ppjoin" (prefix+positional
+    filtering — EXACT, recall-lossless; prefer on Zipf-ish corpora,
+    see operators/dedup.prefix_filter_pairs for the measured
+    crossover). Both run AFTER the exact-fingerprint collapse, so
+    either sees unique texts only."""
 
     def st_clean(spark, ctx):
         d = ctx["docs"].where(
@@ -103,10 +112,20 @@ def corpus_pipeline(quality_min: float = 0.8,
         reps = d.join(exact.where(F.col("doc_id") == F.col("_rep"))
                       .select("doc_id"), "doc_id")
         sh = stage_table(shingle_table(reps))
-        sigs = minhash_signatures(reps, num_hashes=16, shingles=sh)
-        pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
-        dups = ngram_jaccard(reps, pairs, shingles=sh).where(
-            F.col("jaccard") >= jaccard_min)
+        if near_dup == "ppjoin":
+            from fractions import Fraction
+
+            from lswms_forage_etl_spark.operators.dedup import (
+                prefix_filter_pairs)
+            fr = Fraction(jaccard_min).limit_denominator(1000)
+            dups = prefix_filter_pairs(
+                reps, shingles=sh,
+                threshold=(fr.numerator, fr.denominator))
+        else:
+            sigs = minhash_signatures(reps, num_hashes=16, shingles=sh)
+            pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
+            dups = ngram_jaccard(reps, pairs, shingles=sh).where(
+                F.col("jaccard") >= jaccard_min)
         clusters = duplicate_clusters(
             dups.select("id_a", "id_b").unionAll(exact_edges))
         # keep representatives: drop every clustered doc that is not its

@@ -148,3 +148,18 @@ def test_chunk_dedup_stats(spark):
     assert out[2]["dup_chunk_frac"] == 1.0
     assert out[3]["n_chunks"] == 1 and out[3]["dup_chunk_frac"] == 1.0
     assert out[4]["dup_chunk_frac"] == 0.0
+
+
+def test_corpus_pipeline_ppjoin_matches_lsh_path(spark):
+    """near_dup='ppjoin' (exact prefix filtering) must keep the same
+    documents as the LSH path on a fixture where banding recall is
+    complete — the two pair generators are interchangeable stages."""
+    outs = {}
+    for mode in ("lsh", "ppjoin"):
+        pipe = corpus_pipeline(quality_min=0.0, jaccard_min=0.5,
+                               containment_min=0.8, near_dup=mode)
+        ctx = pipe.run(spark, {"docs": _docs(spark),
+                               "eval_docs": _eval(spark)})
+        outs[mode] = sorted(
+            r["doc_id"] for r in ctx["deduped"].collect())
+    assert outs["lsh"] == outs["ppjoin"]
