@@ -158,3 +158,16 @@ def compact_bins(manifest: DataFrame, size_col: str = "n_rows",
         shard_col, "n", "bin_id",
         F.sum("n").over(w_bin).alias("bin_rows"),
         F.count(F.lit(1)).over(w_bin).alias("bin_shards"))
+
+
+def merged_zonemap(spark, table: str) -> DataFrame:
+    """Fold an APPEND-ONLY zone-map manifest (one stats row per shard
+    PER BATCH — the streaming-ingest maintenance shape) into the
+    canonical one-row-per-shard form: zone maps are mergeable, so
+    min(min), max(max), sum(n) reproduce exactly what a fresh build
+    over the whole corpus would emit."""
+    return (spark.read.parquet(table)
+            .groupBy("shard_id")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.min("min_v").alias("min_v"),
+                 F.max("max_v").alias("max_v")))

@@ -240,7 +240,8 @@ def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
                    num_hashes: int = 16, bands: int = 8,
                    bloom_table: str | None = None,
                    bloom_m_bits: int = 1 << 20,
-                   bloom_k: int = 5) -> None:
+                   bloom_k: int = 5,
+                   zonemap_table: str | None = None) -> None:
     """The ingest micro-batch body (runs inside foreachBatch):
     exact-gate the batch against the CURRENT fp index, probe the
     remainder against the signature index (when `sig_index_table` is
@@ -345,6 +346,20 @@ def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
                   .groupBy("word_idx")
                   .agg(F.bit_or("bits").alias("bits")))
         _swap_table(spark, bloom_table, merged)
+    if zonemap_table is not None:
+        # O(batch) zone-map maintenance: the survivors' per-shard
+        # min/max/count rows APPEND; zone maps are mergeable (min of
+        # mins, max of maxes, sum of counts), so readers fold the
+        # accumulated rows with `merged_zonemap` and prune exactly as
+        # over a freshly-built manifest. Placed with the index appends:
+        # a crash before this line replays the batch and the exact
+        # re-gate drops the duplicates, so the manifest never counts a
+        # doc twice.
+        from lswms_forage_etl_spark.functions.layout import zonemap_stats
+        zonemap_stats(
+            survivors,
+            F.floor(F.col("doc_id") / F.lit(1024)).cast("long"),
+            "doc_id").write.mode("append").parquet(zonemap_table)
     survivors.select("fp").write.mode("append").parquet(known_fp_table)
     if sig_index_table is not None:
         from lswms_forage_etl_spark.operators.dedup import (
@@ -362,6 +377,7 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
                     num_hashes: int = 16, bands: int = 8,
                     bloom_table: str | None = None,
                     bloom_m_bits: int = 1 << 20, bloom_k: int = 5,
+                    zonemap_table: str | None = None,
                     **kwargs) -> None:
     """One availableNow pass: process every currently-visible file,
     append survivors to the corpus, and keep the fingerprint index
@@ -409,7 +425,8 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
                        out_dir, near_dup_threshold=near_dup_threshold,
                        num_hashes=num_hashes, bands=bands,
                        bloom_table=bloom_table,
-                       bloom_m_bits=bloom_m_bits, bloom_k=bloom_k)
+                       bloom_m_bits=bloom_m_bits, bloom_k=bloom_k,
+                       zonemap_table=zonemap_table)
 
     q = (out.writeStream
          .foreachBatch(gate)

@@ -340,3 +340,45 @@ def test_ingest_bloom_rebuild_and_swap_recovery(spark, tmp_path):
     run_ingest_once(spark, inp, idx, out, ckpt, bloom_table=bloom)
     texts = sorted(r["text"] for r in spark.read.parquet(out).collect())
     assert texts == sorted([OTHER, THIRD, GOOD + " novel suffix words"])
+
+
+def test_ingest_zonemap_maintained_per_batch(spark, tmp_path):
+    """Round 12: with zonemap_table set, every batch appends O(batch)
+    per-shard stats rows; the merged manifest equals a fresh build
+    over the landed corpus, and an id-range probe prunes shards whose
+    ranges miss the interval (skip-safety: pruned shard => 0 hits)."""
+    from lswms_forage_etl_spark.functions.layout import (
+        merged_zonemap, zonemap_selected, zonemap_stats)
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "fp_index")
+    zm = str(tmp_path / "zonemap")
+    spark.createDataFrame([], "fp string").write.parquet(idx)
+
+    # two batches in disjoint doc_id ranges -> disjoint shard sets
+    _write_docs(spark, inp, [
+        (i, f"{OTHER} batch one unique {i}", "en", "src0", 40)
+        for i in range(10)])
+    run_ingest_once(spark, inp, idx, out, ckpt, zonemap_table=zm)
+    _write_docs(spark, inp, [
+        (5000 + i, f"{OTHER} batch two unique {i}", "en", "src0", 40)
+        for i in range(10)])
+    run_ingest_once(spark, inp, idx, out, ckpt, zonemap_table=zm)
+
+    corpus = spark.read.parquet(out)
+    man = merged_zonemap(spark, zm)
+    from pyspark.sql import functions as F
+    fresh = zonemap_stats(
+        corpus, F.floor(F.col("doc_id") / F.lit(1024)).cast("long"),
+        "doc_id")
+    assert sorted(man.collect()) == sorted(fresh.collect())
+    # probe [0, 1024): only shard 0 selected; scanning it finds all
+    # batch-one ids and the pruned shards provably hold none
+    sel = {r["shard_id"]
+           for r in man.where(zonemap_selected(0, 1024)).collect()}
+    assert sel == {0}
+    hits = corpus.where(
+        (F.floor(F.col("doc_id") / F.lit(1024)).isin(list(sel)))
+        & (F.col("doc_id") < 1024))
+    assert hits.count() == 10
