@@ -10,10 +10,12 @@ switching) compression, horizontal-differencing predictor (317=2) for
 integer samples, and float32/int32/int16/uint16/uint8 sample types with
 rasterio-faithful band scale/offset from the GDAL_METADATA tag (42112) —
 mask sentinels on RAW values first, then `band * scale + offset`, exactly
-BiomassAggregate.py:146-148. Progressive exotica (bilevel/palette,
-multi-band, float predictor 3, 16-bit quant) still raise cleanly rather
-than guessing, and the twin `encode_geotiff_bytes` can emit every
-supported shape so round-trip tests pin each branch bit-for-bit.
+BiomassAggregate.py:146-148. Chunky multi-band rasters (RGB etc.,
+PlanarConfiguration 1) decode since round 12 session 3; remaining
+exotica (bilevel/palette, band-separate planar 2, float predictor 3)
+still raise cleanly rather than guessing, and the twin
+`encode_geotiff_bytes` can emit every supported shape so round-trip
+tests pin each branch bit-for-bit.
 
 Two decode paths share one bytes-level parser (`decode_geotiff_bytes`):
 `geotiff_to_cells` loops driver-side (fine for a handful of rasters, and
@@ -178,15 +180,17 @@ def _gdal_scale_offset(tags: dict) -> tuple[float, float]:
 def decode_geotiff_bytes(data: bytes, name: str = "<bytes>"
                          ) -> tuple[np.ndarray, tuple[float, float, float],
                                     float | None]:
-    """-> (array[rows, cols] float64, scale/offset applied, nodata ->
-           NaN, (origin_lon, origin_lat, cell_size), nodata).
+    """-> (array float64 — (rows, cols) for one band, (rows, cols,
+           bands) for chunky multi-band — scale/offset applied, nodata
+           -> NaN, (origin_lon, origin_lat, cell_size), nodata).
 
-    Single IFD, one band; strips or tiles; uncompressed, deflate
-    (8/32946), or LZW (5); predictor 1/2; float32/int32/int16/uint16/
-    uint8 samples. Sentinel masking happens on RAW sample values BEFORE
-    scale/offset, matching the reference's rasterio usage. Pure bytes ->
-    numpy, no filesystem access — safe executor-side on binaryFile
-    rows."""
+    Single IFD; one band or chunky multi-band (PlanarConfiguration 1;
+    band-separate raises); strips or tiles; uncompressed, deflate
+    (8/32946), or LZW (5); predictor 1/2 (per-sample differencing on
+    multi-band); float32/int32/int16/uint16/uint8 samples. Sentinel
+    masking happens on RAW sample values BEFORE scale/offset, matching
+    the reference's rasterio usage. Pure bytes -> numpy, no filesystem
+    access — safe executor-side on binaryFile rows."""
     import zlib
     endian = "<" if data[:2] == b"II" else ">"
     magic, ifd = struct.unpack(endian + "HI", data[2:8])
@@ -318,7 +322,8 @@ def encode_geotiff_bytes(arr: np.ndarray, origin_lon: float,
                          tiled: bool = False, tile_size: int = 16,
                          rows_per_strip: int | None = None) -> bytes:
     """Twin encoder for every layout `decode_geotiff_bytes` parses:
-    classic little-endian TIFF, single band, strips (default: one) or
+    classic little-endian TIFF, single band (H,W) or chunky
+    multi-band (H,W,bands), strips (default: one) or
     `tile_size`-square tiles, none/deflate/LZW compression, horizontal
     predictor for integer dtypes, ModelPixelScale + ModelTiepoint
     georeferencing, GDAL_NODATA ascii tag, and a GDAL_METADATA XML tag
