@@ -116,6 +116,11 @@ HEADLINE = [
     "sketch_cms_heavy",
     "events_pattern_match",
     "events_intervals_merge",
+    # round-13 additions
+    "text_perplexity_kn",
+    "ann_recall_at_k",
+    "corpus_unigram_train",
+    "corpus_unigram_encode",
 ]
 
 

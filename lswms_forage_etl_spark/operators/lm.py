@@ -127,6 +127,128 @@ def surprisal_per_doc(docs: DataFrame, train_sources: list[str],
                     .alias("surprisal_ppm")))
 
 
+def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str,
+                  extra_cols: list[str]) -> DataFrame:
+    """(id, *extra, a, b, c): one row per ADJACENT token triple in
+    reading order, repeats kept — the trigram twin of ``_doc_bigrams``
+    (same shifted-slice zip, never a per-element re-tokenize). Docs
+    with fewer than 3 tokens contribute no rows (and thus drop from
+    trigram scoring — the documented convention)."""
+    d = _spread(docs).select(id_col, *extra_cols,
+                             _toks(text_col).alias("toks"))
+    n = F.size("toks")
+    a = F.slice("toks", 1, n - 2)
+    b = F.expr("slice(toks, 2, size(toks) - 2)")
+    c = F.expr("slice(toks, 3, size(toks) - 2)")
+    return (d.where(n >= 3)
+            .select(id_col, *extra_cols,
+                    F.explode(F.arrays_zip(a.alias("a"), b.alias("b"),
+                                           c.alias("c"))).alias("p"))
+            .select(id_col, *extra_cols,
+                    F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                    F.col("p.c").alias("c")))
+
+
+def trigram_kn_surprisal(docs: DataFrame, train_sources: list[str],
+                         penalty: int = BACKOFF_PENALTY_BITS,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         lang_col: str = "lang",
+                         source_col: str = "source") -> DataFrame:
+    """Trigram Kneser-Ney perplexity scoring — the higher-fidelity form
+    of the CCNet-style LM filter (Wenzek et al. 2020 score with 5-gram
+    KenLM; this is the order-3 member of that family in the engine's
+    exact whole-bit integer convention).
+
+    Model: BACKOFF Kneser-Ney with integer absolute discount D=1 and
+    whole-bit (log2-quantized) probabilities, so every score is exact
+    int arithmetic both engines replay bit-for-bit. The two KN
+    signatures are both present:
+
+    * absolute discounting — a seen trigram scores
+      ``bitlen(c12) - bitlen(c3 - 1)`` (the -1 IS the discount; a
+      count-1 trigram discounts to probability ~0 and pays the full
+      context cost), and the backoff weight alpha(a,b) quantizes to
+      ``bitlen(c12) - bitlen(N1+(ab*))`` bits — mass freed by the
+      discount is proportional to the # of distinct continuations;
+    * continuation counts — the backoff bigram/unigram distributions
+      use TYPE counts (N1+(*bc) / N1+(*b*) / N1+(*c) / N1+(**)), not
+      token counts: "how many distinct contexts precede this n-gram",
+      the Kneser-Ney correction that ranks 'Francisco' low as a
+      continuation however frequent it is as a token.
+
+    Per corpus trigram (a,b,c), with all stats from the train slice:
+      s3 = bitlen(c12) - bitlen(c3-1)              if (a,b,c) seen
+         = [bitlen(c12) - bitlen(N1+(ab*))] + s2   if only (a,b) seen
+         = s2                                      context unseen
+      s2 = bitlen(N1+(*b*)) - bitlen(N1+(*bc)-1)   if (b,c) continues
+         = [bitlen(N1+(*b*)) - bitlen(N1+(b*))] + s1  if only b seen
+         = s1                                      b unseen
+      s1 = bitlen(N1+(**)) - bitlen(N1+(*c))       if c continues
+         = bitlen(N1+(**)) + penalty               OOV c
+         = 1 + penalty                             lang not in train
+    All lower-order stats derive from the TRAIN TRIGRAM TYPE table
+    (the standard KN estimation convention — edge-of-document bigrams
+    outside any trigram are not counted; deterministic on both
+    engines).
+
+    Scale shape: the trigram count table ``c3`` is train-slice-bounded
+    (<= train token count rows) and staged once for its five derived
+    lookups (context totals, continuation types at orders 2/1, totals);
+    the corpus-sized trigram stream left-joins the bounded lookups
+    (broadcast-eligible at any realistic vocab) and aggregates per doc
+    — one shuffle on the doc key, same plan family as
+    ``surprisal_per_doc``. No global sort, no quadratic term."""
+    tg = _doc_trigrams(docs, id_col, text_col, [lang_col, source_col])
+    train = tg.where(F.col(source_col).isin(list(train_sources)))
+    c3 = stage_table(train.groupBy(lang_col, "a", "b", "c")
+                     .agg(F.count(F.lit(1)).alias("c3")))
+    # order-3 context: c12 = token count of (a,b) as trigram context,
+    # n3t = N1+(ab*) distinct continuations (c3 rows are distinct keys)
+    ctx2 = (c3.groupBy(lang_col, "a", "b")
+            .agg(F.sum("c3").alias("c12"),
+                 F.count(F.lit(1)).alias("n3t")))
+    # order-2 continuation types: N1+(*bc) = distinct a preceding (b,c)
+    # — c3 rows are DISTINCT in (a,b,c), so plain counts over the
+    # staged type table give every type count (no countDistinct pass)
+    cont2 = (c3.groupBy(lang_col, "b", "c")
+             .agg(F.count(F.lit(1)).alias("n1p_bc")))
+    # order-2 context: N1+(*b*) = distinct (a,c) around b,
+    # N1+(b*) = distinct c following b
+    mid = (c3.groupBy(lang_col, "b")
+           .agg(F.count(F.lit(1)).alias("n1p_b"),
+                F.countDistinct("c").alias("n2t")))
+    # order-1 continuation: N1+(*c) = distinct b preceding c
+    cont1 = (cont2.groupBy(lang_col, "c")
+             .agg(F.count(F.lit(1)).alias("n1p_c")))
+    # total continuation bigram types N1+(**)
+    tot = cont2.groupBy(lang_col).agg(F.count(F.lit(1)).alias("nn"))
+    j = (tg.join(c3, [lang_col, "a", "b", "c"], "left")
+         .join(ctx2, [lang_col, "a", "b"], "left")
+         .join(cont2, [lang_col, "b", "c"], "left")
+         .join(mid, [lang_col, "b"], "left")
+         .join(cont1, [lang_col, "c"], "left")
+         .join(F.broadcast(tot), [lang_col], "left"))
+    s1 = (F.when(F.col("n1p_c").isNotNull(),
+                 _bitlen(F.col("nn")) - _bitlen(F.col("n1p_c")))
+          .otherwise(F.coalesce(_bitlen(F.col("nn")) + F.lit(penalty),
+                                F.lit(1 + penalty))))
+    s2 = (F.when(F.col("n1p_bc").isNotNull(),
+                 _bitlen(F.col("n1p_b")) - _bitlen(F.col("n1p_bc") - 1))
+          .otherwise(F.coalesce(_bitlen(F.col("n1p_b"))
+                                - _bitlen(F.col("n2t")), F.lit(0)) + s1))
+    s3 = (F.when(F.col("c3").isNotNull(),
+                 _bitlen(F.col("c12")) - _bitlen(F.col("c3") - 1))
+          .otherwise(F.coalesce(_bitlen(F.col("c12"))
+                                - _bitlen(F.col("n3t")), F.lit(0)) + s2))
+    return (j.select(id_col, lang_col, s3.alias("s"))
+            .groupBy(id_col, lang_col)
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.sum("s").alias("_sum_s"))
+            .select(id_col, lang_col, "n_trigrams",
+                    F.expr("(_sum_s * 1000000) div n_trigrams")
+                    .alias("surprisal_ppm")))
+
+
 def bigram_lm_surprisal(docs: DataFrame, train_sources: list[str],
                         penalty: int = BACKOFF_PENALTY_BITS,
                         id_col: str = "doc_id", text_col: str = "text",

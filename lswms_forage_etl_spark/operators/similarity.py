@@ -992,6 +992,14 @@ def covariance_upper(emb: DataFrame, id_col: str = "vec_id",
     n ~ 3e9) or switch the final combine to the double-precision
     centered form — the per-partition partials are unchanged.
 
+    The bound is GUARDED, not just documented (ADVICE r12): each
+    partition checks its exact worst case n_part * max|q|^2 in Python
+    arbitrary-precision ints before emitting (numpy int64 Gram wraps
+    silently past it), and the combine asserts |n*Sxy| and |Sx*Sy|
+    < 2^62 in-plan (double compare, 2x margin) so the Spark side
+    fails as loudly as the oracle's HUGEINT→BIGINT cast instead of
+    diverging silently.
+
     Emits (dim_i, dim_j, n, cov_num, cov) for i <= j. The 1-row total
     count attaches via a global window over the BOUNDED moments table
     (d^2/2 rows), never a constant-key join (round-12 BNLJ lesson)."""
@@ -1005,6 +1013,7 @@ def covariance_upper(emb: DataFrame, id_col: str = "vec_id",
         M = None
         s = None
         n = 0
+        vmax = 0
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1015,8 +1024,17 @@ def covariance_upper(emb: DataFrame, id_col: str = "vec_id",
             c = Vq.sum(axis=0)
             s = c if s is None else s + c
             n += len(pdf)
+            vmax = max(vmax, int(np.abs(Vq).max()))
         if n == 0:
             return
+        # exact partial-wrap guard: |Gram cell| <= n_part * vmax^2,
+        # checked in Python arbitrary-precision ints (numpy would have
+        # wrapped silently already — this is the loud gate)
+        if n * (vmax ** 2) >= 2 ** 63:
+            raise ValueError(
+                f"covariance_upper int64 overflow: partition rows={n},"
+                f" max|quantized|={vmax}, quant={quant} — reduce quant"
+                f" (bound n*max^2 = {n * vmax ** 2} >= 2^63)")
         d = M.shape[0]
         iu, ju = np.triu_indices(d)
         out = pd.DataFrame({
@@ -1040,6 +1058,20 @@ def covariance_upper(emb: DataFrame, id_col: str = "vec_id",
     out = (cells
            .join(F.broadcast(sums.toDF("i", "sx")), "i")
            .join(F.broadcast(sums.toDF("j", "sy")), "j"))
+    # combine-side loud gate: double-precision pre-check with 2x margin
+    # (2^62) before the ANSI int64 multiplies — relative error of the
+    # double products is ~1e-16, far inside the margin. assert_true is
+    # folded into the emitted n so Catalyst cannot prune it away.
+    _ok = ((F.abs(F.col("n").cast("double") * F.col("v").cast("double"))
+            < F.lit(float(2 ** 62))) &
+           (F.abs(F.col("sx").cast("double") * F.col("sy").cast("double"))
+            < F.lit(float(2 ** 62))))
+    _n = (F.col("n") + F.coalesce(
+        F.assert_true(_ok, F.lit(
+            "covariance_upper int64 overflow in combine: |n*Sxy| or "
+            "|Sx*Sy| >= 2^62 — reduce quant")).cast("long"),
+        F.lit(0))).alias("n")
+    out = out.withColumn("n", _n)
     cov_num = (F.col("n") * F.col("v") - F.col("sx") * F.col("sy"))
     cov = (cov_num.cast("double")
            / (F.col("n") * (F.col("n") - 1))

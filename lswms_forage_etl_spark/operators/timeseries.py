@@ -170,10 +170,15 @@ def merge_intervals(intervals: DataFrame, key_col: str = "user_id",
         w.rowsBetween(Window.unboundedPreceding, -1))
     marked = intervals.select(
         F.col(key_col), s.alias("_s"), e.alias("_e"),
+        *[F.col(c) for c in order_cols],
         F.when(prev_max_end.isNull() | (s > prev_max_end), 1)
         .otherwise(0).alias("_new"))
+    # The cumulative-island window MUST use the same total order as the
+    # boundary-flag window above: with (_s,_e) ties (exact-duplicate
+    # intervals) a _new=0 row could otherwise sort before its _new=1
+    # twin and land in the previous island (ADVICE r12 medium).
     w2 = (Window.partitionBy(key_col)
-          .orderBy("_s", "_e")
+          .orderBy("_s", "_e", *[F.col(c) for c in order_cols])
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (marked
             .withColumn("island", F.sum("_new").over(w2).cast("int"))

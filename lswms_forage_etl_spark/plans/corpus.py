@@ -43,7 +43,8 @@ def corpus_pipeline(quality_min: float = 0.8,
                     per_source_cap: int = 10_000,
                     mix_weights: dict[str, float] | None = None,
                     lm_train_sources: list[str] | None = None,
-                    near_dup: str = "lsh") -> Pipeline:
+                    near_dup: str = "lsh",
+                    ppjoin_fan_budget: int = 5_000_000) -> Pipeline:
     """Expected ctx inputs: docs (doc_id, text, source), eval_docs
     (doc_id, text). Outputs: clean, clusters, deduped, decontaminated,
     corpus (+ mixed, when `mix_weights` reweights sources — rows gain
@@ -58,11 +59,15 @@ def corpus_pipeline(quality_min: float = 0.8,
 
     `near_dup` picks the pair generator: "lsh" (MinHash banding —
     approximate, recall governed by the band S-curve, robust to
-    low-diversity vocabularies) or "ppjoin" (prefix+positional
+    low-diversity vocabularies), "ppjoin" (prefix+positional
     filtering — EXACT, recall-lossless; prefer on Zipf-ish corpora,
     see operators/dedup.prefix_filter_pairs for the measured
-    crossover). Both run AFTER the exact-fingerprint collapse, so
-    either sees unique texts only."""
+    crossover), or "auto" — try ppjoin with its candidate-fan guard
+    (`ppjoin_fan_budget` pairs); if the one-aggregate estimate over
+    the staged prefix table trips PrefixFanExceeded, fall back to LSH
+    and record the measured estimate in ctx["near_dup_route"]. All run
+    AFTER the exact-fingerprint collapse, so the generator sees unique
+    texts only."""
 
     def st_clean(spark, ctx):
         d = ctx["docs"].where(
@@ -112,16 +117,28 @@ def corpus_pipeline(quality_min: float = 0.8,
         reps = d.join(exact.where(F.col("doc_id") == F.col("_rep"))
                       .select("doc_id"), "doc_id")
         sh = stage_table(shingle_table(reps))
-        if near_dup == "ppjoin":
+        route = {"generator": near_dup}
+        dups = None
+        if near_dup in ("ppjoin", "auto"):
             from fractions import Fraction
 
             from lswms_forage_etl_spark.operators.dedup import (
-                prefix_filter_pairs)
+                PrefixFanExceeded, prefix_filter_pairs)
             fr = Fraction(jaccard_min).limit_denominator(1000)
-            dups = prefix_filter_pairs(
-                reps, shingles=sh,
-                threshold=(fr.numerator, fr.denominator))
-        else:
+            try:
+                dups = prefix_filter_pairs(
+                    reps, shingles=sh,
+                    threshold=(fr.numerator, fr.denominator),
+                    fan_budget=(ppjoin_fan_budget
+                                if near_dup == "auto" else None))
+                route["generator"] = "ppjoin"
+            except PrefixFanExceeded as e:
+                # auto mode: fall back to the scale-safe approximate
+                # generator, keeping the measured estimate visible
+                route = {"generator": "lsh",
+                         "ppjoin_fan_estimate": e.estimate,
+                         "ppjoin_fan_budget": e.budget}
+        if dups is None:
             sigs = minhash_signatures(reps, num_hashes=16, shingles=sh)
             pairs = lsh_candidate_pairs(sigs, bands=4, num_hashes=16)
             dups = ngram_jaccard(reps, pairs, shingles=sh).where(
@@ -133,6 +150,7 @@ def corpus_pipeline(quality_min: float = 0.8,
         losers = clusters.where(F.col("doc_id") != F.col("rep_id")) \
             .select("doc_id")
         return {"shingles": sh, "clusters": clusters,
+                "near_dup_route": route,
                 "deduped": track(d.join(losers, "doc_id", "left_anti").persist())}
 
     def st_decontam(spark, ctx):

@@ -351,10 +351,14 @@ def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
         # min/max/count rows APPEND; zone maps are mergeable (min of
         # mins, max of maxes, sum of counts), so readers fold the
         # accumulated rows with `merged_zonemap` and prune exactly as
-        # over a freshly-built manifest. Placed with the index appends:
-        # a crash before this line replays the batch and the exact
-        # re-gate drops the duplicates, so the manifest never counts a
-        # doc twice.
+        # over a freshly-built manifest. At-least-once window: a crash
+        # AFTER this append but BEFORE the known_fp append below replays
+        # the batch with the survivors still absent from the fp index,
+        # so their stats rows append a second time — n_rows can
+        # double-count, exactly mirroring the corpus's own at-least-once
+        # duplicate rows. What IS guaranteed is min/max coverage
+        # (mergeable folds are idempotent on bounds), which is all the
+        # pruning reader relies on.
         from lswms_forage_etl_spark.functions.layout import zonemap_stats
         zonemap_stats(
             survivors,

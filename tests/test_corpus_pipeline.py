@@ -163,3 +163,58 @@ def test_corpus_pipeline_ppjoin_matches_lsh_path(spark):
         outs[mode] = sorted(
             r["doc_id"] for r in ctx["deduped"].collect())
     assert outs["lsh"] == outs["ppjoin"]
+
+
+def test_corpus_pipeline_auto_routes_on_fan_budget(spark):
+    """near_dup='auto': a tiny fan budget trips the PPJoin guard on a
+    low-diversity fixture (every doc shares the same shingles) and the
+    pipeline falls back to LSH, recording the measured estimate; a
+    generous budget keeps the exact generator. Same deduped output
+    either way on this fixture."""
+    base = {"docs": None, "eval_docs": None}
+    outs = {}
+    for budget in (0, 10_000_000):
+        pipe = corpus_pipeline(quality_min=0.0, jaccard_min=0.5,
+                               containment_min=0.8, near_dup="auto",
+                               ppjoin_fan_budget=budget)
+        ctx = pipe.run(spark, {"docs": _docs(spark),
+                               "eval_docs": _eval(spark)})
+        route = ctx["near_dup_route"]
+        if budget == 0:
+            assert route["generator"] == "lsh"
+            assert route["ppjoin_fan_estimate"] > 0
+            assert route["ppjoin_fan_budget"] == 0
+        else:
+            assert route["generator"] == "ppjoin"
+            assert "ppjoin_fan_estimate" not in route
+        outs[budget] = sorted(
+            r["doc_id"] for r in ctx["deduped"].collect())
+    assert outs[0] == outs[10_000_000]
+
+
+def test_prefix_filter_fan_guard_estimate_exact(spark):
+    """The guard's estimate is the exact candidate-pair upper bound
+    sum_s (prefix_df(s) choose 2): on m clones of one text every
+    prefix shingle appears in ONE distinct set (clone collapse), so
+    the estimate is 0 and the guard never trips; on m DISTINCT texts
+    sharing a rare head shingle the estimate counts the real fan."""
+    import pytest as _pytest
+
+    from lswms_forage_etl_spark.operators.dedup import (
+        PrefixFanExceeded, prefix_filter_pairs)
+    # distinct texts engineered to share shingles: doc i = common
+    # 5-token head + unique tail => overlapping prefixes
+    rows = [(i, "alpha beta gamma delta epsilon tail%d x%d y%d"
+             % (i, i, i), "s") for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    with _pytest.raises(PrefixFanExceeded) as ei:
+        prefix_filter_pairs(docs, threshold=(1, 2), fan_budget=0)
+    assert ei.value.estimate > 0
+    assert ei.value.budget == 0
+    assert str(ei.value.estimate) in str(ei.value)
+    # generous budget: runs to completion, exactness unchanged
+    out = prefix_filter_pairs(docs, threshold=(1, 2),
+                              fan_budget=10_000_000)
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+    out.collect()

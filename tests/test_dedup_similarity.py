@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from lswms_forage_etl_spark.operators.dedup import (
@@ -637,3 +638,17 @@ def test_pca_power_top_aligns_with_numpy_eigenvector(spark):
     evals, evecs = np.linalg.eigh(C)
     top = evecs[:, -1]
     assert abs(float(u @ top)) > 0.99, float(u @ top)
+
+
+def test_covariance_upper_overflow_guard_raises(spark):
+    """ADVICE r12: past the documented int64 bound the numpy Gram
+    partial would wrap SILENTLY — the partition guard must fail loudly
+    instead (exact Python-int bound n_part * max|q|^2 >= 2^63)."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        covariance_upper)
+    # |x|=10 at quant=1e9 -> max|q| = 1e10, 1*(1e10)^2 = 1e20 >= 2^63
+    df = spark.createDataFrame(
+        [(0, [10.0, -10.0]), (1, [9.0, 8.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="overflow"):
+        covariance_upper(df, quant=10 ** 9).collect()

@@ -198,3 +198,89 @@ def test_bigram_surprisal_scaled_matches_python_replay(spark):
                   else "middle" if ppm <= t2 else "tail")
         assert got[(did, lang)] == (n, ppm, bucket), (did, lang)
     assert set(got) == set(scores)
+
+
+def _py_kn(docs, train_sources, penalty=BACKOFF_PENALTY_BITS):
+    """Pure-Python replay of trigram_kn_surprisal (backoff KN, D=1,
+    whole-bit log2, lower orders from trigram TYPE counts)."""
+    tg = []
+    for did, text, lang, src in docs:
+        t = _toks(text)
+        for a, b, c in zip(t, t[1:], t[2:]):
+            tg.append((did, lang, src, a, b, c))
+    c3 = {}
+    for _, lang, src, a, b, c in tg:
+        if src in train_sources:
+            c3[(lang, a, b, c)] = c3.get((lang, a, b, c), 0) + 1
+    ctx2, cont2, mid_n1p, mid_n2t, cont1, tot = {}, {}, {}, {}, {}, {}
+    n2t_sets = {}
+    for (lang, a, b, c), n in c3.items():
+        c12, n3t = ctx2.get((lang, a, b), (0, 0))
+        ctx2[(lang, a, b)] = (c12 + n, n3t + 1)
+        cont2[(lang, b, c)] = cont2.get((lang, b, c), 0) + 1
+        mid_n1p[(lang, b)] = mid_n1p.get((lang, b), 0) + 1
+        n2t_sets.setdefault((lang, b), set()).add(c)
+    for k, s in n2t_sets.items():
+        mid_n2t[k] = len(s)
+    for (lang, b, c) in cont2:
+        cont1[(lang, c)] = cont1.get((lang, c), 0) + 1
+        tot[lang] = tot.get(lang, 0) + 1
+    per = {}
+    for did, lang, _, a, b, c in tg:
+        if (lang, c) in cont1:
+            s1 = _bl(tot[lang]) - _bl(cont1[(lang, c)])
+        elif lang in tot:
+            s1 = _bl(tot[lang]) + penalty
+        else:
+            s1 = 1 + penalty
+        if (lang, b, c) in cont2:
+            s2 = _bl(mid_n1p[(lang, b)]) - _bl(cont2[(lang, b, c)] - 1)
+        else:
+            a2 = (_bl(mid_n1p[(lang, b)]) - _bl(mid_n2t[(lang, b)])
+                  if (lang, b) in mid_n1p else 0)
+            s2 = a2 + s1
+        if (lang, a, b, c) in c3:
+            c12, _ = ctx2[(lang, a, b)]
+            s = _bl(c12) - _bl(c3[(lang, a, b, c)] - 1)
+        else:
+            a3 = (_bl(ctx2[(lang, a, b)][0]) - _bl(ctx2[(lang, a, b)][1])
+                  if (lang, a, b) in ctx2 else 0)
+            s = a3 + s2
+        n, ss = per.get((did, lang), (0, 0))
+        per[(did, lang)] = (n + 1, ss + s)
+    return {k: (n, ss * 1_000_000 // n) for k, (n, ss) in per.items()}
+
+
+def test_trigram_kn_matches_python_replay(spark):
+    from lswms_forage_etl_spark.operators.lm import trigram_kn_surprisal
+    df = spark.createDataFrame(DOCS, SCHEMA)
+    got = {(r["doc_id"], r["lang"]): (r["n_trigrams"], r["surprisal_ppm"])
+           for r in trigram_kn_surprisal(df, TRAIN).collect()}
+    release_tracked()
+    want = _py_kn(DOCS, TRAIN)
+    assert got == want
+    # 2-token docs contribute no trigrams -> absent from output
+    assert all(n >= 1 for n, _ in got.values())
+    # in-train doc scores below the gibberish doc
+    assert got[(0, "en")][1] < got[(3, "en")][1]
+
+
+def test_trigram_kn_hand_computed_backoff_chain(spark):
+    """Pin the three backoff levels on a hand-computed micro-corpus:
+    train 'a b c a b d' gives c3={abc:1,bca:1,cab:1,abd:1},
+    ctx(a,b)=(2,2), nn=4 continuation types."""
+    from lswms_forage_etl_spark.operators.lm import trigram_kn_surprisal
+    docs = [(0, "a b c a b d", "en", "ref"),
+            (1, "a b c", "en", "web"),    # seen trigram: bl(2)-bl(0)=2
+            (2, "a b x", "en", "web"),    # alpha3=0, alpha2=0, oov x:
+                                          # bl(4)+4 = 7
+            (3, "x y z", "en", "web"),    # all unseen: 0+0+bl(4)+4 = 7
+            (4, "p q r", "de", "web")]    # lang absent: 1+4 = 5
+    df = spark.createDataFrame(docs, SCHEMA)
+    got = {r["doc_id"]: (r["n_trigrams"], r["surprisal_ppm"])
+           for r in trigram_kn_surprisal(df, TRAIN).collect()}
+    release_tracked()
+    assert got[1] == (1, 2_000_000)
+    assert got[2] == (1, 7_000_000)
+    assert got[3] == (1, 7_000_000)
+    assert got[4] == (1, 5_000_000)

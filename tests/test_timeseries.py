@@ -106,3 +106,40 @@ def test_merge_intervals_islands(spark):
     assert out[(2, 1)]["n_merged"] == 2 and out[(2, 1)]["end_s"] == e + 540
     assert out[(3, 1)]["n_merged"] == 2 and len(
         [k for k in out if k[0] == 3]) == 1
+
+
+def test_merge_intervals_tied_duplicates_deterministic(spark):
+    """ADVICE r12 medium: with tied (start,end) rows, the island
+    cumulative-sum window must use the SAME total order as the
+    boundary-flag window, or a _new=0 twin can sort before its _new=1
+    twin and join the PREVIOUS island. Construct the trap: island A,
+    then a gap, then exact-duplicate intervals opening island B —
+    under any tie resolution the duplicates must both land in B, and
+    the result must be invariant to input order and partitioning."""
+    from lswms_forage_etl_spark.operators.timeseries import (
+        merge_intervals)
+    t = dt.datetime(2024, 1, 1)
+
+    def iv(u, m0, m1, eid):
+        return (u, eid, t + dt.timedelta(minutes=m0),
+                t + dt.timedelta(minutes=m1))
+
+    rows = [iv(1, 0, 10, 1),                    # island 1
+            iv(1, 30, 40, 2), iv(1, 30, 40, 3),  # tied twins: island 2
+            iv(1, 30, 40, 4)]
+    schema = ("user_id long, event_id long, start timestamp, "
+              "end timestamp")
+    want = None
+    for perm in ([0, 1, 2, 3], [3, 2, 1, 0], [1, 3, 0, 2]):
+        df = spark.createDataFrame([rows[i] for i in perm], schema) \
+            .repartition(4)
+        got = sorted(
+            (r["island"], r["start_s"], r["end_s"], r["n_merged"])
+            for r in merge_intervals(df, order_cols=("event_id",))
+            .collect())
+        if want is None:
+            want = got
+        assert got == want, perm
+    e = int(t.timestamp())
+    assert want == [(1, e, e + 600, 1),
+                    (2, e + 1800, e + 2400, 3)]
