@@ -4,15 +4,15 @@ the `decode_image_bytes` dispatch seam).
 
 Same twin-encoder discipline as the PNG/BMP/WAV kernels in
 `operators/multimodal.py`: `encode_jpeg` writes a spec-conformant
-JFIF stream (Annex-K quant + Huffman tables, optional 4:2:0 chroma
-subsampling and DRI/RSTn restart intervals) — baseline sequential
+JFIF stream (Annex-K quant + Huffman tables, optional 4:2:0/4:2:2/
+4:1:1 chroma subsampling and DRI/RSTn restart intervals) — baseline sequential
 (SOF0) or, with ``progressive=True``, SOF2 progressive with the
 libjpeg-shaped scan script (spectral selection + successive
 approximation, per-scan generated Huffman tables). `parse_jpeg`
 decodes BOTH: baseline sequential and full progressive (DC/AC
 first/refinement scans, EOBRUN with buffered correction bits).
 Arithmetic coding, hierarchical/lossless SOFs, 12-bit precision, and
->2x2 sampling factors raise ``NotImplementedError`` — honest gates,
+>4x4 sampling factors raise ``NotImplementedError`` — honest gates,
 the same discipline as `_parse_png`'s depth/interlace gate. The
 progressive<->baseline equality (same quantized coefficients, so
 IDENTICAL pixels) is the entropy-layer exactness proof for every
@@ -288,6 +288,11 @@ def _category(v: int) -> int:
 
 # ----------------------------------------------------------- encoder
 
+_SUBSAMP = {"420": (2, 2), "422": (2, 1), "411": (4, 1)}
+"""Chroma subsampling specs: luma sampling factors (h, v); chroma is
+always (1, 1)."""
+
+
 def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     r = rgb[..., 0].astype(np.float64)
     g = rgb[..., 1].astype(np.float64)
@@ -320,21 +325,25 @@ def _image_coefficients(arr: np.ndarray, quality: int,
         if subsampling == "444":
             comps = [ycc[..., i].astype(np.float64) for i in range(3)]
             samp = [(1, 1), (1, 1), (1, 1)]
-        elif subsampling == "420":
+        elif subsampling in _SUBSAMP:
+            # factor-driven chroma box-mean: fh x fv pixels of Cb/Cr
+            # average into one chroma sample (420 = 2x2, 422 = 2x1,
+            # 411 = 4x1 — r12 item 7 generalized the fixed 2x2 path)
+            fh, fv = _SUBSAMP[subsampling]
             y = ycc[..., 0].astype(np.float64)
-            h2 = (a.shape[0] + 1) // 2 * 2
-            w2 = (a.shape[1] + 1) // 2 * 2
+            h2 = (a.shape[0] + fv - 1) // fv * fv
+            w2 = (a.shape[1] + fh - 1) // fh * fh
             cb = _pad_to(ycc[..., 1], h2, w2).astype(np.float64)
             cr = _pad_to(ycc[..., 2], h2, w2).astype(np.float64)
             cb = _round_half_up(
-                cb.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3)))
+                cb.reshape(h2 // fv, fv, w2 // fh, fh).mean(axis=(1, 3)))
             cr = _round_half_up(
-                cr.reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3)))
+                cr.reshape(h2 // fv, fv, w2 // fh, fh).mean(axis=(1, 3)))
             comps = [y, cb.astype(np.float64), cr.astype(np.float64)]
-            samp = [(2, 2), (1, 1), (1, 1)]
+            samp = [(fh, fv), (1, 1), (1, 1)]
         else:
-            raise ValueError(f"subsampling must be 444/420, got "
-                             f"{subsampling!r}")
+            raise ValueError(f"subsampling must be one of 444/420/422/"
+                             f"411, got {subsampling!r}")
     else:
         raise ValueError(f"expected (H,W) or (H,W,3) uint8, got {a.shape}")
     h, w = a.shape[:2]
@@ -588,7 +597,7 @@ def encode_jpeg(arr: np.ndarray, quality: int = 50,
                 restart_interval: int = 0,
                 progressive: bool = False) -> bytes:
     """JFIF encoder: (H, W) uint8 -> 1-component greyscale, (H, W, 3)
-    uint8 RGB -> YCbCr, 4:4:4 or 4:2:0 (`subsampling`).
+    uint8 RGB -> YCbCr, 4:4:4 / 4:2:0 / 4:2:2 / 4:1:1 (`subsampling`).
     `restart_interval` > 0 emits DRI + RSTn every that many MCUs
     (baseline mode). With `progressive=True` the SAME quantized
     coefficients are emitted as an SOF2 multi-scan stream — the
@@ -854,7 +863,7 @@ def parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
     `decode_image_bytes` contract. Chroma upsampling is
     nearest-neighbor replication. Raises ``NotImplementedError`` for
     arithmetic coding, hierarchical/lossless SOFs, 12-bit precision,
-    >2x2 sampling factors, or component counts other than 1/3."""
+    >4x4 sampling factors, or component counts other than 1/3."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -908,16 +917,17 @@ def parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
                 sh, sv = hv >> 4, hv & 0xF
-                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise NotImplementedError(
                         f"sampling factors {sh}x{sv}")
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
-            if ncomp == 1 and (comps[0]["h"], comps[0]["v"]) != (1, 1):
-                # a single-component frame is non-interleaved: sampling
-                # factors are ignored per T.81 A.2 — the generic MCU
-                # loop would mis-shape it, so gate honestly
-                raise NotImplementedError(
-                    "single-component JPEG with sampling factors != 1x1")
+            if ncomp == 1:
+                # a single-component frame is non-interleaved: T.81
+                # A.2 says the scan covers the FULL component grid and
+                # the declared sampling factors have no effect — so
+                # normalize them to 1x1 (libjpeg does the same) instead
+                # of the pre-r13 honest raise
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"h": h, "w": w, "comps": comps}
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
@@ -972,9 +982,13 @@ def parse_jpeg(buf: bytes) -> tuple[int, int, np.ndarray]:
                 rm[ZIGZAG] = coefs[ci][by, bx]
                 plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
                     dequant_idct(rm.reshape(8, 8), q)
-        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
-                          hmax // c["h"], axis=1)
-        planes.append(plane[:h, :w].astype(np.float64))
+        # nearest-neighbor upsample by index map: generalizes the old
+        # np.repeat path (identical when hmax/vmax divide evenly) to
+        # ARBITRARY factor ratios (4:2:2, 4:1:1, 3x1, ...) where the
+        # integer repeat factor would floor and mis-shape
+        rows = (np.arange(h) * c["v"]) // vmax
+        cols = (np.arange(w) * c["h"]) // hmax
+        planes.append(plane[rows][:, cols].astype(np.float64))
     if len(comps) == 1:
         return w, h, planes[0].astype(np.uint8).reshape(-1)
     y, cb, cr = planes

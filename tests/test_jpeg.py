@@ -223,3 +223,73 @@ def test_progressive_degenerate_streams():
     buf = encode_jpeg(img, progressive=True)
     assert b"\xff\xc2" in buf
     assert buf.count(b"\xff\xda") >= 5
+
+
+def test_rgb_422_411_decode_close_and_dims_exact():
+    """r12 item 7: 4:2:2 (2x1) and 4:1:1 (4x1) chroma — round-trip
+    tolerance + exact dims, including odd widths that pad to the wider
+    MCU and crop back."""
+    rng = np.random.RandomState(21)
+    for shape in ((18, 26, 3), (9, 13, 3), (8, 31, 3)):
+        base = rng.randint(0, 64, shape, dtype=np.uint8) + 96
+        for sub, tol in (("422", 12.0), ("411", 14.0)):
+            w, h, pix = parse_jpeg(
+                encode_jpeg(base, quality=90, subsampling=sub))
+            assert (w, h) == (shape[1], shape[0]), (sub, shape)
+            err = np.abs(pix.reshape(shape).astype(int)
+                         - base.astype(int)).mean()
+            assert err < tol, (sub, shape, err)
+
+
+def test_422_chroma_really_subsampled_horizontally():
+    # flat-color image: 422 stream must be shorter than 444 and carry
+    # luma sampling factor 2x1 in the SOF
+    img = np.full((16, 32, 3), 200, dtype=np.uint8)
+    buf = encode_jpeg(img, quality=90, subsampling="422")
+    # locate SOF0 by marker walk (structural, not byte-find)
+    pos = 2
+    sof = None
+    while pos < len(buf):
+        marker = buf[pos + 1]
+        ln = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        if marker == 0xC0:
+            sof = buf[pos + 4:pos + 2 + ln]
+            break
+        pos += 2 + ln
+    assert sof is not None
+    hv = sof[6 + 1]                      # first component hv byte
+    assert (hv >> 4, hv & 0xF) == (2, 1)
+
+
+def test_single_component_sampling_factors_normalized():
+    """T.81 A.2: sampling factors are ignored in a single-component
+    frame — a stream whose SOF declares 2x2 for its only component
+    must decode exactly like the 1x1 twin (the pre-r13 honest raise
+    replaced by libjpeg's normalization)."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    buf = bytearray(encode_jpeg(img, quality=80))
+    pos = 2
+    while pos < len(buf):
+        marker = buf[pos + 1]
+        ln = int.from_bytes(buf[pos + 2:pos + 4], "big")
+        if marker == 0xC0:
+            hv_off = pos + 4 + 6 + 1     # body + comp0 + id byte
+            assert buf[hv_off] == 0x11
+            buf[hv_off] = 0x22
+            break
+        pos += 2 + ln
+    w, h, pix = parse_jpeg(bytes(buf))
+    ref = parse_jpeg(encode_jpeg(img, quality=80))[2]
+    assert (w, h) == (24, 16)
+    assert np.array_equal(pix, ref)
+
+
+def test_progressive_equals_baseline_at_422():
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    base = parse_jpeg(encode_jpeg(img, quality=75, subsampling="422"))
+    prog = parse_jpeg(encode_jpeg(img, quality=75, subsampling="422",
+                                  progressive=True))
+    assert base[0:2] == prog[0:2]
+    assert np.array_equal(base[2], prog[2])

@@ -119,6 +119,15 @@ QUERIES = [
     "sketch_cms_heavy",
     "events_pattern_match",
     "events_intervals_merge",
+    # round-13 operators: trigram KN, ANN recall accounting, unigram
+    # tokenizer (block prefixes KEPT — vocab growth is the load, the
+    # bpe precedent), MP4 container scans
+    "text_perplexity_kn",
+    "ann_recall_at_k",
+    "corpus_unigram_train",
+    "corpus_unigram_encode",
+    "mm_scan_mp4",
+    "mm_mp4_frames",
 ]
 
 
