@@ -2998,6 +2998,27 @@ def q_mm_decode_gif(spark, sf):
         pround(F.col("mean_intensity"), 9).alias("mean_intensity"))
 
 
+def q_mm_decode_webp(spark, sf):
+    """REAL lossless-WebP (VP8L) decode end-to-end (closes the last
+    image-format honest raise, round 13): each document's first w*9
+    text bytes become the green channel of a VP8L image (red =
+    byte^0x55, blue = 255-byte) built by the twin encoder with REAL
+    canonical Huffman codes (code-length-coded normal form on the
+    graded path), then the Arrow stage runs the from-scratch decoder —
+    RIFF walk, 5-code Huffman group, canonical code-length machinery,
+    per-channel literal decode. Lossless, so the oracle replays
+    mean_intensity from the same text bytes via the integer identity
+    r+g+b = 255 + (byte XOR 0x55); any Huffman/bit-order defect
+    hash-mismatches."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_media, synth_webp_media)
+    out = decode_media(synth_webp_media(_t(spark, sf, "documents")),
+                       fake=False)
+    return out.select(
+        "media_id", "decoded_width", "decoded_height",
+        pround(F.col("mean_intensity"), 9).alias("mean_intensity"))
+
+
 def q_mm_scan_zip(spark, sf):
     """Archive-container ingest, zip: every 8 documents become ONE
     spec-conformant zip (stdlib-zipfile writer — an INDEPENDENT
@@ -3451,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_unigram_encode": q_corpus_unigram_encode,
         "mm_scan_mp4": q_mm_scan_mp4,
         "mm_mp4_frames": q_mm_mp4_frames,
+        "mm_decode_webp": q_mm_decode_webp,
     }
 
 
@@ -6598,6 +6620,26 @@ def oracle_sql() -> dict[str, str]:
     # the mean divides the SAME two integers the Arrow stage divides
     # (255*w*9 + sum_xor over 3*w*9 samples), bit-identical IEEE.
     sql["mm_decode_gif"] = f"""
+        WITH m AS (SELECT doc_id AS media_id,
+                          CAST(doc_id % 8 + 4 AS INT) AS w,
+                          hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        f AS (SELECT * FROM m WHERE n >= w * 9),
+        b AS (SELECT media_id, w,
+                     ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT
+                       AS byte
+              FROM f, (SELECT unnest(range(0, w * 9)) AS j))
+        SELECT media_id, w AS decoded_width,
+               CAST(9 AS INT) AS decoded_height,
+               {_pr("CAST(255 * w * 9 + sum(xor(byte, 85)) AS DOUBLE)"
+                    " / (3 * w * 9)", 9)} AS mean_intensity
+        FROM b GROUP BY media_id, w
+    """
+
+    # lossless WebP: same integer identity as the GIF oracle — here it
+    # pins the per-channel VP8L Huffman decode instead of a palette
+    sql["mm_decode_webp"] = f"""
         WITH m AS (SELECT doc_id AS media_id,
                           CAST(doc_id % 8 + 4 AS INT) AS w,
                           hex(encode(text)) AS hx,

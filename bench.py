@@ -121,6 +121,7 @@ HEADLINE = [
     "ann_recall_at_k",
     "corpus_unigram_train",
     "corpus_unigram_encode",
+    "mm_decode_webp",
 ]
 
 

@@ -188,6 +188,43 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
     return _spread(src).mapInPandas(build, schema=out_schema)
 
 
+def synth_webp_media(docs: DataFrame) -> DataFrame:
+    """REAL lossless-WebP payloads from `documents`: each doc's first
+    w*9 UTF-8 text bytes (w = 4 + doc_id % 8) become the (9, w) GREEN
+    channel of a VP8L image with red = byte ^ 0x55 and blue =
+    255 - byte — so per pixel r + g + b = 255 + (byte ^ 0x55), the
+    SAME integer identity the GIF oracle replays (here it pins the
+    per-channel Huffman decode instead of a palette lookup). Text
+    bytes usually span >2 values per channel, so the graded path
+    exercises the full code-length-coded normal Huffman machinery."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lswms_forage_etl_spark.operators.webp import encode_webp
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, raw in zip(pdf["media_id"], pdf["raw"]):
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 8
+                g = np.frombuffer(bytes(raw), dtype=np.uint8,
+                                  count=w * 9).reshape(9, w)
+                img = np.stack([g ^ 0x55, g, 255 - g], axis=-1)
+                ids.append(doc_id)
+                payloads.append(encode_webp(img))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    w = (F.pmod(F.col("doc_id"), F.lit(8)) + F.lit(4)).cast("int")
+    src = (docs.select(F.col("doc_id").alias("media_id"),
+                       F.encode(F.col("text"), "UTF-8").alias("raw"),
+                       (w * 9).alias("npix"))
+           .where(F.octet_length("raw") >= F.col("npix")))
+    return _spread(src).mapInPandas(build, schema=out_schema)
+
+
 def synth_gif_anim_media(docs: DataFrame) -> DataFrame:
     """ANIMATED GIF payloads from `documents`: each doc's first w*9
     text bytes become THREE full-frame (3, w) index rasters of one
@@ -811,10 +848,14 @@ def decode_image_bytes(buf: bytes) -> tuple[int, int, np.ndarray]:
     if buf[:6] in (b"GIF87a", b"GIF89a"):
         from lswms_forage_etl_spark.operators.gif import parse_gif
         return parse_gif(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        from lswms_forage_etl_spark.operators.webp import parse_webp
+        return parse_webp(buf)
     raise NotImplementedError(
         f"unsupported image magic {buf[:2]!r}: only netpbm (P5/P6), "
-        "uncompressed BMP, PNG, baseline+progressive JPEG, and "
-        "single-image GIF decode without external codec libraries")
+        "uncompressed BMP, PNG, baseline+progressive JPEG, "
+        "single-image GIF, and lossless WebP (VP8L) decode without "
+        "external codec libraries")
 
 
 def _g711_tables() -> tuple[np.ndarray, np.ndarray]:

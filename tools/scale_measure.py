@@ -128,6 +128,7 @@ QUERIES = [
     "corpus_unigram_encode",
     "mm_scan_mp4",
     "mm_mp4_frames",
+    "mm_decode_webp",
 ]
 
 
