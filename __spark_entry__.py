@@ -2076,6 +2076,22 @@ def q_mm_decode_wav_law(spark, sf):
         synth_wav_law_media(_t(spark, sf, "documents")))
 
 
+def q_mm_decode_wav_adpcm(spark, sf):
+    """IMA/DVI ADPCM WAV decode (round 13 — closes the last audio
+    honest raise): text bytes map to int16 samples, compress through
+    the REAL IMA encoder (4-bit nibbles, step/index tables), and the
+    Arrow stage runs the real block decoder. The oracle replays the
+    WHOLE codec as one recursive integer state machine — decoded
+    sample k equals the encoder predictor after step k by
+    construction, so encode+decode pin each other with zero float
+    boundaries. Same scaled-amp output convention as the other WAV
+    decodes."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        decode_audio_ext, synth_wav_adpcm_media)
+    return decode_audio_ext(
+        synth_wav_adpcm_media(_t(spark, sf, "documents")))
+
+
 def q_mm_audio_energy(spark, sf):
     """Audio feature extraction over REAL decoded WAV payloads:
     non-overlapping 16-frame windows, exact int64 sum-of-squares energy
@@ -3473,6 +3489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scan_mp4": q_mm_scan_mp4,
         "mm_mp4_frames": q_mm_mp4_frames,
         "mm_decode_webp": q_mm_decode_webp,
+        "mm_decode_wav_adpcm": q_mm_decode_wav_adpcm,
     }
 
 
@@ -5574,6 +5591,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(v AS BIGINT) * 1000000) AS BIGINT) AS amp_q
         FROM allv GROUP BY media_id, sr, ch, nf, bits
     """
+
+    # IMA ADPCM: the oracle replays the whole codec as one recursive
+    # state machine (generator shares the step/index tables with the
+    # engine codec)
+    from lswms_forage_etl_spark.operators.multimodal import (
+        adpcm_oracle_sql)
+    sql["mm_decode_wav_adpcm"] = adpcm_oracle_sql()
 
     # real WAV decode: the Spark side chunk-walks + fmt-parses an actual
     # RIFF stream it built; the oracle recomputes every sample from the

@@ -122,6 +122,7 @@ HEADLINE = [
     "corpus_unigram_train",
     "corpus_unigram_encode",
     "mm_decode_webp",
+    "mm_decode_wav_adpcm",
 ]
 
 

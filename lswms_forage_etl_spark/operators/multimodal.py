@@ -14,7 +14,8 @@ decodes for real as well — the baseline sequential Huffman+IDCT kernel
 in `operators/jpeg.py` (4:4:4/4:2:0, restart intervals, twin encoder);
 WAV covers 8/16/24-bit integer PCM, IEEE-float32/64, G.711 A-law/
 mu-law, and WAVE_FORMAT_EXTENSIBLE wrapping since round 12. Remaining
-exotica (ADPCM, multichannel >2) raise ``NotImplementedError`` at
+exotica (multichannel >2; IMA ADPCM decodes since round 13) raise
+``NotImplementedError`` at
 their dispatch points — the seams a codec-lib-backed kernel would
 extend. Everything
 Spark-side — schemas, Arrow-batched `mapInPandas` signatures, per-kind
@@ -880,6 +881,114 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _MULAW_DECODE, _ALAW_DECODE = _g711_tables()
 
+# IMA/DVI ADPCM (WAV format tag 0x11) — the canonical step/index
+# tables (IMA ADPCM reference, identical across implementations)
+_ADPCM_STEP = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+_ADPCM_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_nibble_step(pred: int, idx: int, sample: int
+                       ) -> tuple[int, int, int]:
+    """ONE IMA ADPCM encode step: quantize (sample - pred) to a 4-bit
+    nibble and advance (pred, idx) with the SAME reconstruction the
+    decoder runs — so the decoder's output sequence IS the encoder's
+    predictor sequence, which is what lets the DuckDB oracle replay
+    encode+decode as one recursive integer state machine."""
+    step = _ADPCM_STEP[idx]
+    diff = sample - pred
+    sign = 8 if diff < 0 else 0
+    diff = -diff if diff < 0 else diff
+    delta = 0
+    vpdiff = step >> 3
+    if diff >= step:
+        delta = 4
+        diff -= step
+        vpdiff += step
+    if diff >= step >> 1:
+        delta |= 2
+        diff -= step >> 1
+        vpdiff += step >> 1
+    if diff >= step >> 2:
+        delta |= 1
+        vpdiff += step >> 2
+    pred = pred - vpdiff if sign else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[delta]))
+    return sign | delta, pred, idx
+
+
+def _adpcm_decode_nibble(pred: int, idx: int, nib: int
+                         ) -> tuple[int, int]:
+    """ONE IMA ADPCM decode step (exactly _adpcm_nibble_step's
+    reconstruction half)."""
+    step = _ADPCM_STEP[idx]
+    delta = nib & 7
+    vpdiff = step >> 3
+    if delta & 4:
+        vpdiff += step
+    if delta & 2:
+        vpdiff += step >> 1
+    if delta & 1:
+        vpdiff += step >> 2
+    pred = pred - vpdiff if nib & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _ADPCM_INDEX[delta]))
+    return pred, idx
+
+
+def adpcm_encode_block(samples: np.ndarray) -> bytes:
+    """Encode int16 mono samples as ONE IMA ADPCM block: 4-byte header
+    (predictor = first sample, index 0, reserved) + packed nibbles
+    (low nibble first), padded to a whole byte."""
+    import struct
+    s = [int(v) for v in samples]
+    pred, idx = s[0], 0
+    nibs = []
+    for v in s[1:]:
+        nib, pred, idx = _adpcm_nibble_step(pred, idx, v)
+        nibs.append(nib)
+    if len(nibs) % 2:
+        nibs.append(0)
+    out = bytearray(struct.pack("<hBB", s[0], 0, 0))
+    for lo, hi in zip(nibs[0::2], nibs[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def encode_wav_adpcm(samples: np.ndarray,
+                     sample_rate: int = 16000) -> bytes:
+    """IMA/DVI ADPCM WAV encoder (format tag 0x11), mono, ONE block
+    per file (wSamplesPerBlock = len(samples)) — spec-legal and the
+    form whose decode the oracle replays; the fmt chunk carries the
+    cbSize=2 wSamplesPerBlock extra field and a fact chunk records the
+    true frame count."""
+    import struct
+    s = np.asarray(samples).astype(np.int64)
+    if s.ndim != 1 or len(s) < 1:
+        raise ValueError("adpcm samples must be 1-D, non-empty")
+    if s.min() < -32768 or s.max() > 32767:
+        raise ValueError("adpcm samples must fit int16")
+    data = adpcm_encode_block(s)
+    spb = len(s)
+    block_align = len(data)
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack("<HHIIHHHH", 17, 1, sample_rate, byte_rate,
+                      block_align, 4, 2, spb)
+    mid = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    mid += b"fact" + struct.pack("<II", 4, spb)
+    mid += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        mid += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(mid)) + b"WAVE" + mid
+
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
                bits: int = 16, channels: int = 1,
@@ -968,16 +1077,25 @@ def _parse_wav(buf: bytes) -> tuple[int, int, int, int, np.ndarray]:
     pos = 12
     fmt_code = channels = sample_rate = bits = None
     data = None
+    block_align = spb = fact_frames = None
     while pos + 8 <= len(buf):
         typ = buf[pos:pos + 4]
         ln = int.from_bytes(buf[pos + 4:pos + 8], "little")
         body = buf[pos + 8:pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # skip the word-align pad byte
+        if typ == b"fact":
+            fact_frames = int.from_bytes(body[0:4], "little")
         if typ == b"fmt ":
             fmt_code = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             sample_rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+            if fmt_code == 17:
+                # IMA ADPCM: cbSize=2 extra field = wSamplesPerBlock
+                if ln < 20:
+                    raise ValueError("truncated ADPCM fmt chunk")
+                spb = int.from_bytes(body[18:20], "little")
             if fmt_code == 0xFFFE:
                 # extensible: the real code is the SubFormat GUID's
                 # leading 16 bits (fmt body offset 24, after cbSize=22,
@@ -989,14 +1107,42 @@ def _parse_wav(buf: bytes) -> tuple[int, int, int, int, np.ndarray]:
             data = body
     if fmt_code is None or data is None:
         raise ValueError("WAV stream has no fmt /data chunk")
-    ok = ((fmt_code == 1 and bits in (8, 16, 24))
-          or (fmt_code == 3 and bits in (32, 64))
-          or (fmt_code in (6, 7) and bits == 8)) and channels in (1, 2)
+    ok = (((fmt_code == 1 and bits in (8, 16, 24))
+           or (fmt_code == 3 and bits in (32, 64))
+           or (fmt_code in (6, 7) and bits == 8)) and channels in (1, 2)
+          ) or (fmt_code == 17 and bits == 4 and channels == 1)
     if not ok:
         raise NotImplementedError(
-            f"only integer-PCM 8/16/24-bit, IEEE-float 32/64-bit, or "
-            f"G.711 A-law/mu-law mono/stereo WAV supported "
-            f"(format={fmt_code}, bits={bits}, channels={channels})")
+            f"only integer-PCM 8/16/24-bit, IEEE-float 32/64-bit, "
+            f"G.711 A-law/mu-law mono/stereo, or IMA-ADPCM mono WAV "
+            f"supported (format={fmt_code}, bits={bits}, "
+            f"channels={channels})")
+    if fmt_code == 17:                               # IMA ADPCM
+        if not spb or not block_align or block_align < 4:
+            raise ValueError("ADPCM WAV missing samplesPerBlock/align")
+        out: list[int] = []
+        p = 0
+        while p + 4 <= len(data):
+            blk = data[p:p + block_align]
+            p += block_align
+            pred = int.from_bytes(blk[0:2], "little", signed=True)
+            idx = blk[2]
+            if idx > 88:
+                raise ValueError("ADPCM block index out of range")
+            vals = [pred]
+            nib_bytes = blk[4:]
+            for t in range(min(spb - 1,
+                               len(nib_bytes) * 2)):
+                byte = nib_bytes[t >> 1]
+                nib = (byte & 0xF) if t % 2 == 0 else (byte >> 4)
+                pred, idx = _adpcm_decode_nibble(pred, idx, nib)
+                vals.append(pred)
+            out.extend(vals)
+        if fact_frames is not None:
+            out = out[:fact_frames]
+        samples = np.asarray(out, dtype=np.int32)
+        n_frames = len(samples)
+        return sample_rate, 1, 4, n_frames, samples
     if fmt_code in (6, 7):                           # G.711 expansion
         codes = np.frombuffer(data, dtype=np.uint8)
         table = _ALAW_DECODE if fmt_code == 6 else _MULAW_DECODE
@@ -1158,6 +1304,119 @@ def synth_wav_law_media(docs: DataFrame) -> DataFrame:
                        (nf * ch).cast("int").alias("need"))
            .where(F.octet_length("raw") >= F.col("need")))
     return _spread(src).mapInPandas(build, schema=out_schema)
+
+
+def synth_wav_adpcm_media(docs: DataFrame) -> DataFrame:
+    """IMA ADPCM audio payloads: each doc's first nf text bytes map to
+    int16 samples s = (byte - 128) * 256 and compress through the REAL
+    IMA encoder (one block per file, mono). Because the decoder's
+    output is exactly the encoder's predictor sequence, the DuckDB
+    oracle replays encode+decode as ONE recursive integer state
+    machine over the same source bytes."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, raw in zip(pdf["media_id"], pdf["raw"]):
+                doc_id = int(doc_id)
+                nf = 24 + (doc_id % 8) * 4
+                rate = 8000 * (1 + doc_id % 3)
+                b = np.frombuffer(bytes(raw)[:nf], dtype=np.uint8)
+                s = (b.astype(np.int64) - 128) * 256
+                ids.append(doc_id)
+                payloads.append(encode_wav_adpcm(s, rate))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    nf = F.lit(24) + (F.col("doc_id") % 8) * 4
+    src = (docs.select(F.col("doc_id").alias("media_id"),
+                       F.encode(F.col("text"), "UTF-8").alias("raw"),
+                       nf.alias("npix"))
+           .where(F.octet_length("raw") >= F.col("npix")))
+    return _spread(src).mapInPandas(build, schema=out_schema)
+
+
+def adpcm_oracle_sql(doc_source: str = "documents") -> str:
+    """DuckDB replay of q_mm_decode_wav_adpcm: a recursive CTE runs
+    the IMA state machine (pred, idx) over each media's sample
+    sequence — decoded sample k IS the encoder predictor after step k,
+    so one recursion replays encoder AND decoder. The 89-step table
+    rides as a VALUES list; all arithmetic exact BIGINT."""
+    steps = ", ".join(f"({i}, {v})" for i, v in enumerate(_ADPCM_STEP))
+    idxs = ", ".join(f"({d}, {v})" for d, v in enumerate(_ADPCM_INDEX))
+    return f"""
+        WITH RECURSIVE
+        stp(i, st) AS (VALUES {steps}),
+        itb(d, di) AS (VALUES {idxs}),
+        m AS (SELECT doc_id AS media_id,
+                     CAST(24 + (doc_id % 8) * 4 AS INT) AS nf,
+                     CAST(8000 * (1 + doc_id % 3) AS INT) AS sr,
+                     hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS n
+              FROM {doc_source}),
+        f AS (SELECT * FROM m WHERE n >= nf),
+        smp AS (SELECT media_id, sr, nf, CAST(j AS INT) AS k,
+                       ((('0x' || substr(hx, CAST(2 * j + 1 AS INT),
+                                         2))::BIGINT) - 128) * 256 AS s
+                FROM f, (SELECT unnest(range(0, 52)) AS j)
+                WHERE j < nf),
+        st(media_id, k, pred, idx, acc) AS (
+          SELECT media_id, 0, s, 0, s
+          FROM smp WHERE k = 0
+          UNION ALL
+          SELECT media_id, k, pred, idx, acc + pred FROM (
+            SELECT q.media_id, q.k,
+                   GREATEST(-32768, LEAST(32767,
+                     CASE WHEN q.s < q.pred THEN q.pred - q.vp
+                          ELSE q.pred + q.vp END)) AS pred,
+                   GREATEST(0, LEAST(88, q.idx + itb.di)) AS idx,
+                   q.acc, q.delta
+            FROM (
+              SELECT p.media_id, p.k, p.s, p.pred, p.idx, p.acc,
+                     (CASE WHEN p.b4 THEN 4 ELSE 0 END
+                      + CASE WHEN p.b2 THEN 2 ELSE 0 END
+                      + CASE WHEN p.b1 THEN 1 ELSE 0 END) AS delta,
+                     (p.st // 8 + CASE WHEN p.b4 THEN p.st ELSE 0 END
+                      + CASE WHEN p.b2 THEN p.st // 2 ELSE 0 END
+                      + CASE WHEN p.b1 THEN p.st // 4 ELSE 0 END) AS vp
+              FROM (
+                SELECT s2.media_id, s2.k, s2.s, s1.pred, s1.idx,
+                       s1.acc, stp.st,
+                       abs(s2.s - s1.pred) >= stp.st AS b4,
+                       abs(s2.s - s1.pred)
+                         - CASE WHEN abs(s2.s - s1.pred) >= stp.st
+                                THEN stp.st ELSE 0 END
+                         >= stp.st // 2 AS b2,
+                       abs(s2.s - s1.pred)
+                         - CASE WHEN abs(s2.s - s1.pred) >= stp.st
+                                THEN stp.st ELSE 0 END
+                         - CASE WHEN abs(s2.s - s1.pred)
+                                 - CASE WHEN abs(s2.s - s1.pred)
+                                        >= stp.st
+                                        THEN stp.st ELSE 0 END
+                                 >= stp.st // 2
+                                THEN stp.st // 2 ELSE 0 END
+                         >= stp.st // 4 AS b1
+                FROM st s1
+                JOIN smp s2 ON s2.media_id = s1.media_id
+                           AND s2.k = s1.k + 1
+                JOIN stp ON stp.i = s1.idx) p) q
+            JOIN itb ON itb.d = q.delta))
+        SELECT f.media_id, f.sr AS sample_rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST(4 AS INT) AS bits_per_sample,
+               CAST(f.nf AS INT) AS n_frames,
+               CAST(t.acc * 1000000 AS BIGINT) AS amp_q
+        FROM f JOIN (
+          SELECT media_id, acc,
+                 row_number() OVER (PARTITION BY media_id
+                                    ORDER BY k DESC) AS rn
+          FROM st) t ON t.media_id = f.media_id AND t.rn = 1
+    """
 
 
 def decode_audio_ext(media: DataFrame) -> DataFrame:

@@ -129,6 +129,7 @@ QUERIES = [
     "mm_scan_mp4",
     "mm_mp4_frames",
     "mm_decode_webp",
+    "mm_decode_wav_adpcm",
 ]
 
 

@@ -1,6 +1,6 @@
 """Full-surface smoke: run EVERY queries() entry (the LIVE registry —
 the tool enumerates `entrymod.queries()`, so the count tracks the
-registry automatically; 178 as of round 13) to completion against a
+registry automatically; 179 as of round 13) to completion against a
 directory (default /root/scale100x) — the zero-failure-at-100x claim
 SCALE.md records per round (round 10: 138/138 in 1488 s; round 11:
 142/142 in 702 s, plus the adversarial-skew slices, VERDICT r10
