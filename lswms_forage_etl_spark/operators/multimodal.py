@@ -197,14 +197,23 @@ def synth_webp_media(docs: DataFrame) -> DataFrame:
     SAME integer identity the GIF oracle replays (here it pins the
     per-channel Huffman decode instead of a palette lookup). Text
     bytes usually span >2 values per channel, so the graded path
-    exercises the full code-length-coded normal Huffman machinery."""
+    exercises the full code-length-coded normal Huffman machinery.
+
+    Round 14: each doc rotates through the SEVEN encoder variants
+    (literal / subtract-green / predictor / color / palette /
+    cache+LZ77-neighbor-runs / meta-Huffman, doc_id mod 7, seeded by
+    doc_id so all 14 predictor modes and many color multipliers
+    appear) — every VP8L transform and both distance-code forms run
+    on the graded path at scale. All variants are lossless, so the
+    oracle's integer identity is unchanged."""
     out_schema = StructType([
         StructField("media_id", LongType(), False),
         StructField("payload", BinaryType(), False),
     ])
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from lswms_forage_etl_spark.operators.webp import encode_webp
+        from lswms_forage_etl_spark.operators.webp import (
+            VARIANTS, encode_webp)
         for pdf in batches:
             ids, payloads = [], []
             for doc_id, raw in zip(pdf["media_id"], pdf["raw"]):
@@ -214,7 +223,10 @@ def synth_webp_media(docs: DataFrame) -> DataFrame:
                                   count=w * 9).reshape(9, w)
                 img = np.stack([g ^ 0x55, g, 255 - g], axis=-1)
                 ids.append(doc_id)
-                payloads.append(encode_webp(img))
+                payloads.append(
+                    encode_webp(img,
+                                variant=VARIANTS[doc_id % len(VARIANTS)],
+                                seed=doc_id))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     from lswms_forage_etl_spark.operators.dedup import _spread
@@ -1297,8 +1309,9 @@ def synth_wav_law_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     from lswms_forage_etl_spark.operators.dedup import _spread
-    ch = F.when(F.col("doc_id") % 3 == 0, F.lit(2)).otherwise(F.lit(1))
-    nf = F.lit(24) + (F.col("doc_id") % 8) * 4
+    ch = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+                F.lit(2)).otherwise(F.lit(1))
+    nf = F.lit(24) + F.pmod(F.col("doc_id"), F.lit(8)) * 4
     src = (docs.select(F.col("doc_id").alias("media_id"),
                        F.encode(F.col("text"), "UTF-8").alias("raw"),
                        (nf * ch).cast("int").alias("need"))
@@ -1332,7 +1345,10 @@ def synth_wav_adpcm_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     from lswms_forage_etl_spark.operators.dedup import _spread
-    nf = F.lit(24) + (F.col("doc_id") % 8) * 4
+    # F.pmod, not %: Spark % follows the dividend's sign while the
+    # Python build recomputes nf with non-negative %, so a negative
+    # doc_id would pass the filter with a smaller nf (ADVICE r13)
+    nf = F.lit(24) + F.pmod(F.col("doc_id"), F.lit(8)) * 4
     src = (docs.select(F.col("doc_id").alias("media_id"),
                        F.encode(F.col("text"), "UTF-8").alias("raw"),
                        nf.alias("npix"))

@@ -168,29 +168,113 @@ def test_gates_raise():
         parse_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
     with pytest.raises(NotImplementedError, match="extended"):
         parse_webp(b"RIFF\x10\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
-    # predictor transform (type 0)
-    hb = _Hand(1, 1, transforms=(0,))
-    with pytest.raises(NotImplementedError, match="transform"):
-        parse_vp8l(hb.payload())
-    # meta-huffman
-    w = _BitWriter()
-    w.write(0, 14); w.write(0, 14); w.write(0, 1); w.write(0, 3)
-    w.write(0, 1)                             # no transforms
-    w.write(0, 1)                             # no cache
-    w.write(1, 1)                             # meta-huffman!
-    with pytest.raises(NotImplementedError, match="meta"):
-        parse_vp8l(b"\x2f" + w.bytes())
-    # neighbor-map distance (<=120): dist code symbol 0 -> value 1
+    with pytest.raises(ValueError, match="signature"):
+        parse_vp8l(b"\x00\x00")
+
+
+def test_hand_built_neighbor_map_distance():
+    """2x1 image: literal then a backref through the NEIGHBOR MAP —
+    dist prefix code 1 decodes to dist_code 2 -> offset (1, 0) ->
+    distance 1 (the left pixel), the round-13 honest gate now live."""
     hb = _Hand(2, 1)
     _green_code_with_lengths(hb.w, {10: 1, 256: 1})
     hb.simple([20]); hb.simple([30]); hb.simple([255])
-    hb.simple([0])
+    hb.simple([1])                            # dist prefix code 1 -> 2
     hb.w.write(0, 1)                          # literal
-    hb.w.write(1, 1)                          # backref, dist code 1
-    with pytest.raises(NotImplementedError, match="neighbor"):
+    hb.w.write(1, 1)                          # backref, length 1
+    w, h, pix = parse_webp(_wrap(hb.payload()))
+    assert np.array_equal(pix.reshape(2, 3), np.tile([20, 10, 30], (2, 1)))
+
+
+def test_hand_built_vertical_neighbor_distance():
+    """2x2 image: three literals then a backref via offset (0, 1) —
+    dist prefix code 0 -> dist_code 1 -> distance = width = 2."""
+    hb = _Hand(2, 2)
+    _green_code_with_lengths(hb.w, {10: 1, 256: 1})
+    hb.simple([20]); hb.simple([30]); hb.simple([255])
+    hb.simple([0])                            # dist prefix code 0 -> 1
+    for _ in range(3):
+        hb.w.write(0, 1)                      # literals
+    hb.w.write(1, 1)                          # backref, length 1
+    w, h, pix = parse_webp(_wrap(hb.payload()))
+    assert np.array_equal(pix.reshape(4, 3), np.tile([20, 10, 30], (4, 1)))
+
+
+def test_color_cache_unwritten_slot_raises():
+    """A cache hit before any pixel was inserted is a corrupt stream
+    (ADVICE r13: must not silently decode as ARGB 0)."""
+    hb = _Hand(1, 1, cache_bits=1)
+    _green_code_with_lengths(hb.w, {280: 1, 281: 1}, alphabet=282)
+    hb.simple([20]); hb.simple([30]); hb.simple([255])
+    hb.simple([0])
+    hb.w.write(0, 1)                          # cache slot 0 — unwritten
+    with pytest.raises(ValueError, match="unwritten"):
         parse_vp8l(hb.payload())
-    with pytest.raises(ValueError, match="signature"):
-        parse_vp8l(b"\x00\x00")
+
+
+def test_roundtrip_all_variants():
+    """Every encoder variant (transforms, cache+LZ77 neighbor runs,
+    meta-Huffman groups) is lossless across content shapes."""
+    from lswms_forage_etl_spark.operators.webp import VARIANTS
+    rng = np.random.RandomState(17)
+    imgs = [
+        rng.randint(0, 256, (9, 7, 3), dtype=np.uint8),      # dense
+        (rng.randint(0, 3, (6, 11, 3)) * 90).astype(np.uint8),  # runs
+        rng.randint(0, 256, (5, 8, 4), dtype=np.uint8),      # RGBA
+        np.tile(np.array([[3, 200, 77]], np.uint8), (4, 13, 1)),  # flat
+    ]
+    for img in imgs:
+        for v in VARIANTS:
+            for seed in (0, 9):
+                w, h, pix = parse_webp(encode_webp(img, variant=v,
+                                                   seed=seed))
+                assert (w, h) == (img.shape[1], img.shape[0]), (v, seed)
+                assert np.array_equal(
+                    pix, img[..., :3].reshape(-1)), (v, seed)
+
+
+def test_all_14_predictor_modes():
+    """16x16 at block bits=2 -> 16 blocks; (i*5 + seed) % 14 covers
+    all 14 modes within one image — Select / ClampAddSubtract
+    included."""
+    modes = {(i * 5 + 0) % 14 for i in range(16)}
+    assert modes == set(range(14))
+    rng = np.random.RandomState(23)
+    img = rng.randint(0, 256, (16, 16, 4), dtype=np.uint8)
+    w, h, pix = parse_webp(encode_webp(img, variant="predictor"))
+    assert np.array_equal(pix, img[..., :3].reshape(-1))
+
+
+def test_palette_bundling_all_widths():
+    """2/4/16/17-color images hit the 1/2/4/8-bit bundling branches
+    (packed widths 3 bits .. none)."""
+    rng = np.random.RandomState(5)
+    for ncol in (2, 3, 4, 5, 16, 17):
+        lut = rng.randint(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.randint(0, ncol, (7, 13))
+        idx.reshape(-1)[:ncol] = np.arange(ncol)  # force all colors used
+        img = lut[idx]
+        w, h, pix = parse_webp(encode_webp(img, variant="palette"))
+        assert np.array_equal(pix, img.reshape(-1)), ncol
+
+
+def test_cache_lz77_emits_backrefs_and_cache_hits():
+    """The cache_lz77 variant must actually produce copy and cache
+    ops (not degrade to literals) on run-heavy content."""
+    from lswms_forage_etl_spark.operators.webp import _build_ops
+    img = np.zeros((6, 8, 3), dtype=np.uint8)
+    img[:, :, 0] = 7
+    img[3, 4] = (1, 2, 3)
+    img[5, 6] = (1, 2, 3)                     # re-seen -> cache hit
+    al = np.full((6, 8), 255, np.uint8)
+    argb = ((al.astype(np.uint64) << 24) | (img[..., 0].astype(np.uint64) << 16)
+            | (img[..., 1].astype(np.uint64) << 8)
+            | img[..., 2].astype(np.uint64)).reshape(-1)
+    ops = _build_ops([int(v) for v in argb], 8, 48, 4, True)
+    kinds = {op[0] for op in ops}
+    assert kinds == {"lit", "copy", "cache"}
+    w, h, pix = parse_webp(encode_webp(img, variant="cache_lz77"))
+    assert np.array_equal(pix, img.reshape(-1))
 
 
 def test_dispatch_reaches_webp():
