@@ -1434,6 +1434,38 @@ def q_ann_pq_topk(spark, sf):
     return pq_adc_topk(emb, _query_vec(spark, sf), k=10)
 
 
+def q_ann_lsh_hamming(spark, sf):
+    """Hamming-rank ANN top-10 (round 14, VERDICT r13 next #3): a
+    192-plane hyperplane signature packed into 3 int64 words (one
+    Arrow pass), candidates = the 50 smallest exact signature hamming
+    distances (bit_count over the packed words — the scan reads 24
+    bytes/vector, never a float), exact cosine re-rank of the bounded
+    shortlist. Measured recall@10 = 1.0 on the near-random testdata
+    where fixed-radius bucketed LSH (ann_lsh_topk, hamming<=1)
+    measures 0.2 — candidates are k-bounded by construction instead
+    of bucket-occupancy-dependent (SCALE.md round-14 grid)."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        lsh_hamming_topk)
+    emb = _t(spark, sf, "embeddings")
+    return lsh_hamming_topk(emb, _query_vec(spark, sf), k=10,
+                            num_planes=192, rerank_mult=5)
+
+
+def q_ann_pq_rerank(spark, sf):
+    """PQ ADC shortlist + exact re-rank (round 14, VERDICT r13 next
+    #3 — the FAISS practice): ADC over the DISTRIBUTED-trained
+    codebook keeps the 80 best codes (8x k), then only those 80 float
+    vectors are re-scored exactly (broadcast join). Lifts recall@10
+    from 0.3 (raw trained ADC) to 1.0 while the scan stays code-only
+    — the shortlist size is a constant, not corpus-proportional."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        pq_adc_topk, pq_train_codebook_dist)
+    emb = _t(spark, sf, "embeddings")
+    cb = pq_train_codebook_dist(emb, iters=2, dim=64)
+    return pq_adc_topk(emb, _query_vec(spark, sf), k=10, codebook=cb,
+                       rerank_mult=8)
+
+
 def q_ann_pq_trained(spark, sf):
     """PQ codes from the DISTRIBUTED-trained codebook (2 full-corpus
     Lloyd iterations per subspace, pq_train_codebook_dist): every
@@ -2877,15 +2909,33 @@ def q_text_perplexity_kn(spark, sf):
                                 LM_TRAIN_SOURCES)
 
 
+def q_text_perplexity_kn5(spark, sf):
+    """5-gram KNESER-NEY perplexity scoring (round 14, VERDICT r13
+    next #4) — the order the CCNet recipe actually names (Wenzek et
+    al. score with 5-gram KenLM): backoff KN, integer discount D=1,
+    TYPE counts at orders 4/3/2/1 each derived from the next order's
+    distinct-type table (the standard KN estimation recursion), all
+    in exact whole-bit integers. One staged train-slice-bounded c5
+    table + nine bounded derived lookups; corpus 5-gram stream
+    left-joins them and aggregates per doc — one doc-key shuffle,
+    same plan family as text_perplexity_kn."""
+    from lswms_forage_etl_spark.operators.lm import fivegram_kn_surprisal
+    return fivegram_kn_surprisal(_t(spark, sf, "documents"),
+                                 LM_TRAIN_SOURCES)
+
+
 def q_ann_recall_at_k(spark, sf):
     """ANN RECALL ACCOUNTING (VERDICT r12 missing #4): the number a
     user tuning nprobe/planes actually needs — for each approximate
-    method (hyperplane-LSH, IVF nprobe=4, PQ ADC) the exact-ppm
-    recall@k against the ann_bruteforce_topk ground truth, at
-    k = 1/5/10. Pure joins + window ranks over four already-graded
-    10-row result lists (the global windows run on <=10 rows — bounded
-    by construction); recall@k = |approx top-k ∩ true top-k| / k in
-    exact integer ppm."""
+    method (hyperplane-LSH, IVF nprobe=4, PQ ADC, and the round-14
+    shortlist-re-rank methods lsh_hr / pq_rr) the exact-ppm recall@k
+    against the ann_bruteforce_topk ground truth, at k = 1/5/10.
+    Pure joins + window ranks over already-graded 10-row result
+    lists (the global windows run on <=10 rows — bounded by
+    construction); recall@k = |approx top-k ∩ true top-k| / k in
+    exact integer ppm. The table now shows the baseline -> re-rank
+    lift in one place (lsh 0.2 -> lsh_hr 1.0, pq 0.2 -> pq_rr 1.0 at
+    k=10 on sf0.01)."""
     from pyspark.sql import Window
     truth = q_ann_bruteforce_topk(spark, sf)
     wt = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
@@ -2902,8 +2952,16 @@ def q_ann_recall_at_k(spark, sf):
         q_ann_pq_topk(spark, sf).select(
             F.lit("pq").alias("method"), "vec_id",
             F.row_number().over(wp).alias("a_rk")),
+        q_ann_lsh_hamming(spark, sf).select(
+            F.lit("lsh_hr").alias("method"), "vec_id",
+            F.row_number().over(wc).alias("a_rk")),
+        q_ann_pq_rerank(spark, sf).select(
+            F.lit("pq_rr").alias("method"), "vec_id",
+            F.row_number().over(wc).alias("a_rk")),
     ]
-    approx = sides[0].unionByName(sides[1]).unionByName(sides[2])
+    approx = sides[0]
+    for s in sides[1:]:
+        approx = approx.unionByName(s)
     j = (approx.join(t, "vec_id", "left")
          .withColumn("k", F.explode(F.array(
              F.lit(1), F.lit(5), F.lit(10)))))
@@ -2975,12 +3033,30 @@ def q_mm_mp4_frames(spark, sf):
     """REAL frame sampling from a real container (upgrades the
     synthetic-payload mm_frame_sample): per-sample timing from stts,
     sizes from stsz, payloads sliced by stco/stsc — every 5th frame's
-    (frame_idx, dts, duration, n_bytes, md5 fingerprint). Same Arrow
-    scan shape; at 100 TB this is the shard-local video decode feed."""
+    (frame_idx, dts, cts, duration, n_bytes, md5 fingerprint); no
+    ctts in the progressive twin, so cts == dts. Same Arrow scan
+    shape; at 100 TB this is the shard-local video decode feed."""
     from lswms_forage_etl_spark.sources.mp4 import (
         scan_mp4_frames, synth_mp4_media)
     return scan_mp4_frames(synth_mp4_media(_t(spark, sf, "documents")),
                            every_n=5)
+
+
+def q_mm_mp4_fragmented(spark, sf):
+    """FRAGMENTED MP4 frame extraction (round 14, VERDICT r13 missing
+    #4 — the streaming-delivery layout real crawled video ships in):
+    the twin assembles moof/mdat fragments of 3 samples (moov carries
+    only empty sample tables + mvex/trex), and the from-scratch
+    moof/traf walk reads tfhd defaults, tfdt base decode times, and
+    trun per-sample duration/size/SIGNED composition offsets — one
+    row per sample with cts = dts + (idx mod 3) * duration by the
+    twin's deterministic convention, which is exactly what the
+    arithmetic oracle replays from the doc index. Same
+    embarrassingly-parallel Arrow scan shape as mm_mp4_frames."""
+    from lswms_forage_etl_spark.sources.mp4 import (
+        scan_mp4_frames, synth_mp4_frag_media)
+    return scan_mp4_frames(
+        synth_mp4_frag_media(_t(spark, sf, "documents")))
 
 
 def q_text_quality_classifier(spark, sf):
@@ -3490,6 +3566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_mp4_frames": q_mm_mp4_frames,
         "mm_decode_webp": q_mm_decode_webp,
         "mm_decode_wav_adpcm": q_mm_decode_wav_adpcm,
+        "ann_lsh_hamming": q_ann_lsh_hamming,
+        "ann_pq_rerank": q_ann_pq_rerank,
+        "text_perplexity_kn5": q_text_perplexity_kn5,
+        "mm_mp4_fragmented": q_mm_mp4_fragmented,
     }
 
 
@@ -4638,6 +4718,42 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_sim DESC, vec_id LIMIT 10
     """
 
+    # hamming-rank LSH: the 192-plane table rides as a VALUES list (one
+    # 64-float list literal per plane); bits replayed with the same
+    # scaled-integer dot, shortlist = top-50 by (hamming, vec_id),
+    # exact cosine re-rank. Wrong-length/NULL vectors: every list index
+    # past the end is NULL -> sum NULL -> bit 0, matching the UDF's
+    # forced all-zero signature for dirty rows.
+    _hr_planes = hyperplanes(192, 64, 1234)
+    _hr_vals = ",\n          ".join(
+        "(" + str(p) + ", [" + ", ".join(repr(float(c)) for c in row)
+        + "])" for p, row in enumerate(_hr_planes))
+    _hr_bit = ("CASE WHEN list_sum(list_transform(range(1, 65), i -> "
+               "CAST(floor({v}[i] * pl.cs[i] * 1e12 + 0.5) AS BIGINT)))"
+               " >= 0 THEN 1 ELSE 0 END")
+    sql["ann_lsh_hamming"] = f"""
+        WITH pl(p, cs) AS (VALUES
+          {_hr_vals}),
+        e AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        qb AS MATERIALIZED (
+          SELECT pl.p, {_hr_bit.format(v='q.qv')} AS b
+          FROM q CROSS JOIN pl),
+        sb AS (SELECT e.vec_id, pl.p, {_hr_bit.format(v='e.v')} AS b
+               FROM e CROSS JOIN pl),
+        ham AS (SELECT vec_id,
+                       sum(CASE WHEN sb.b <> qb.b THEN 1 ELSE 0 END) AS hd
+                FROM sb JOIN qb USING (p) GROUP BY vec_id),
+        short AS (SELECT vec_id FROM ham ORDER BY hd, vec_id LIMIT 50),
+        scored AS (SELECT e.vec_id, {_pr(_cos('e.v', 'q.qv'), 6)}
+                     AS cosine_sim
+                   FROM e JOIN short USING (vec_id), q)
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
     sql["ann_ivf_topk"] = f"""
         WITH e AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -5208,8 +5324,12 @@ def oracle_sql() -> dict[str, str]:
                   LEFT JOIN pm{i} m ON m.code = p.code AND m.j = g.j
                   GROUP BY p.code)"""
 
-    sql["ann_pq_trained"] = f"""
-        WITH e AS (SELECT vec_id,
+    # shared trained-codebook chain (2 Lloyd iterations per subspace +
+    # final encode) — ann_pq_trained grades the codes; ann_pq_rerank
+    # composes ADC + shortlist + exact re-rank on top. pc2 is
+    # MATERIALIZED because the rerank oracle references it twice (fd
+    # and dq) and DuckDB inlines CTEs by default (round-12 lesson).
+    _pq_trained_ctes = f"""e AS (SELECT vec_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE))
                             AS v
                    FROM embeddings),
@@ -5224,6 +5344,7 @@ def oracle_sql() -> dict[str, str]:
         subs AS (SELECT unnest(range(0, 8)) AS s),
         {_pq_iter(1, 'pc0')},
         {_pq_iter(2, 'pc1')},
+        pc2m AS MATERIALIZED (SELECT * FROM pc2),
         -- final encode over ALL rows with the Spark side's zero-fill
         -- for wrong-length/NULL vectors (ADVICE r6, as in kmeans_assign)
         ez AS (SELECT vec_id,
@@ -5238,14 +5359,46 @@ def oracle_sql() -> dict[str, str]:
                    x -> CAST(floor((e.v[x] - c.cv[x]) * (e.v[x] - c.cv[x])
                                    * 1000000000000) AS BIGINT)))
                    AS BIGINT) AS dist
-          FROM ez e CROSS JOIN subs CROSS JOIN pc2 c),
+          FROM ez e CROSS JOIN subs CROSS JOIN pc2m c),
         fb AS (SELECT vec_id, s, code FROM (
                  SELECT *, row_number() OVER (PARTITION BY vec_id, s
                            ORDER BY dist, code) AS rn FROM fd)
-               WHERE rn = 1)
-        SELECT vec_id, CAST(sum(code << CAST(4 * s AS INT)) AS BIGINT)
-                 AS pq_code
-        FROM fb GROUP BY vec_id
+               WHERE rn = 1),
+        tcodes AS (
+          SELECT vec_id, CAST(sum(code << CAST(4 * s AS INT)) AS BIGINT)
+                   AS pq_code
+          FROM fb GROUP BY vec_id)"""
+
+    sql["ann_pq_trained"] = f"""
+        WITH {_pq_trained_ctes}
+        SELECT vec_id, pq_code FROM tcodes
+    """
+
+    sql["ann_pq_rerank"] = f"""
+        WITH {_pq_trained_ctes},
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        dq AS (
+          SELECT subs.s, c.code,
+                 CAST(list_sum(list_transform(
+                   range(CAST(8 * subs.s + 1 AS INT),
+                         CAST(8 * subs.s + 9 AS INT)),
+                   x -> CAST(floor((q.qv[x] - c.cv[x]) * (q.qv[x] - c.cv[x])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM q CROSS JOIN subs CROSS JOIN pc2m c),
+        adc AS (
+          SELECT t.vec_id, CAST(sum(dq.dist) AS BIGINT) AS adc_dist
+          FROM tcodes t CROSS JOIN subs
+          JOIN dq ON dq.s = subs.s
+                 AND dq.code = (t.pq_code >> CAST(4 * subs.s AS INT)) & 15
+          GROUP BY t.vec_id),
+        short AS (SELECT vec_id FROM adc
+                  ORDER BY adc_dist, vec_id LIMIT 80),
+        scored AS (SELECT e.vec_id, {_pr(_cos('e.v', 'q.qv'), 6)}
+                     AS cosine_sim
+                   FROM e JOIN short USING (vec_id), q)
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
     """
 
     # deterministic split: thresholds accumulate in float EXACTLY as
@@ -6576,6 +6729,118 @@ def oracle_sql() -> dict[str, str]:
         FROM sc GROUP BY 1, 2
     """
 
+    # 5-gram KN: the trigram replay one order up — c5 counts, then
+    # each lower order's TYPE table derives from the next order's
+    # distinct keys (cont4 -> cont3 -> cont2 -> cont1/tot), bitlen via
+    # length(bin(n)) with the <=0 -> 0 guard everywhere a -1 discount
+    # can zero a count
+    def _bl(expr: str) -> str:
+        return (f"CASE WHEN {expr} <= 0 THEN 0 "
+                f"ELSE length(bin({expr})) END")
+
+    sql["text_perplexity_kn5"] = rf"""
+        WITH t AS (SELECT doc_id, lang, source, list_filter(
+                     string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS toks
+                   FROM documents),
+        i AS (SELECT doc_id, lang, source, toks,
+                     unnest(range(1, len(toks) - 3)) AS k
+              FROM t WHERE len(toks) >= 5),
+        ng AS (SELECT doc_id, lang, source, toks[k] AS a,
+                      toks[k + 1] AS b, toks[k + 2] AS c,
+                      toks[k + 3] AS d, toks[k + 4] AS e FROM i),
+        c5 AS (SELECT lang, a, b, c, d, e,
+                      CAST(count(*) AS BIGINT) AS c5
+               FROM ng WHERE source IN ({_lm_train})
+               GROUP BY 1, 2, 3, 4, 5, 6),
+        ctx4 AS (SELECT lang, a, b, c, d,
+                        CAST(sum(c5) AS BIGINT) AS c1234,
+                        CAST(count(*) AS BIGINT) AS n5t
+                 FROM c5 GROUP BY 1, 2, 3, 4, 5),
+        cont4 AS (SELECT lang, b, c, d, e,
+                         CAST(count(*) AS BIGINT) AS n1p_bcde
+                  FROM c5 GROUP BY 1, 2, 3, 4, 5),
+        mid4 AS (SELECT lang, b, c, d,
+                        CAST(sum(n1p_bcde) AS BIGINT) AS n1p_bcd,
+                        CAST(count(*) AS BIGINT) AS n4t
+                 FROM cont4 GROUP BY 1, 2, 3, 4),
+        cont3 AS (SELECT lang, c, d, e,
+                         CAST(count(*) AS BIGINT) AS n1p_cde
+                  FROM cont4 GROUP BY 1, 2, 3, 4),
+        mid3 AS (SELECT lang, c, d,
+                        CAST(sum(n1p_cde) AS BIGINT) AS n1p_cd,
+                        CAST(count(*) AS BIGINT) AS n3t
+                 FROM cont3 GROUP BY 1, 2, 3),
+        cont2 AS (SELECT lang, d, e,
+                         CAST(count(*) AS BIGINT) AS n1p_de
+                  FROM cont3 GROUP BY 1, 2, 3),
+        mid2 AS (SELECT lang, d,
+                        CAST(sum(n1p_de) AS BIGINT) AS n1p_d,
+                        CAST(count(*) AS BIGINT) AS n2t
+                 FROM cont2 GROUP BY 1, 2),
+        cont1 AS (SELECT lang, e, CAST(count(*) AS BIGINT) AS n1p_e
+                  FROM cont2 GROUP BY 1, 2),
+        tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS nn
+                FROM cont2 GROUP BY 1),
+        sc AS (SELECT doc_id, ng.lang,
+                 (CASE WHEN c5.c5 IS NOT NULL
+                   THEN length(bin(c1234)) - {_bl('c5.c5 - 1')}
+                   ELSE coalesce(length(bin(c1234))
+                                 - length(bin(n5t)), 0)
+                    + (CASE WHEN n1p_bcde IS NOT NULL
+                        THEN length(bin(n1p_bcd))
+                             - {_bl('n1p_bcde - 1')}
+                        ELSE coalesce(length(bin(n1p_bcd))
+                                      - length(bin(n4t)), 0)
+                         + (CASE WHEN n1p_cde IS NOT NULL
+                             THEN length(bin(n1p_cd))
+                                  - {_bl('n1p_cde - 1')}
+                             ELSE coalesce(length(bin(n1p_cd))
+                                           - length(bin(n3t)), 0)
+                              + (CASE WHEN n1p_de IS NOT NULL
+                                  THEN length(bin(n1p_d))
+                                       - {_bl('n1p_de - 1')}
+                                  ELSE coalesce(length(bin(n1p_d))
+                                                - length(bin(n2t)), 0)
+                                   + (CASE WHEN n1p_e IS NOT NULL
+                                       THEN length(bin(nn))
+                                            - length(bin(n1p_e))
+                                       ELSE coalesce(
+                                              length(bin(nn)) + 4, 5)
+                                      END)
+                                 END)
+                            END)
+                       END)
+                  END) AS s
+               FROM ng
+               LEFT JOIN c5 ON ng.lang = c5.lang AND ng.a = c5.a
+                 AND ng.b = c5.b AND ng.c = c5.c AND ng.d = c5.d
+                 AND ng.e = c5.e
+               LEFT JOIN ctx4 ON ng.lang = ctx4.lang
+                 AND ng.a = ctx4.a AND ng.b = ctx4.b
+                 AND ng.c = ctx4.c AND ng.d = ctx4.d
+               LEFT JOIN cont4 ON ng.lang = cont4.lang
+                 AND ng.b = cont4.b AND ng.c = cont4.c
+                 AND ng.d = cont4.d AND ng.e = cont4.e
+               LEFT JOIN mid4 ON ng.lang = mid4.lang
+                 AND ng.b = mid4.b AND ng.c = mid4.c AND ng.d = mid4.d
+               LEFT JOIN cont3 ON ng.lang = cont3.lang
+                 AND ng.c = cont3.c AND ng.d = cont3.d
+                 AND ng.e = cont3.e
+               LEFT JOIN mid3 ON ng.lang = mid3.lang
+                 AND ng.c = mid3.c AND ng.d = mid3.d
+               LEFT JOIN cont2 ON ng.lang = cont2.lang
+                 AND ng.d = cont2.d AND ng.e = cont2.e
+               LEFT JOIN mid2 ON ng.lang = mid2.lang AND ng.d = mid2.d
+               LEFT JOIN cont1 ON ng.lang = cont1.lang
+                 AND ng.e = cont1.e
+               LEFT JOIN tot ON ng.lang = tot.lang)
+        SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_fivegrams,
+               CAST(sum(s) * 1000000 // count(*) AS BIGINT)
+                 AS surprisal_ppm
+        FROM sc GROUP BY 1, 2
+    """
+
     sql["text_quality_classifier"] = r"""
         WITH t AS (SELECT doc_id, source, list_filter(
                      string_split_regex(trim(lower(text)), '\s+'),
@@ -7062,6 +7327,7 @@ def oracle_sql() -> dict[str, str]:
         mp4_boxes_sql, mp4_frames_sql)
     sql["mm_scan_mp4"] = mp4_boxes_sql()
     sql["mm_mp4_frames"] = mp4_frames_sql(every_n=5)
+    sql["mm_mp4_fragmented"] = mp4_frames_sql(fragmented=True)
 
     # unigram-LM tokenizer train + encode: the full hard-EM pruning
     # sequence unrolled as a materialized CTE chain (generators in
@@ -7094,10 +7360,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id, row_number() OVER (
                    ORDER BY adc_dist, vec_id) AS a_rk
           FROM ({sql["ann_pq_topk"]})),
+        lshhr AS (
+          SELECT vec_id, row_number() OVER (
+                   ORDER BY cosine_sim DESC, vec_id) AS a_rk
+          FROM ({sql["ann_lsh_hamming"]})),
+        pqrr AS (
+          SELECT vec_id, row_number() OVER (
+                   ORDER BY cosine_sim DESC, vec_id) AS a_rk
+          FROM ({sql["ann_pq_rerank"]})),
         approx AS (
           SELECT 'lsh' AS method, vec_id, a_rk FROM lshm
           UNION ALL SELECT 'ivf', vec_id, a_rk FROM ivfm
-          UNION ALL SELECT 'pq', vec_id, a_rk FROM pqm),
+          UNION ALL SELECT 'pq', vec_id, a_rk FROM pqm
+          UNION ALL SELECT 'lsh_hr', vec_id, a_rk FROM lshhr
+          UNION ALL SELECT 'pq_rr', vec_id, a_rk FROM pqrr),
         x AS (SELECT method, a_rk, t_rk
               FROM approx LEFT JOIN truth USING (vec_id)),
         ks AS (SELECT unnest([1, 5, 10]) AS k)

@@ -123,6 +123,11 @@ HEADLINE = [
     "corpus_unigram_encode",
     "mm_decode_webp",
     "mm_decode_wav_adpcm",
+    # round-14 additions
+    "ann_lsh_hamming",
+    "ann_pq_rerank",
+    "text_perplexity_kn5",
+    "mm_mp4_fragmented",
 ]
 
 

@@ -249,6 +249,132 @@ def trigram_kn_surprisal(docs: DataFrame, train_sources: list[str],
                     .alias("surprisal_ppm")))
 
 
+def _doc_fivegrams(docs: DataFrame, id_col: str, text_col: str,
+                   extra_cols: list[str]) -> DataFrame:
+    """(id, *extra, a, b, c, d, e): one row per ADJACENT token
+    5-tuple in reading order, repeats kept — the order-5 member of
+    the ``_doc_bigrams`` family (shifted-slice zip, never a
+    per-element re-tokenize). Docs with fewer than 5 tokens
+    contribute no rows."""
+    dd = _spread(docs).select(id_col, *extra_cols,
+                              _toks(text_col).alias("toks"))
+    n = F.size("toks")
+    parts = [F.slice(F.col("toks"), i + 1, n - 4).alias(ch)
+             for i, ch in enumerate("abcde")]
+    return (dd.where(n >= 5)
+            .select(id_col, *extra_cols,
+                    F.explode(F.arrays_zip(*parts)).alias("p"))
+            .select(id_col, *extra_cols,
+                    *[F.col(f"p.{ch}").alias(ch) for ch in "abcde"]))
+
+
+def fivegram_kn_surprisal(docs: DataFrame, train_sources: list[str],
+                          penalty: int = BACKOFF_PENALTY_BITS,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          lang_col: str = "lang",
+                          source_col: str = "source") -> DataFrame:
+    """5-gram Kneser-Ney perplexity scoring (round 14, VERDICT r13
+    next #4) — the ORDER the CCNet recipe actually uses (Wenzek et
+    al. 2020 score with 5-gram KenLM). Same exact whole-bit integer
+    convention as ``trigram_kn_surprisal``: backoff KN, integer
+    absolute discount D=1, TYPE (continuation) counts at every lower
+    order, all log2s quantized to whole bits so both engines replay
+    bit-for-bit.
+
+    Per corpus 5-gram (a,b,c,d,e), train-slice stats:
+      s5 = bitlen(c1234) - bitlen(c5-1)                  seen
+         = [bitlen(c1234) - bitlen(N1+(abcd*))] + s4     ctx seen only
+         = s4                                            ctx unseen
+      s4..s2: the same shape one order down, with token counts
+      replaced by continuation TYPE counts — order k's stats derive
+      from the order-(k+1) TYPE table (the standard KN estimation
+      recursion): N1+(*bcde) from c5 rows, N1+(*cde) from the
+      distinct-4-gram table, N1+(*de) from the distinct-3-gram
+      table, ...
+      s1 = bitlen(N1+(**)) - bitlen(N1+(*e))             e continues
+         = bitlen(N1+(**)) + penalty                     OOV e
+         = 1 + penalty                                   lang unseen
+    Edge n-grams shorter than 5 tokens are not counted (the
+    documented trigram convention, one order up).
+
+    Scale shape: identical family to ``trigram_kn_surprisal`` — ONE
+    staged train-slice-bounded count table (c5, <= train token count
+    rows) with NINE derived bounded lookups; the corpus 5-gram
+    stream left-joins them (broadcast-eligible at any real
+    vocabulary — the 100x SMJ demotion is the block-vocab slice
+    artifact, per the round-13 adjudication) and aggregates per doc:
+    one doc-key shuffle, no global sort, no quadratic term."""
+    ng = _doc_fivegrams(docs, id_col, text_col, [lang_col, source_col])
+    train = ng.where(F.col(source_col).isin(list(train_sources)))
+    c5 = stage_table(train.groupBy(lang_col, "a", "b", "c", "d", "e")
+                     .agg(F.count(F.lit(1)).alias("c5")))
+    # order-5 context: token count + distinct continuations
+    ctx4 = (c5.groupBy(lang_col, "a", "b", "c", "d")
+            .agg(F.sum("c5").alias("c1234"),
+                 F.count(F.lit(1)).alias("n5t")))
+    # order-4 continuation types: N1+(*bcde) — c5 keys are distinct,
+    # so a plain count IS the type count; cont4's own rows are the
+    # distinct 4-gram type table the next order derives from
+    cont4 = (c5.groupBy(lang_col, "b", "c", "d", "e")
+             .agg(F.count(F.lit(1)).alias("n1p_bcde")))
+    mid4 = (cont4.groupBy(lang_col, "b", "c", "d")
+            .agg(F.sum("n1p_bcde").alias("n1p_bcd"),
+                 F.count(F.lit(1)).alias("n4t")))
+    cont3 = (cont4.groupBy(lang_col, "c", "d", "e")
+             .agg(F.count(F.lit(1)).alias("n1p_cde")))
+    mid3 = (cont3.groupBy(lang_col, "c", "d")
+            .agg(F.sum("n1p_cde").alias("n1p_cd"),
+                 F.count(F.lit(1)).alias("n3t")))
+    cont2 = (cont3.groupBy(lang_col, "d", "e")
+             .agg(F.count(F.lit(1)).alias("n1p_de")))
+    mid2 = (cont2.groupBy(lang_col, "d")
+            .agg(F.sum("n1p_de").alias("n1p_d"),
+                 F.count(F.lit(1)).alias("n2t")))
+    cont1 = (cont2.groupBy(lang_col, "e")
+             .agg(F.count(F.lit(1)).alias("n1p_e")))
+    tot = cont2.groupBy(lang_col).agg(F.count(F.lit(1)).alias("nn"))
+    j = (ng.join(c5, [lang_col, "a", "b", "c", "d", "e"], "left")
+         .join(ctx4, [lang_col, "a", "b", "c", "d"], "left")
+         .join(cont4, [lang_col, "b", "c", "d", "e"], "left")
+         .join(mid4, [lang_col, "b", "c", "d"], "left")
+         .join(cont3, [lang_col, "c", "d", "e"], "left")
+         .join(mid3, [lang_col, "c", "d"], "left")
+         .join(cont2, [lang_col, "d", "e"], "left")
+         .join(mid2, [lang_col, "d"], "left")
+         .join(cont1, [lang_col, "e"], "left")
+         .join(F.broadcast(tot), [lang_col], "left"))
+    s1 = (F.when(F.col("n1p_e").isNotNull(),
+                 _bitlen(F.col("nn")) - _bitlen(F.col("n1p_e")))
+          .otherwise(F.coalesce(_bitlen(F.col("nn")) + F.lit(penalty),
+                                F.lit(1 + penalty))))
+    s2 = (F.when(F.col("n1p_de").isNotNull(),
+                 _bitlen(F.col("n1p_d")) - _bitlen(F.col("n1p_de") - 1))
+          .otherwise(F.coalesce(_bitlen(F.col("n1p_d"))
+                                - _bitlen(F.col("n2t")), F.lit(0)) + s1))
+    s3 = (F.when(F.col("n1p_cde").isNotNull(),
+                 _bitlen(F.col("n1p_cd"))
+                 - _bitlen(F.col("n1p_cde") - 1))
+          .otherwise(F.coalesce(_bitlen(F.col("n1p_cd"))
+                                - _bitlen(F.col("n3t")), F.lit(0)) + s2))
+    s4 = (F.when(F.col("n1p_bcde").isNotNull(),
+                 _bitlen(F.col("n1p_bcd"))
+                 - _bitlen(F.col("n1p_bcde") - 1))
+          .otherwise(F.coalesce(_bitlen(F.col("n1p_bcd"))
+                                - _bitlen(F.col("n4t")), F.lit(0)) + s3))
+    s5 = (F.when(F.col("c5").isNotNull(),
+                 _bitlen(F.col("c1234")) - _bitlen(F.col("c5") - 1))
+          .otherwise(F.coalesce(_bitlen(F.col("c1234"))
+                                - _bitlen(F.col("n5t")), F.lit(0)) + s4))
+    return (j.select(id_col, lang_col, s5.alias("s"))
+            .groupBy(id_col, lang_col)
+            .agg(F.count(F.lit(1)).alias("n_fivegrams"),
+                 F.sum("s").alias("_sum_s"))
+            .select(id_col, lang_col, "n_fivegrams",
+                    F.expr("(_sum_s * 1000000) div n_fivegrams")
+                    .alias("surprisal_ppm")))
+
+
 def bigram_lm_surprisal(docs: DataFrame, train_sources: list[str],
                         penalty: int = BACKOFF_PENALTY_BITS,
                         id_col: str = "doc_id", text_col: str = "text",

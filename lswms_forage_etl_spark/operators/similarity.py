@@ -148,6 +148,77 @@ def lsh_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def lsh_hamming_topk(embeddings: DataFrame, query_vec: list[float],
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding", num_planes: int = 192,
+                     rerank_mult: int = 5, seed: int = 1234) -> DataFrame:
+    """Hamming-rank ANN top-k (round 14, VERDICT r13 next #3): a WIDE
+    hyperplane signature (num_planes bits packed into ceil(n/64) int64
+    words, one Arrow numpy pass), then candidates = the k*rerank_mult
+    vectors with the smallest exact signature hamming distance to the
+    query (deterministic (hamming, id) order; `orderBy.limit` =
+    per-partition top-k + driver merge, no global sort), then exact
+    cosine re-rank of the shortlist.
+
+    Why this and not a wider fixed-radius multiprobe: on near-random
+    embeddings (the testdata regime — median pair cosine ~0.01, true
+    top-10 at ~0.3) P(bit agrees) is only ~0.6, so ANY bucket radius
+    that reaches recall 0.9 probes most of the corpus (measured grid
+    in SCALE.md round-14). Hamming-rank keeps the candidate count
+    BOUNDED BY CONSTRUCTION (k*mult, not bucket-occupancy-dependent),
+    the scan touches only the packed words (24 bytes/vector at 192
+    planes, 10x smaller than the float vectors), and recall is
+    governed by signature width — 192 planes / mult=5 measures
+    recall@10 = 1.0 where bucketed LSH at hamming<=1 measured 0.2.
+    The re-rank join broadcasts the k-bounded shortlist."""
+    dim = len(query_vec)
+    nwords = (num_planes + 63) // 64
+    planes = hyperplanes(num_planes, dim, seed)       # one P x D table
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def sig_words(col):
+        import pandas as pd
+        raw = col.tolist()
+        dirty = np.array([x is None or len(x) != dim for x in raw])
+        vals = [x if x is not None and len(x) == dim else [0.0] * dim
+                for x in raw]
+        v = np.asarray(vals, dtype=np.float64)
+        acc = np.floor(v[:, None, :] * planes[None, :, :]
+                       * float(DOT_SCALE) + 0.5).astype(np.int64)
+        bits = acc.sum(axis=2) >= 0                     # n x P
+        bits[dirty] = False        # dirty rows -> all-zero signature
+        words = np.zeros((len(v), nwords), dtype=np.uint64)
+        for p in range(bits.shape[1]):
+            words[:, p >> 6] |= (bits[:, p].astype(np.uint64)
+                                 << np.uint64(p & 63))
+        return pd.Series(list(words.view(np.int64)))
+
+    qbits = [(_np_dot_int(query_vec, p) >= 0) for p in planes]
+    qwords = [0] * nwords
+    for p, b in enumerate(qbits):
+        if b:
+            qwords[p >> 6] |= 1 << (p & 63)
+    # two's-complement view: bit 63 set -> negative int64 literal
+    qlits = [w - (1 << 64) if w >= (1 << 63) else w for w in qwords]
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    sigged = (_spread(embeddings)
+              .select(F.col(id_col), F.col(vec_col),
+                      sig_words(F.col(vec_col)).alias("_sw")))
+    ham = None
+    for wi, ql in enumerate(qlits):
+        term = F.bit_count(
+            F.element_at(F.col("_sw"), wi + 1).bitwiseXOR(
+                F.lit(ql).cast("long")))
+        ham = term if ham is None else ham + term
+    shortlist = (sigged.select(F.col(id_col), F.col(vec_col),
+                               ham.alias("hamming"))
+                 .orderBy(F.asc("hamming"), F.asc(id_col))
+                 .limit(k * rerank_mult))
+    return brute_force_topk(shortlist, query_vec, k, id_col, vec_col)
+
+
 BAND_SEED_STRIDE = 7919  # seed offset between hyperplane tables (prime)
 
 
@@ -794,13 +865,24 @@ def pq_encode(embeddings: DataFrame, codebook: list[list[float]],
 def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
                 m: int = 8, ks: int = 16, id_col: str = "vec_id",
                 vec_col: str = "embedding",
-                codebook: list[list[float]] | None = None) -> DataFrame:
+                codebook: list[list[float]] | None = None,
+                rerank_mult: int = 0) -> DataFrame:
     """Asymmetric-distance top-k: the query's m x ks distance table is
     computed DRIVER-side (catalog-scale), codes are unpacked and looked
     up with literal-array element_at expressions — the scan never
     touches a float vector, only the 4-byte codes. TakeOrdered partial
     top-k, no global sort. Approximate by construction (PQ cell
-    granularity); `ann_bruteforce_topk` is the exact reference."""
+    granularity); `ann_bruteforce_topk` is the exact reference.
+
+    rerank_mult > 0 (round 14, VERDICT r13 next #3 — the FAISS
+    shortlist practice): the ADC scan keeps the k*rerank_mult best
+    codes, then the shortlist ids (a k-BOUNDED set, broadcast) join
+    back to the float vectors for an exact cosine re-rank — recall is
+    then limited by whether the true neighbors reach the shortlist,
+    not by PQ cell granularity. Measured on the near-random testdata:
+    trained codebook + rerank_mult=8 lifts recall@10 from 0.3 to 1.0
+    while touching only 80 float vectors (SCALE.md round-14). Output
+    columns switch to (id, cosine_sim) — the brute-force contract."""
     cb = codebook if codebook is not None else pq_codebook(
         embeddings, ks, id_col, vec_col)
     ks = len(cb)   # a caller-supplied codebook overrides the ks param
@@ -828,8 +910,13 @@ def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     adc = lookups[0]
     for term in lookups[1:]:
         adc = adc + term
-    return (codes.select(F.col(id_col), adc.alias("adc_dist"))
-            .orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k))
+    scored = codes.select(F.col(id_col), adc.alias("adc_dist"))
+    if not rerank_mult:
+        return scored.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(k)
+    shortlist = (scored.orderBy(F.asc("adc_dist"), F.asc(id_col))
+                 .limit(k * rerank_mult).select(id_col))
+    cand = embeddings.join(F.broadcast(shortlist), id_col)
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
 def pq_train_codebook(embeddings: DataFrame, ks: int = 16, m: int = 8,

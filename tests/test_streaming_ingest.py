@@ -342,6 +342,60 @@ def test_ingest_bloom_rebuild_and_swap_recovery(spark, tmp_path):
     assert texts == sorted([OTHER, THIRD, GOOD + " novel suffix words"])
 
 
+def test_ingest_zonemap_idempotent_on_replay(spark, tmp_path,
+                                             monkeypatch):
+    """Round 14 (closes the r13 watch-list item): a crash BETWEEN the
+    zonemap append and the known_fp append replays the whole batch
+    under the SAME batch_id — the manifest rows are batch_id-keyed,
+    so the replayed append is skipped and n_rows does NOT
+    double-count (the corpus's own duplicate rows remain the
+    documented at-least-once window)."""
+    from pyspark.sql import functions as F
+    import pyspark.sql.readwriter as rw
+    from lswms_forage_etl_spark.functions.layout import merged_zonemap
+    from lswms_forage_etl_spark.streaming.ingest import _gate_and_land
+    out = str(tmp_path / "corpus")
+    idx = str(tmp_path / "fp_index")
+    zm = str(tmp_path / "zonemap")
+    spark.createDataFrame([], "fp string").write.parquet(idx)
+    batch = spark.createDataFrame(
+        [(i, f"{OTHER} replay unique {i}", "en", "src0")
+         for i in range(10)],
+        "doc_id long, text string, lang string, source string")
+
+    state = {"crashed": False}
+    orig = rw.DataFrameWriter.parquet
+
+    def crash_before_fp_append(self, path, **kw):
+        if path == idx and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash before fp append")
+        return orig(self, path, **kw)
+
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet",
+                        crash_before_fp_append)
+    import pytest
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        _gate_and_land(batch, idx, None, out, zonemap_table=zm,
+                       batch_id=7)
+    assert state["crashed"]
+    # replay: same batch_id, fp index still empty -> same survivors
+    _gate_and_land(batch, idx, None, out, zonemap_table=zm, batch_id=7)
+    man = merged_zonemap(spark, zm)
+    # exact counts: ONE batch's worth, not two
+    assert man.agg(F.sum("n_rows")).first()[0] == 10
+    # the corpus itself carries the documented at-least-once dupes
+    assert spark.read.parquet(out).count() == 20
+    # a later batch with a new id still appends
+    batch2 = spark.createDataFrame(
+        [(5000 + i, f"{OTHER} later unique {i}", "en", "src0")
+         for i in range(5)],
+        "doc_id long, text string, lang string, source string")
+    _gate_and_land(batch2, idx, None, out, zonemap_table=zm, batch_id=8)
+    assert (merged_zonemap(spark, zm)
+            .agg(F.sum("n_rows")).first()[0] == 15)
+
+
 def test_ingest_zonemap_maintained_per_batch(spark, tmp_path):
     """Round 12: with zonemap_table set, every batch appends O(batch)
     per-shard stats rows; the merged manifest equals a fresh build
