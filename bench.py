@@ -128,6 +128,7 @@ HEADLINE = [
     "ann_pq_rerank",
     "text_perplexity_kn5",
     "mm_mp4_fragmented",
+    "mm_scan_targz",
 ]
 
 

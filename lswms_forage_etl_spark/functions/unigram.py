@@ -283,9 +283,16 @@ def _train_ctes(doc_source: str, text_col: str, seed_multi: int,
                 penalty: int) -> tuple[str, str]:
     """(cte_chain, final_vocab_cte_name): the full training replay.
     Round r vocab CTE is v{r}; the final E/M pass runs under tag 'F'."""
+    # the top-1M word cap is REPLICATED (ADVICE r13): Spark trains on
+    # bpe_word_frequencies' deterministic (n DESC, word) top-(1<<20)
+    # collect and THEN filters word length; past 1M distinct words the
+    # engines would otherwise silently diverge. Same tie-total order,
+    # so capped sets are identical on both engines at any scale.
     parts = [f"""{words_sql(doc_source, text_col)},
         wtrain AS MATERIALIZED (
-          SELECT word, n FROM words
+          SELECT word, n FROM (
+            SELECT word, n FROM words
+            ORDER BY n DESC, word LIMIT {1 << 20})
           WHERE length(word) <= {word_max_len}),
         pos AS (SELECT word, n,
                        CAST(unnest(range(1, length(word) + 1)) AS INT)

@@ -161,7 +161,17 @@ def merge_intervals(intervals: DataFrame, key_col: str = "user_id",
     same sort — no self-join, no explode.
 
     Emits (key, island, start, end, n_merged) with exact integer
-    second bounds (epoch seconds), so the oracle replays bit-for-bit."""
+    second bounds (epoch seconds), so the oracle replays bit-for-bit.
+
+    DETERMINISM CONTRACT (ADVICE r13): when exact-duplicate
+    (start, end) rows are possible per key, `order_cols` MUST extend
+    (start, end) to a TOTAL order (the graded query passes event_id)
+    — with the default order_cols=() two identical intervals sort in
+    arbitrary relative order, and the island-boundary row (_new=1)
+    can land before or after its twin, nondeterministically moving
+    one row between adjacent islands. The same columns feed both
+    window passes AND the oracle's g CTE, so whatever total order you
+    pass stays engine-portable."""
     s = F.unix_timestamp(F.col(start_col))
     e = F.unix_timestamp(F.col(end_col))
     order = [s, e, *[F.col(c) for c in order_cols]]
