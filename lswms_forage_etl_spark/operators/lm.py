@@ -315,19 +315,25 @@ def fivegram_kn_surprisal(docs: DataFrame, train_sources: list[str],
                  F.count(F.lit(1)).alias("n5t")))
     # order-4 continuation types: N1+(*bcde) — c5 keys are distinct,
     # so a plain count IS the type count; cont4's own rows are the
-    # distinct 4-gram type table the next order derives from
-    cont4 = (c5.groupBy(lang_col, "b", "c", "d", "e")
-             .agg(F.count(F.lit(1)).alias("n1p_bcde")))
+    # distinct 4-gram type table the next order derives from. Each
+    # cont table feeds 3-4 consumers (its mid table, the next order's
+    # cont, and the scoring join) — STAGED so the aggregation runs
+    # once, not per consumer (A/B at 100x on the block-vocab slice:
+    # 64.2 s un-staged vs 56.9 s staged, parity at 1x — SCALE.md
+    # round-14; on vocabulary-bound real corpora the tables are tiny
+    # either way)
+    cont4 = stage_table(c5.groupBy(lang_col, "b", "c", "d", "e")
+                        .agg(F.count(F.lit(1)).alias("n1p_bcde")))
     mid4 = (cont4.groupBy(lang_col, "b", "c", "d")
             .agg(F.sum("n1p_bcde").alias("n1p_bcd"),
                  F.count(F.lit(1)).alias("n4t")))
-    cont3 = (cont4.groupBy(lang_col, "c", "d", "e")
-             .agg(F.count(F.lit(1)).alias("n1p_cde")))
+    cont3 = stage_table(cont4.groupBy(lang_col, "c", "d", "e")
+                        .agg(F.count(F.lit(1)).alias("n1p_cde")))
     mid3 = (cont3.groupBy(lang_col, "c", "d")
             .agg(F.sum("n1p_cde").alias("n1p_cd"),
                  F.count(F.lit(1)).alias("n3t")))
-    cont2 = (cont3.groupBy(lang_col, "d", "e")
-             .agg(F.count(F.lit(1)).alias("n1p_de")))
+    cont2 = stage_table(cont3.groupBy(lang_col, "d", "e")
+                        .agg(F.count(F.lit(1)).alias("n1p_de")))
     mid2 = (cont2.groupBy(lang_col, "d")
             .agg(F.sum("n1p_de").alias("n1p_d"),
                  F.count(F.lit(1)).alias("n2t")))

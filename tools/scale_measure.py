@@ -130,6 +130,14 @@ QUERIES = [
     "mm_mp4_frames",
     "mm_decode_webp",
     "mm_decode_wav_adpcm",
+    # round-14 operators: shortlist-re-rank ANN (hamming-rank + PQ),
+    # 5-gram KN (block prefixes KEPT — n-gram type-table growth is
+    # the load), fragmented MP4, tar.gz composite
+    "ann_lsh_hamming",
+    "ann_pq_rerank",
+    "text_perplexity_kn5",
+    "mm_mp4_fragmented",
+    "mm_scan_targz",
 ]
 
 
