@@ -802,8 +802,13 @@ def parse_vp8l(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def parse_webp(buf: bytes) -> tuple[int, int, np.ndarray]:
-    """RIFF container walk -> VP8L decode. Lossy 'VP8 ' and extended
-    'VP8X' raise (honest gates)."""
+    """RIFF container walk -> VP8L decode. An extended (VP8X) header
+    is consumed and the walk continues to the VP8L chunk (round 14 —
+    `cwebp -lossless -metadata ...` emits VP8X-wrapped VP8L); its
+    animation flag and lossy 'VP8 ' payloads raise (honest gates —
+    ANMF frame composition and the VP8 DCT codec are genuinely
+    unimplemented). Metadata chunks (EXIF/XMP/ICCP/ALPH) are skipped
+    by the generic walk."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP (RIFF/WEBP) stream")
     pos = 12
@@ -817,8 +822,13 @@ def parse_webp(buf: bytes) -> tuple[int, int, np.ndarray]:
             raise NotImplementedError(
                 "lossy WebP (VP8) not supported — VP8L only")
         if fourcc == b"VP8X":
-            raise NotImplementedError(
-                "extended WebP (VP8X) not supported — VP8L only")
+            if len(body) < 10:
+                raise ValueError("VP8X: truncated header")
+            if body[0] & 0x02:            # animation flag
+                raise NotImplementedError(
+                    "animated WebP (VP8X/ANIM) not supported")
+            # canvas dims (24-bit minus-one) are advisory here — the
+            # VP8L header carries the real dims; keep walking
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no VP8L chunk found")
 

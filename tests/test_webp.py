@@ -166,10 +166,32 @@ def test_hand_built_subtract_green():
 def test_gates_raise():
     with pytest.raises(NotImplementedError, match="lossy"):
         parse_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
-    with pytest.raises(NotImplementedError, match="extended"):
-        parse_webp(b"RIFF\x10\x00\x00\x00WEBPVP8X\x00\x00\x00\x00")
     with pytest.raises(ValueError, match="signature"):
         parse_vp8l(b"\x00\x00")
+    # VP8X with the animation flag set
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([0x02]) + b"\x00" * 9
+    buf = b"RIFF" + struct.pack("<I", 4 + len(vp8x)) + b"WEBP" + vp8x
+    with pytest.raises(NotImplementedError, match="animated"):
+        parse_webp(buf)
+
+
+def test_vp8x_wrapped_vp8l_decodes():
+    """Extended container walk: VP8X header + an EXIF metadata chunk
+    before the VP8L payload — the `cwebp -metadata` layout."""
+    img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    plain = encode_webp(img)
+    vp8l_chunk = plain[12:]                   # VP8L chunk (+pad)
+    w, h = 5, 4
+    vp8x_body = bytes([0x08]) + b"\x00" * 3 \
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    vp8x = b"VP8X" + struct.pack("<I", len(vp8x_body)) + vp8x_body
+    exif = b"EXIF" + struct.pack("<I", 5) + b"exif!" + b"\x00"  # pad
+    payload = vp8x + exif + vp8l_chunk
+    buf = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" \
+        + payload
+    W, H, pix = parse_webp(buf)
+    assert (W, H) == (5, 4)
+    assert np.array_equal(pix, img.reshape(-1))
 
 
 def test_hand_built_neighbor_map_distance():
