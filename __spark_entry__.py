@@ -2937,7 +2937,12 @@ def q_ann_recall_at_k(spark, sf):
     lift in one place (lsh 0.2 -> lsh_hr 1.0, pq 0.2 -> pq_rr 1.0 at
     k=10 on sf0.01)."""
     from pyspark.sql import Window
-    truth = q_ann_bruteforce_topk(spark, sf)
+    from lswms_forage_etl_spark.lifecycle import stage_table
+    # Stage the ground truth once (VERDICT r14 nit #2): the brute-force
+    # scan is the expensive subtree here, and staging pins it to one
+    # execution (plus real InMemoryRelation stats) instead of letting
+    # plan reuse decide per consumer.
+    truth = stage_table(q_ann_bruteforce_topk(spark, sf))
     wt = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
     t = truth.select("vec_id", F.row_number().over(wt).alias("t_rk"))
     wc = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
@@ -4736,14 +4741,17 @@ def oracle_sql() -> dict[str, str]:
     # hamming-rank LSH: the 192-plane table rides as a VALUES list (one
     # 64-float list literal per plane); bits replayed with the same
     # scaled-integer dot, shortlist = top-50 by (hamming, vec_id),
-    # exact cosine re-rank. Wrong-length/NULL vectors: every list index
-    # past the end is NULL -> sum NULL -> bit 0, matching the UDF's
-    # forced all-zero signature for dirty rows.
+    # exact cosine re-rank. Wrong-length/NULL vectors must force bit 0
+    # explicitly (len(v) = 64 guard): DuckDB list_sum SKIPS NULL
+    # elements, so an unguarded partial dot would diverge from the
+    # UDF's forced all-zero signature for dirty rows
+    # (similarity.py:213; ADVICE r14-medium).
     _hr_planes = hyperplanes(192, 64, 1234)
     _hr_vals = ",\n          ".join(
         "(" + str(p) + ", [" + ", ".join(repr(float(c)) for c in row)
         + "])" for p, row in enumerate(_hr_planes))
-    _hr_bit = ("CASE WHEN list_sum(list_transform(range(1, 65), i -> "
+    _hr_bit = ("CASE WHEN len({v}) = 64 AND "
+               "list_sum(list_transform(range(1, 65), i -> "
                "CAST(floor({v}[i] * pl.cs[i] * 1e12 + 0.5) AS BIGINT)))"
                " >= 0 THEN 1 ELSE 0 END")
     sql["ann_lsh_hamming"] = f"""

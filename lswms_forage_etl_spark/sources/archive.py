@@ -265,6 +265,10 @@ def parse_tar(buf: bytes) -> list[tuple[str, bytes]]:
         while pos < len(buf):
             d = zlib.decompressobj(47)
             parts.append(d.decompress(buf[pos:]) + d.flush())
+            if not d.eof:
+                # decompressobj returns partial data silently on a
+                # stream cut mid-member; zlib.decompress used to raise
+                raise ValueError("tar.gz: truncated gzip member")
             consumed = len(buf) - pos - len(d.unused_data)
             if consumed <= 0:
                 raise ValueError("tar.gz: stalled gzip member")

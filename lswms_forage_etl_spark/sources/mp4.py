@@ -306,11 +306,13 @@ def _parse_fragments(buf: bytes, boxes) -> list[tuple[int, int, int,
                     def_size, = struct.unpack_from(">I", buf, pos)
                     pos += 4
                 if not (flags & 0x01) and not (flags & 0x020000):
-                    # neither explicit base nor default-base-is-moof:
-                    # first-trun convention (moof start) is what real
-                    # muxers rely on; keep it but stay loud on the
-                    # combination we cannot honor
-                    pass
+                    # neither explicit base-data-offset nor
+                    # default-base-is-moof: the spec's fallback is
+                    # "end of the previous traf's data", which this
+                    # walker does not track — honest gate
+                    raise NotImplementedError(
+                        "mp4 tfhd without base-data-offset or "
+                        "default-base-is-moof is not supported")
             for kp, ko, ks in tkids:
                 if kp == "moof/traf/tfdt":
                     ver = buf[ko + 8]
@@ -318,6 +320,7 @@ def _parse_fragments(buf: bytes, boxes) -> list[tuple[int, int, int,
                         dts, = struct.unpack_from(">Q", buf, ko + 12)
                     else:
                         dts, = struct.unpack_from(">I", buf, ko + 12)
+            data_pos = None     # carries across truns within the traf
             for kp, ko, ks in tkids:
                 if kp != "moof/traf/trun":
                     continue
@@ -326,11 +329,15 @@ def _parse_fragments(buf: bytes, boxes) -> list[tuple[int, int, int,
                 flags &= 0xFFFFFF
                 count, = struct.unpack_from(">I", buf, ko + 12)
                 pos = ko + 16
-                data_pos = base_off
                 if flags & 0x01:
                     doff, = struct.unpack_from(">i", buf, pos)
                     data_pos = base_off + doff
                     pos += 4
+                elif data_pos is None:
+                    data_pos = base_off
+                # else: a later trun without its own data-offset
+                # continues AFTER the previous trun's samples
+                # (ISO 14496-12 §8.8.8) — data_pos already points there
                 if flags & 0x04:         # first-sample-flags
                     pos += 4
                 for _ in range(count):

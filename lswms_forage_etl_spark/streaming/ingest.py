@@ -368,12 +368,17 @@ def _gate_and_land(batch_df: DataFrame, known_fp_table: str,
             survivors,
             F.floor(F.col("doc_id") / F.lit(1024)).cast("long"),
             "doc_id").withColumn("batch_id", F.lit(int(batch_id)))
-        try:
+        fs, hpath = _index_fs(spark, zonemap_table)
+        if fs.exists(hpath(zonemap_table)):
+            # Existence is checked via the FS API (like _ensure_bloom)
+            # so a transient read error on an EXISTING manifest
+            # propagates instead of silently re-enabling the
+            # double-append the batch_id key prevents (ADVICE r14).
             existing = spark.read.parquet(zonemap_table)
             seen = ("batch_id" in existing.columns
                     and bool(existing.where(
                         F.col("batch_id") == int(batch_id)).head(1)))
-        except Exception:                 # manifest not created yet
+        else:                             # manifest not created yet
             seen = False
         if not seen:
             stats.write.mode("append").parquet(zonemap_table)

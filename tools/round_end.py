@@ -87,6 +87,32 @@ def check_documented_counts() -> list[str]:
     return problems
 
 
+def parse_regressed(compare_out: str) -> list[str]:
+    """Query names from bench_compare's `REGRESSED: a, b` line."""
+    for ln in compare_out.splitlines():
+        if ln.startswith("REGRESSED:"):
+            return [q.strip() for q in ln.split(":", 1)[1].split(",")
+                    if q.strip()]
+    return []
+
+
+def adjudication_gaps(regressed: list[str],
+                      adjudication_text: str) -> list[str]:
+    """REGRESSED queries with no row in the adjudication table
+    (VERDICT r14 nit #1: round 14's hand-written table silently
+    covered 5 of 9 flags while claiming all were re-measured — the
+    ritual must refuse that). A query is covered when it appears as
+    the first cell of a markdown table row in ADJUDICATIONS.md."""
+    covered: set[str] = set()
+    for ln in adjudication_text.splitlines():
+        s = ln.strip()
+        if s.startswith("|"):
+            cells = [c.strip().strip("`") for c in s.strip("|").split("|")]
+            if cells:
+                covered.add(cells[0])
+    return [q for q in regressed if q not in covered]
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     runs = 1
@@ -194,9 +220,33 @@ def main() -> None:
             print("== bench_compare vs previous ...", flush=True)
             rc, outp = run([sys.executable, "tools/bench_compare.py",
                             prev_copy, prev])
-            status = "no regressions" if rc == 0 else "REGRESSIONS"
-            if rc != 0:
-                failures.append("bench_compare")
+            if rc == 0:
+                status = "no regressions"
+            else:
+                # Regressions require a COMPLETE adjudication: every
+                # flagged query must have a row in ADJUDICATIONS.md
+                # (old-tree worktree A/B on the same box, same method).
+                # Full coverage -> the table is embedded here and the
+                # ritual passes; ANY gap -> hard fail. The ROUND_END
+                # claim is now tool-generated, never hand-asserted.
+                regressed = parse_regressed(outp)
+                adj_path = os.path.join(REPO, "ADJUDICATIONS.md")
+                adj_text = ""
+                if os.path.exists(adj_path):
+                    with open(adj_path) as f:
+                        adj_text = f.read()
+                gaps = adjudication_gaps(regressed, adj_text)
+                if gaps:
+                    status = (f"REGRESSIONS — UNADJUDICATED: "
+                              f"{', '.join(gaps)}")
+                    failures.append(
+                        "bench_compare (adjudication missing: "
+                        + ", ".join(gaps) + ")")
+                else:
+                    status = (f"REGRESSIONS, all {len(regressed)} "
+                              "adjudicated (ADJUDICATIONS.md)")
+                    report += ["## adjudications (verbatim from "
+                               "ADJUDICATIONS.md)", "", adj_text, ""]
             report += [f"## bench_compare — {status}", "", outp, ""]
             print(f"   {status}")
 
