@@ -3144,6 +3144,35 @@ def q_mm_scan_warc(spark, sf):
     return scan_warc_records(synth_warc_media(_t(spark, sf, "documents")))
 
 
+def q_text_html_extract(spark, sf):
+    """HTML -> TEXT EXTRACTION over WARC captures (round 15, VERDICT
+    r14 next #1 — the stage every Common Crawl pipeline runs before
+    the Gopher/C4/perplexity gates this repo already grades): each
+    document rides as a full HTML page (deterministic chrome:
+    title/style/script, entity-encoded body, comments, footer links)
+    inside a .warc.gz capture; the from-scratch WARC reader surfaces
+    the pages and the extraction itself is a pure JVM codegen rule
+    chain — script/style subtree strip, comment strip, tag->space,
+    fixed-entity decode, whitespace collapse (functions/html.py; rule
+    tables shared verbatim with the oracle). Output: per-doc text
+    fingerprint + boilerplate ratio (ppm, exact integer). 100 TB
+    shape: shuffle-free scan, no Python past the WARC split."""
+    from lswms_forage_etl_spark.functions.html import html_extract
+    from lswms_forage_etl_spark.sources.archive import (
+        scan_warc_html, synth_warc_html)
+    pages = scan_warc_html(synth_warc_html(_t(spark, sf, "documents")))
+    out = pages.select(
+        "doc_id",
+        F.length("html").cast("long").alias("n_html"),
+        html_extract("html").alias("txt"))
+    return out.select(
+        "doc_id", "n_html",
+        F.length("txt").cast("long").alias("n_text"),
+        F.expr("CAST((CAST(length(txt) AS BIGINT) * 1000000) "
+               "div n_html AS BIGINT)").alias("text_ratio_ppm"),
+        F.md5(F.encode("txt", "UTF-8")).alias("text_fp"))
+
+
 def q_text_hybrid_rerank(spark, sf):
     """Hybrid retrieval (the two-stage RAG-prep shape): exact-integer
     BM25 top-20 candidates, then a dense rerank by the exact int64
@@ -3590,6 +3619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_perplexity_kn5": q_text_perplexity_kn5,
         "mm_mp4_fragmented": q_mm_mp4_fragmented,
         "mm_scan_targz": q_mm_scan_targz,
+        # round-15 additions
+        "text_html_extract": q_text_html_extract,
     }
 
 
@@ -6986,6 +7017,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_fp
         FROM documents
+    """
+
+    # HTML -> text extraction: the page wrapper and the extraction
+    # rule chain are BOTH generated from functions/html.py's shared
+    # tables — the oracle rebuilds the exact page string in SQL and
+    # replays strip/decode/collapse with regexp_replace(...,'g') +
+    # nested replace, so a divergence in either the WARC plumbing or
+    # any rule flips the value hash.
+    from lswms_forage_etl_spark.functions.html import (
+        html_extract_sql, html_wrap_sql)
+    sql["text_html_extract"] = f"""
+        WITH h AS (SELECT doc_id,
+                          {html_wrap_sql('doc_id', 'text')} AS html
+                   FROM documents),
+        x AS (SELECT doc_id, html,
+                     {html_extract_sql('html')} AS txt
+              FROM h)
+        SELECT doc_id, CAST(length(html) AS BIGINT) AS n_html,
+               CAST(length(txt) AS BIGINT) AS n_text,
+               CAST(length(txt) * 1000000 // length(html) AS BIGINT)
+                 AS text_ratio_ppm,
+               md5(txt) AS text_fp
+        FROM x
     """
 
     sql["mm_scan_targz"] = """

@@ -129,6 +129,8 @@ HEADLINE = [
     "text_perplexity_kn5",
     "mm_mp4_fragmented",
     "mm_scan_targz",
+    # round-15 additions
+    "text_html_extract",
 ]
 
 

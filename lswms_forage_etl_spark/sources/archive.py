@@ -364,6 +364,51 @@ def synth_warc_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         build, schema="archive_id long, payload binary")
 
 
+def synth_warc_html(docs: DataFrame, group_size: int = ARCHIVE_GROUP
+                    ) -> DataFrame:
+    """(archive_id, payload): the Common Crawl capture shape — every
+    `group_size` documents become one .warc.gz whose records are full
+    HTML PAGES (deterministic chrome + entity-encoded body,
+    `functions.html.html_wrap_py`), not bare text. Feeds the
+    HTML->text extraction stage the same way a real crawl dump
+    feeds CCNet/C4."""
+    from lswms_forage_etl_spark.functions.html import html_wrap_py
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        recs = [(f"http://corpus/doc/{int(i)}",
+                 html_wrap_py(int(i), str(t)).encode("utf-8"))
+                for i, t in sorted(zip(pdf["doc_id"], pdf["text"]),
+                                   key=lambda t: int(t[0]))]
+        return pd.DataFrame({"archive_id": [int(key[0])],
+                             "payload": [encode_warc(recs)]})
+
+    src = docs.select(
+        (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
+        .alias("archive_id"),
+        "doc_id", "text")
+    return src.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id long, payload binary")
+
+
+def scan_warc_html(media: DataFrame) -> DataFrame:
+    """Page-level scan of HTML-bearing WARC captures: (doc_id parsed
+    from the record URI, html). The downstream extraction is pure
+    column algebra (`functions.html.html_extract`), so this Arrow
+    stage only surfaces the decoded page strings."""
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pages = [], []
+            for buf in pdf["payload"]:
+                for headers, content in parse_warc(bytes(buf)):
+                    uri = headers["WARC-Target-URI"]
+                    ids.append(int(uri.rsplit("/", 1)[1]))
+                    pages.append(content.decode("utf-8"))
+            yield pd.DataFrame({"doc_id": ids, "html": pages})
+
+    return _maybe_spread(media.select("payload")) \
+        .mapInPandas(scan, schema="doc_id long, html string")
+
+
 def synth_tar_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
                     ) -> DataFrame:
     """(archive_id, payload): every `group_size` documents become one
