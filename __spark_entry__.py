@@ -3173,6 +3173,34 @@ def q_text_html_extract(spark, sf):
         F.md5(F.encode("txt", "UTF-8")).alias("text_fp"))
 
 
+def q_text_normalize(spark, sf):
+    """UNICODE NORMALIZATION + MOJIBAKE REPAIR (round 15, VERDICT r14
+    next #5) — the corpus-cleaning pass ahead of dedup/tokenization:
+    sloppy-cp1252 double-encoding repair (longest damaged sequence
+    first), NFKC-subset folds (fullwidth ASCII block, fi/fl ligatures,
+    ideographic space), typographic quote/dash/ellipsis folding, NBSP,
+    zero-width/soft-hyphen/control strip. Every rule lives in ONE
+    mapping table (functions/normalize.py) that renders both the Spark
+    column chain and the DuckDB replay — no library normalizer whose
+    tables could drift between engines. The shipped corpus is clean,
+    so deterministic damage is injected per doc_id % 5 on BOTH sides
+    (class 4 stays clean — the no-op path is graded too). 100 TB
+    shape: shuffle-free scan, replace/translate/regexp codegen."""
+    from lswms_forage_etl_spark.functions.normalize import (
+        dirty_text, normalize_text)
+    docs = _t(spark, sf, "documents")
+    d = docs.select("doc_id",
+                    dirty_text("text", "doc_id").alias("raw"))
+    out = d.select("doc_id", "raw",
+                   normalize_text("raw").alias("norm"))
+    return out.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("n_raw"),
+        F.length("norm").cast("long").alias("n_norm"),
+        (F.col("norm") != F.col("raw")).cast("int").alias("changed"),
+        F.md5(F.encode("norm", "UTF-8")).alias("norm_fp"))
+
+
 def q_text_hybrid_rerank(spark, sf):
     """Hybrid retrieval (the two-stage RAG-prep shape): exact-integer
     BM25 top-20 candidates, then a dense rerank by the exact int64
@@ -3621,6 +3649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scan_targz": q_mm_scan_targz,
         # round-15 additions
         "text_html_extract": q_text_html_extract,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -7039,6 +7068,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(txt) * 1000000 // length(html) AS BIGINT)
                  AS text_ratio_ppm,
                md5(txt) AS text_fp
+        FROM x
+    """
+
+    # Unicode normalization: dirt injection AND the full repair/fold/
+    # strip chain render from functions/normalize.py's shared tables
+    from lswms_forage_etl_spark.functions.normalize import (
+        dirty_sql, normalize_sql)
+    _dirty = dirty_sql("text", "doc_id")
+    sql["text_normalize"] = f"""
+        WITH d AS (SELECT doc_id, {_dirty} AS raw FROM documents),
+        x AS (SELECT doc_id, raw, {normalize_sql('raw')} AS norm
+              FROM d)
+        SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+               CAST(length(norm) AS BIGINT) AS n_norm,
+               CAST(norm <> raw AS INT) AS changed,
+               md5(norm) AS norm_fp
         FROM x
     """
 

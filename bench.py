@@ -131,6 +131,7 @@ HEADLINE = [
     "mm_scan_targz",
     # round-15 additions
     "text_html_extract",
+    "text_normalize",
 ]
 
 
