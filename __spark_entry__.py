@@ -3263,6 +3263,35 @@ def q_mm_scan_targz(spark, sf):
         synth_targz_media(_t(spark, sf, "documents")))
 
 
+def q_mm_scan_tarbz2(spark, sf):
+    """Archive-container ingest, .tar.bz2 (round 15, VERDICT r14 next
+    #2): stdlib tarfile + stdlib bz2 as INDEPENDENT writers (odd
+    archives = two concatenated bz2 streams, the pbzip2 shape); the
+    FROM-SCRATCH bzip2 decoder (sources/bzip2.py: bit-level Huffman
+    groups, MTF'd selectors, RLE2, inverse MTF, inverse BWT, RLE1,
+    both CRC layers verified) feeds the ustar walk. Same
+    member/fingerprint oracle as mm_scan_tar."""
+    from lswms_forage_etl_spark.sources.archive import (
+        scan_tar_members, synth_tarbz2_media)
+    return scan_tar_members(
+        synth_tarbz2_media(_t(spark, sf, "documents")))
+
+
+def q_mm_scan_tarxz(spark, sf):
+    """Archive-container ingest, .tar.xz (round 15, VERDICT r14 next
+    #2): stdlib tarfile + stdlib lzma as INDEPENDENT writers (odd
+    archives = two concatenated xz streams with stream padding, the
+    second using CHECK_CRC32); the FROM-SCRATCH xz container walk +
+    LZMA2/LZMA range decoder (sources/xz.py: block headers, index and
+    footer verified record-for-record, CRC32/CRC64-ECMA/SHA-256
+    checks over the uncompressed bytes) feeds the ustar walk. Same
+    member/fingerprint oracle as mm_scan_tar."""
+    from lswms_forage_etl_spark.sources.archive import (
+        scan_tar_members, synth_tarxz_media)
+    return scan_tar_members(
+        synth_tarxz_media(_t(spark, sf, "documents")))
+
+
 def q_corpus_dsir_weights(spark, sf):
     """DSIR importance weights (Xie et al. 2023): unigram + bigram
     occurrences hashed into 1024 buckets, target (DSIR_TARGET_SOURCES)
@@ -3650,6 +3679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-15 additions
         "text_html_extract": q_text_html_extract,
         "text_normalize": q_text_normalize,
+        "mm_scan_tarbz2": q_mm_scan_tarbz2,
+        "mm_scan_tarxz": q_mm_scan_tarxz,
     }
 
 
@@ -7088,6 +7119,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["mm_scan_targz"] = """
+        SELECT doc_id - (doc_id % 8) AS archive_id,
+               'doc-' || doc_id || '.txt' AS member_name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_fp
+        FROM documents
+    """
+
+    sql["mm_scan_tarbz2"] = """
+        SELECT doc_id - (doc_id % 8) AS archive_id,
+               'doc-' || doc_id || '.txt' AS member_name,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS content_fp
+        FROM documents
+    """
+
+    sql["mm_scan_tarxz"] = """
         SELECT doc_id - (doc_id % 8) AS archive_id,
                'doc-' || doc_id || '.txt' AS member_name,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -132,6 +132,8 @@ HEADLINE = [
     # round-15 additions
     "text_html_extract",
     "text_normalize",
+    "mm_scan_tarbz2",
+    "mm_scan_tarxz",
 ]
 
 

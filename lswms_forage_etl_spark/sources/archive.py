@@ -274,6 +274,18 @@ def parse_tar(buf: bytes) -> list[tuple[str, bytes]]:
                 raise ValueError("tar.gz: stalled gzip member")
             pos += consumed
         buf = b"".join(parts)
+    elif buf[:3] == b"BZh":
+        # .tar.bz2 — from-scratch bzip2 decode (multi-stream handled
+        # inside, mirroring the gzip member loop above)
+        from lswms_forage_etl_spark.sources.bzip2 import (
+            decompress as _bunzip2)
+        buf = _bunzip2(buf)
+    elif buf[:6] == b"\xfd7zXZ\x00":
+        # .tar.xz — from-scratch xz/LZMA2 decode (concatenated
+        # streams + padding handled inside)
+        from lswms_forage_etl_spark.sources.xz import (
+            decompress as _unxz)
+        buf = _unxz(buf)
     out: list[tuple[str, bytes]] = []
     pos = 0
     while pos + 512 <= len(buf):
@@ -451,6 +463,70 @@ def synth_targz_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         else:
             gz = gzip.compress(tar, 6, mtime=0)
         return pd.DataFrame({"archive_id": [aid], "payload": [gz]})
+
+    src = docs.select(
+        (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
+        .alias("archive_id"),
+        "doc_id", F.encode("text", "UTF-8").alias("raw"))
+    return src.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id long, payload binary")
+
+
+def synth_tarbz2_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
+                       ) -> DataFrame:
+    """(archive_id, payload): the .tar.bz2 composite (round 15).
+    INDEPENDENT writers: stdlib tarfile + stdlib bz2; odd archives
+    are TWO concatenated bz2 streams (legal, what pbzip2 emits) so
+    the graded path exercises the from-scratch decoder's stream loop,
+    not just one stream."""
+    import bz2
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        members = [(f"doc-{int(i)}.txt", bytes(r))
+                   for i, r in sorted(zip(pdf["doc_id"], pdf["raw"]),
+                                      key=lambda t: int(t[0]))]
+        tar = encode_tar(members)
+        aid = int(key[0])
+        if (aid // group_size) % 2:
+            half = (len(tar) // 2 + 511) // 512 * 512
+            bz = bz2.compress(tar[:half], 9) + bz2.compress(tar[half:], 1)
+        else:
+            bz = bz2.compress(tar, 9)
+        return pd.DataFrame({"archive_id": [aid], "payload": [bz]})
+
+    src = docs.select(
+        (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
+        .alias("archive_id"),
+        "doc_id", F.encode("text", "UTF-8").alias("raw"))
+    return src.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id long, payload binary")
+
+
+def synth_tarxz_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
+                      ) -> DataFrame:
+    """(archive_id, payload): the .tar.xz composite (round 15).
+    INDEPENDENT writers: stdlib tarfile + stdlib lzma; odd archives
+    are TWO concatenated xz streams separated by 4 bytes of stream
+    padding (both legal per the xz spec) and the second stream uses
+    CHECK_CRC32, so the graded path exercises the from-scratch
+    container walk's stream loop, padding rule, and both CRC check
+    variants."""
+    import lzma
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        members = [(f"doc-{int(i)}.txt", bytes(r))
+                   for i, r in sorted(zip(pdf["doc_id"], pdf["raw"]),
+                                      key=lambda t: int(t[0]))]
+        tar = encode_tar(members)
+        aid = int(key[0])
+        if (aid // group_size) % 2:
+            half = (len(tar) // 2 + 511) // 512 * 512
+            xzb = (lzma.compress(tar[:half]) + b"\x00" * 4
+                   + lzma.compress(tar[half:],
+                                   check=lzma.CHECK_CRC32))
+        else:
+            xzb = lzma.compress(tar)
+        return pd.DataFrame({"archive_id": [aid], "payload": [xzb]})
 
     src = docs.select(
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
