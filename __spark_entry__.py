@@ -1466,6 +1466,29 @@ def q_ann_pq_rerank(spark, sf):
                        rerank_mult=8)
 
 
+def q_ann_ivfpq_topk(spark, sf):
+    """IVF-PQ COMPOSED index (round 15, VERDICT r14 next #3): coarse
+    inverted lists (deterministic seed centroids, portable-rounded
+    cosine argmax) prune to the query's 4 nearest lists, PQ ADC over
+    the seed codebook ranks the probed candidates touching only their
+    4-byte codes, and the 80-id shortlist re-ranks exactly (broadcast
+    join). Every stage reuses a graded primitive's convention, so the
+    whole composition hash-grades; the materialized form
+    (ivfpq_build_index/probe) scans only probed-list code partitions
+    — plan-tested partition pruning like ivf_topk. The codebook is
+    the DISTRIBUTED-trained one (2 oracle-replayed Lloyd iterations
+    per subspace, the pq_rerank convention — seed-codebook ADC left
+    one true neighbor below the shortlist: recall@10 0.9 seed vs 1.0
+    trained, measured via ann_recall_at_k, where ivfpq is now a
+    row)."""
+    from lswms_forage_etl_spark.operators.similarity import (
+        ivfpq_topk, pq_train_codebook_dist)
+    emb = _t(spark, sf, "embeddings")
+    cb = pq_train_codebook_dist(emb, iters=2, dim=64)
+    return ivfpq_topk(emb, _query_vec(spark, sf), k=10, probes=4,
+                      rerank_mult=8, codebook=cb)
+
+
 def q_ann_pq_trained(spark, sf):
     """PQ codes from the DISTRIBUTED-trained codebook (2 full-corpus
     Lloyd iterations per subspace, pq_train_codebook_dist): every
@@ -2963,6 +2986,9 @@ def q_ann_recall_at_k(spark, sf):
         q_ann_pq_rerank(spark, sf).select(
             F.lit("pq_rr").alias("method"), "vec_id",
             F.row_number().over(wc).alias("a_rk")),
+        q_ann_ivfpq_topk(spark, sf).select(
+            F.lit("ivfpq").alias("method"), "vec_id",
+            F.row_number().over(wc).alias("a_rk")),
     ]
     approx = sides[0]
     for s in sides[1:]:
@@ -3681,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "mm_scan_tarbz2": q_mm_scan_tarbz2,
         "mm_scan_tarxz": q_mm_scan_tarxz,
+        "ann_ivfpq_topk": q_ann_ivfpq_topk,
     }
 
 
@@ -5506,6 +5533,58 @@ def oracle_sql() -> dict[str, str]:
           JOIN dq ON dq.s = subs.s
                  AND dq.code = (t.pq_code >> CAST(4 * subs.s AS INT)) & 15
           GROUP BY t.vec_id),
+        short AS (SELECT vec_id FROM adc
+                  ORDER BY adc_dist, vec_id LIMIT 80),
+        scored AS (SELECT e.vec_id, {_pr(_cos('e.v', 'q.qv'), 6)}
+                     AS cosine_sim
+                   FROM e JOIN short USING (vec_id), q)
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    # IVF-PQ composed: the ivf assignment/probe CTEs (ann_ivf_topk
+    # convention) gate which codes enter the ADC ranking; shortlist +
+    # exact re-rank reuse the pq_rerank convention. Codes come from
+    # the SEED codebook (_pq_ctes) — identical to ann_pq_codes.
+    sql["ann_ivfpq_topk"] = f"""
+        WITH {_pq_trained_ctes},
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        cents AS (
+          SELECT (row_number() OVER (
+                    ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)) - 1
+                   AS cent_id, v AS cv
+          FROM e ORDER BY ((vec_id % 1000003) * 2654435761) % 1000003, vec_id LIMIT 16),
+        csims AS (SELECT e.vec_id, c.cent_id,
+                         {_pr(_cos('e.v', 'c.cv'), 9)} AS sim
+                  FROM e CROSS JOIN cents c),
+        asg AS (SELECT vec_id, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id) AS rn
+                  FROM csims) WHERE rn = 1),
+        probe AS (SELECT cent_id FROM (
+                    SELECT c.cent_id, {_pr(_cos('q.qv', 'c.cv'), 9)}
+                      AS sim
+                    FROM cents c, q)
+                  ORDER BY sim DESC, cent_id LIMIT 4),
+        dq AS (
+          SELECT subs.s, cw.code,
+                 CAST(list_sum(list_transform(
+                   range(CAST(8 * subs.s + 1 AS INT),
+                         CAST(8 * subs.s + 9 AS INT)),
+                   i -> CAST(floor((q.qv[i] - cw.cv[i])
+                                   * (q.qv[i] - cw.cv[i])
+                                   * 1000000000000) AS BIGINT)))
+                   AS BIGINT) AS dist
+          FROM q CROSS JOIN subs CROSS JOIN pc2m cw),
+        adc AS (
+          SELECT c.vec_id, CAST(sum(dq.dist) AS BIGINT) AS adc_dist
+          FROM tcodes c
+          JOIN asg USING (vec_id)
+          CROSS JOIN subs
+          JOIN dq ON dq.s = subs.s
+                 AND dq.code = (c.pq_code >> CAST(4 * subs.s AS INT)) & 15
+          WHERE asg.cent_id IN (SELECT cent_id FROM probe)
+          GROUP BY c.vec_id),
         short AS (SELECT vec_id FROM adc
                   ORDER BY adc_dist, vec_id LIMIT 80),
         scored AS (SELECT e.vec_id, {_pr(_cos('e.v', 'q.qv'), 6)}
@@ -7545,12 +7624,17 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id, row_number() OVER (
                    ORDER BY cosine_sim DESC, vec_id) AS a_rk
           FROM ({sql["ann_pq_rerank"]})),
+        ivfpqm AS (
+          SELECT vec_id, row_number() OVER (
+                   ORDER BY cosine_sim DESC, vec_id) AS a_rk
+          FROM ({sql["ann_ivfpq_topk"]})),
         approx AS (
           SELECT 'lsh' AS method, vec_id, a_rk FROM lshm
           UNION ALL SELECT 'ivf', vec_id, a_rk FROM ivfm
           UNION ALL SELECT 'pq', vec_id, a_rk FROM pqm
           UNION ALL SELECT 'lsh_hr', vec_id, a_rk FROM lshhr
-          UNION ALL SELECT 'pq_rr', vec_id, a_rk FROM pqrr),
+          UNION ALL SELECT 'pq_rr', vec_id, a_rk FROM pqrr
+          UNION ALL SELECT 'ivfpq', vec_id, a_rk FROM ivfpqm),
         x AS (SELECT method, a_rk, t_rk
               FROM approx LEFT JOIN truth USING (vec_id)),
         ks AS (SELECT unnest([1, 5, 10]) AS k)

@@ -134,6 +134,7 @@ HEADLINE = [
     "text_normalize",
     "mm_scan_tarbz2",
     "mm_scan_tarxz",
+    "ann_ivfpq_topk",
 ]
 
 
