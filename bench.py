@@ -135,6 +135,7 @@ HEADLINE = [
     "mm_scan_tarbz2",
     "mm_scan_tarxz",
     "ann_ivfpq_topk",
+    "mm_decode_vp8",
 ]
 
 
