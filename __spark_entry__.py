@@ -3289,6 +3289,31 @@ def q_mm_scan_targz(spark, sf):
         synth_targz_media(_t(spark, sf, "documents")))
 
 
+def q_mm_webp_frames(spark, sf):
+    """ANIMATED WebP frame-table decode (round 15, VERDICT r14 next
+    #8 — closing the webp.py ANMF gate): each document's first w*9
+    text bytes become a three-frame full-canvas VP8X/ANIM/ANMF
+    animation whose VP8L sub-frames carry the same channel identity
+    as mm_decode_webp (r+g+b = 255 + (byte^0x55)); the Arrow stage
+    walks the container, decodes every frame with the full-feature
+    VP8L machinery, composites per the ANMF blend/dispose rules, and
+    reads the per-frame durations. One row per (media_id, frame_idx);
+    the oracle replays durations and per-frame RGB means from the
+    same text byte ranges. Sub-rectangle placement, alpha blending
+    (exact-integer 'over'), and dispose-to-background are pinned by
+    tests over hand-assembled streams (the GIF compositing
+    discipline); graded payloads stay full-frame no-blend so the
+    oracle byte-replay is exact."""
+    from lswms_forage_etl_spark.operators.multimodal import (
+        synth_webp_anim_media, webp_frame_table)
+    out = webp_frame_table(
+        synth_webp_anim_media(_t(spark, sf, "documents")))
+    return out.select(
+        "media_id", "frame_idx", "duration_ms", "decoded_width",
+        "decoded_height",
+        pround(F.col("mean_intensity"), 9).alias("mean_intensity"))
+
+
 def q_mm_decode_vp8(spark, sf):
     """REAL lossy-WebP (VP8 key frame) decode end-to-end (round 15,
     VERDICT r14 next #4 — the last big real-world format gap): each
@@ -3734,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scan_tarxz": q_mm_scan_tarxz,
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "mm_decode_vp8": q_mm_decode_vp8,
+        "mm_webp_frames": q_mm_webp_frames,
     }
 
 
@@ -7229,6 +7255,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS content_fp
         FROM documents
+    """
+
+    # animated WebP: full-canvas no-blend frames, so the composited
+    # canvas for frame k IS frame k — the per-frame mean replays the
+    # mm_decode_webp channel identity over byte range [k*3w, (k+1)*3w)
+    sql["mm_webp_frames"] = f"""
+        WITH m AS (SELECT doc_id AS media_id,
+                          CAST(doc_id % 8 + 4 AS INT) AS w,
+                          hex(encode(text)) AS hx,
+                          octet_length(encode(text)) AS n
+                   FROM documents),
+        f AS (SELECT * FROM m WHERE n >= w * 9),
+        b AS (SELECT media_id, w, CAST(j // (3 * w) AS INT) AS k,
+                     ('0x' || substr(hx, CAST(2 * j + 1 AS INT), 2))::INT
+                       AS byte
+              FROM f, (SELECT unnest(range(0, w * 9)) AS j))
+        SELECT media_id, k AS frame_idx,
+               CAST(40 + 10 * k AS INT) AS duration_ms,
+               w AS decoded_width, CAST(3 AS INT) AS decoded_height,
+               {_pr("CAST(255 * 3 * w + sum(xor(byte, 85)) AS DOUBLE)"
+                    " / (9 * w)", 9)} AS mean_intensity
+        FROM b GROUP BY media_id, w, k
     """
 
     # lossy VP8: the constant-MB family decodes exactly, so the luma

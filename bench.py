@@ -136,6 +136,7 @@ HEADLINE = [
     "mm_scan_tarxz",
     "ann_ivfpq_topk",
     "mm_decode_vp8",
+    "mm_webp_frames",
 ]
 
 

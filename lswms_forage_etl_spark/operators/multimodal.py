@@ -238,6 +238,102 @@ def synth_webp_media(docs: DataFrame) -> DataFrame:
     return _spread(src).mapInPandas(build, schema=out_schema)
 
 
+def synth_webp_anim_media(docs: DataFrame) -> DataFrame:
+    """ANIMATED WebP payloads from `documents` (round 15): each doc's
+    first w*9 text bytes (w = 4 + doc_id % 8) become THREE full-canvas
+    (3, w) frames of one VP8X/ANIM/ANMF animation, with the same
+    per-pixel channel identity as `synth_webp_media` (r = byte^0x55,
+    g = byte, b = 255-byte), per-frame durations 40/50/60 ms, no-blend
+    full-frame composition (sub-rectangles, alpha blending and
+    dispose-to-background are pinned by unit tests over hand-assembled
+    streams — the GIF discipline). Frame k rotates the VP8L encoder
+    variant by (doc_id + k) % 7, so every transform family appears
+    inside animations at scale."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lswms_forage_etl_spark.operators.webp import (
+            VARIANTS, encode_webp_anim)
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, raw in zip(pdf["media_id"], pdf["raw"]):
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 8
+                pix = np.frombuffer(bytes(raw), dtype=np.uint8,
+                                    count=w * 9)
+                frames = []
+                for k in range(3):
+                    g = pix[k * 3 * w:(k + 1) * 3 * w].reshape(3, w)
+                    rgb = np.stack([g ^ 0x55, g, 255 - g], axis=-1)
+                    frames.append((0, 0, rgb, 40 + 10 * k, False,
+                                   True))
+                ids.append(doc_id)
+                payloads.append(encode_webp_anim(
+                    w, 3, frames,
+                    variant=VARIANTS[doc_id % len(VARIANTS)]))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    w = (F.pmod(F.col("doc_id"), F.lit(8)) + F.lit(4)).cast("int")
+    src = (docs.select(F.col("doc_id").alias("media_id"),
+                       F.encode(F.col("text"), "UTF-8").alias("raw"),
+                       (w * 9).alias("npix"))
+           .where(F.octet_length("raw") >= F.col("npix")))
+    return _spread(src).mapInPandas(build, schema=out_schema)
+
+
+def webp_frame_table(media: DataFrame) -> DataFrame:
+    """Frame-level decode of animated WebP payloads: one row per
+    (media_id, frame_idx) with the ANMF duration and the exact RGB
+    mean over the COMPOSITED canvas — the animated twin of
+    `gif_frame_table`, riding the real VP8X/ANIM/ANMF walk +
+    full-feature VP8L decode."""
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("duration_ms", IntegerType(), False),
+        StructField("decoded_width", IntegerType(), False),
+        StructField("decoded_height", IntegerType(), False),
+        StructField("mean_intensity", DoubleType(), True),
+    ])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lswms_forage_etl_spark.operators.webp import parse_webp_anim
+        for pdf in batches:
+            mid, fi, du, dw, dh, mi = [], [], [], [], [], []
+            for media_id, buf in zip(pdf["media_id"], pdf["payload"]):
+                cw, ch, _loops, _bg, frames = parse_webp_anim(
+                    bytes(buf))
+                for k, fr in enumerate(frames):
+                    canvas = fr["canvas"]
+                    r = (canvas >> np.uint32(16)) & np.uint32(0xFF)
+                    g = (canvas >> np.uint32(8)) & np.uint32(0xFF)
+                    b = canvas & np.uint32(0xFF)
+                    total = int(r.sum(dtype=np.int64)
+                                + g.sum(dtype=np.int64)
+                                + b.sum(dtype=np.int64))
+                    mid.append(int(media_id))
+                    fi.append(k)
+                    du.append(fr["duration_ms"])
+                    dw.append(cw)
+                    dh.append(ch)
+                    mi.append(float(total / (3 * cw * ch)))
+            yield pd.DataFrame({
+                "media_id": mid,
+                "frame_idx": pd.array(fi, dtype="int32"),
+                "duration_ms": pd.array(du, dtype="int32"),
+                "decoded_width": pd.array(dw, dtype="int32"),
+                "decoded_height": pd.array(dh, dtype="int32"),
+                "mean_intensity": mi})
+
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    return _spread(media.select("media_id", "payload")).mapInPandas(
+        decode, schema=out_schema)
+
+
 def synth_vp8_media(docs: DataFrame) -> DataFrame:
     """REAL lossy-WebP (VP8 key frame) payloads from `documents`
     (round 15): each doc's first nmb = 4 + doc_id % 5 text bytes
