@@ -90,6 +90,61 @@ class BoolDecoder:
             v = (v << 1) | self.bool(128)
         return v
 
+    def read_update_table(self, n_entries: int,
+                          flag_prob: int) -> list[int | None]:
+        """Decode `n_entries` (update-flag, 8-bit value) pairs — the
+        coefficient-probability matrix walk, which dominates the
+        per-frame bool count (~9.5k of ~10k ops); state rides in
+        locals so the hot loop pays no attribute or method overhead.
+        Bit-exact twin of `bool(flag_prob)` + `literal(8)`."""
+        data = self.data
+        nbits = len(data) * 8
+        val = self.val
+        rng = self.range
+        pos = self.bitpos
+        out: list[int | None] = []
+        for _ in range(n_entries):
+            split = 1 + (((rng - 1) * flag_prob) >> 8)
+            big = split << 8
+            if val >= big:
+                flag = 1
+                rng -= split
+                val -= big
+            else:
+                flag = 0
+                rng = split
+            while rng < 128:
+                rng <<= 1
+                val <<= 1
+                if pos < nbits:
+                    val |= (data[pos >> 3] >> (7 - (pos & 7))) & 1
+                pos += 1
+            if not flag:
+                out.append(None)
+                continue
+            v = 0
+            for _ in range(8):
+                half = ((rng - 1) >> 1) + 1       # prob 128 split
+                big = half << 8
+                if val >= big:
+                    v = (v << 1) | 1
+                    rng -= half
+                    val -= big
+                else:
+                    v <<= 1
+                    rng = half
+                while rng < 128:
+                    rng <<= 1
+                    val <<= 1
+                    if pos < nbits:
+                        val |= (data[pos >> 3] >> (7 - (pos & 7))) & 1
+                    pos += 1
+            out.append(v)
+        self.val = val
+        self.range = rng
+        self.bitpos = pos
+        return out
+
     def tree(self, tree: list[int], probs: list[int],
              start: int = 0) -> int:
         i = start
@@ -219,6 +274,11 @@ def _uniform_coeff_probs() -> list:
 
 def iwht4x4(coeffs: list[int]) -> list[int]:
     """RFC 6386 §14.3 inverse Walsh-Hadamard (second order)."""
+    if not any(coeffs[1:]):
+        # DC-only shortcut — exact identity of the full transform
+        # (pinned by test_iwht_dc_only_identity)
+        v = (coeffs[0] + 3) >> 3
+        return [v] * 16
     tmp = [0] * 16
     for i in range(4):
         a1 = coeffs[i] + coeffs[12 + i]
@@ -248,6 +308,13 @@ _C2 = 35468     # sin(pi/8)*sqrt(2), Q16
 
 def idct4x4(coeffs: list[int]) -> list[int]:
     """RFC 6386 §14.4 inverse DCT ("llm" integer approximation)."""
+    if not any(coeffs[1:]):
+        # DC-only shortcut — exact identity of the full transform
+        # (pinned by test_idct_dc_only_identity); the common case for
+        # every all-zero chroma block and 16x16-mode Y block
+        v = (coeffs[0] + 4) >> 3
+        return [v] * 16
+
     def mul1(x):
         return x + ((x * _C1) >> 16)
 
@@ -339,6 +406,32 @@ def _decode_block(bd: BoolDecoder, probs, first: int, ctx: int
     return coeffs
 
 
+_TABLE_MEMO: dict = {}
+
+
+def _read_update_table_memo(bd: BoolDecoder, n_total: int):
+    """Content-addressed memo around the probability-table walk: the
+    cache key is the decoder state at table start PLUS the exact bytes
+    the walk consumed, so a hit is bit-for-bit equivalent to decoding
+    (frames in one corpus share identical table bits — the dominant
+    ~9.5k bool ops per frame amortize to one read per worker)."""
+    key0 = (bd.val, bd.range, bd.bitpos)
+    start_byte = bd.bitpos >> 3
+    hit = _TABLE_MEMO.get(key0)
+    if hit is not None:
+        blob, updates, end_state = hit
+        if bytes(bd.data[start_byte:start_byte + len(blob)]) == blob:
+            bd.val, bd.range, bd.bitpos = end_state
+            return updates
+    updates = bd.read_update_table(n_total, UNIFORM_PROB)
+    if len(_TABLE_MEMO) < 8:
+        end_byte = (bd.bitpos + 7) >> 3
+        _TABLE_MEMO[key0] = (
+            bytes(bd.data[start_byte:end_byte]), updates,
+            (bd.val, bd.range, bd.bitpos))
+    return updates
+
+
 def decode_frame(data: bytes):
     """VP8 key-frame decode -> (width, height, y, u, v) planes
     (numpy uint8; y is h x w, chroma h/2 x w/2)."""
@@ -396,15 +489,19 @@ def decode_frame(data: bytes):
     # streams update EVERY entry; a stream relying on RFC defaults is
     # explicitly gated)
     probs = _uniform_coeff_probs()
+    n_total = N_PLANES * N_BANDS * N_CTX * N_PROBS
+    updates = _read_update_table_memo(bd, n_total)
     n_updated = 0
+    it = iter(updates)
     for i in range(N_PLANES):
         for j in range(N_BANDS):
             for k in range(N_CTX):
                 for m in range(N_PROBS):
-                    if bd.bool(UNIFORM_PROB):
-                        probs[i][j][k][m] = bd.literal(8)
+                    u = next(it)
+                    if u is not None:
+                        probs[i][j][k][m] = u
                         n_updated += 1
-    if n_updated != N_PLANES * N_BANDS * N_CTX * N_PROBS:
+    if n_updated != n_total:
         raise NotImplementedError(
             "VP8: stream relies on RFC default coefficient "
             "probabilities (not embedded); this decoder requires the "
@@ -548,25 +645,24 @@ def _pred_block(plane, x0, y0, size, mode):
     raise NotImplementedError(f"VP8: prediction mode {mode}")
 
 
+def _tile(blocks: list[list[int]], n: int) -> np.ndarray:
+    """n*4 x n*4 residual from n*n row-major 4x4 blocks, one reshape."""
+    return (np.asarray(blocks, dtype=np.int32)
+            .reshape(n, n, 4, 4).transpose(0, 2, 1, 3)
+            .reshape(4 * n, 4 * n))
+
+
 def _reconstruct_mb(Y, U, V, mbx, mby, ymode, uvmode, yblocks,
                     ublocks, vblocks):
     x0, y0 = mbx * 16, mby * 16
     pred = _pred_block(Y, x0, y0, 16, ymode)
-    for sb in range(16):
-        r, c = sb >> 2, sb & 3
-        res = np.asarray(yblocks[sb], dtype=np.int32).reshape(4, 4)
-        blk = pred[4 * r:4 * r + 4, 4 * c:4 * c + 4] + res
-        Y[y0 + 4 * r:y0 + 4 * r + 4, x0 + 4 * c:x0 + 4 * c + 4] = \
-            np.clip(blk, 0, 255)
+    Y[y0:y0 + 16, x0:x0 + 16] = np.clip(pred + _tile(yblocks, 4),
+                                        0, 255)
     cx0, cy0 = mbx * 8, mby * 8
     for plane, blocks in ((U, ublocks), (V, vblocks)):
         pred = _pred_block(plane, cx0, cy0, 8, uvmode)
-        for sb in range(4):
-            r, c = sb >> 1, sb & 1
-            res = np.asarray(blocks[sb], dtype=np.int32).reshape(4, 4)
-            blk = pred[4 * r:4 * r + 4, 4 * c:4 * c + 4] + res
-            plane[cy0 + 4 * r:cy0 + 4 * r + 4,
-                  cx0 + 4 * c:cx0 + 4 * c + 4] = np.clip(blk, 0, 255)
+        plane[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(
+            pred + _tile(blocks, 2), 0, 255)
 
 
 # ------------------------------------------------------------ encoder

@@ -233,7 +233,16 @@ def main() -> None:
     qs["textrank_dist"] = make_textrank_dist
     qs["bfs_dist"] = make_bfs_dist
     qs["bpe_train_k1024"] = make_bpe_k1024
-    names = [n for n in QUERIES if only is None or n in only]
+    # --queries may name ANY registry query, not just the default
+    # ladder set (round 15: the filter silently produced an empty
+    # ladder for new queries — explicit names are taken verbatim)
+    if only is not None:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown queries: {', '.join(unknown)}")
+        names = only
+    else:
+        names = list(QUERIES)
     for name in names:  # warm codegen/JIT at the small sf
         try:
             qs[name](spark, "/root/testdata/sf0.001").write.format(
