@@ -3314,6 +3314,22 @@ def q_mm_webp_frames(spark, sf):
         pround(F.col("mean_intensity"), 9).alias("mean_intensity"))
 
 
+def q_mm_scan_jsonl(spark, sf):
+    """JSONL-shard corpus ingest (round 15) — the `.jsonl.gz` dump
+    format every public LLM corpus ships in: stdlib json + gzip as
+    INDEPENDENT writers (odd shards = two concatenated gzip members,
+    the pigz shape), then the scan inflates members in the one
+    unavoidable Arrow pass and does ALL parsing JVM-side —
+    split/explode/from_json codegen (json.dumps escapes control
+    characters, so the newline framing is unambiguous by
+    construction). Oracle is the field identity against the source
+    table, so any defect across write -> member loop -> line split ->
+    JSON parse hash-mismatches."""
+    from lswms_forage_etl_spark.sources.archive import (
+        scan_jsonl_docs, synth_jsonl_media)
+    return scan_jsonl_docs(synth_jsonl_media(_t(spark, sf, "documents")))
+
+
 def q_mm_decode_vp8(spark, sf):
     """REAL lossy-WebP (VP8 key frame) decode end-to-end (round 15,
     VERDICT r14 next #4 — the last big real-world format gap): each
@@ -3760,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": q_ann_ivfpq_topk,
         "mm_decode_vp8": q_mm_decode_vp8,
         "mm_webp_frames": q_mm_webp_frames,
+        "mm_scan_jsonl": q_mm_scan_jsonl,
     }
 
 
@@ -7299,6 +7316,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(256 * sum(v) AS BIGINT) AS sum_luma,
                CAST(1 AS INT) AS chroma_ok
         FROM b GROUP BY media_id, nmb
+    """
+
+    sql["mm_scan_jsonl"] = """
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               md5(text) AS text_fp
+        FROM documents
     """
 
     sql["mm_scan_tarbz2"] = """

@@ -137,6 +137,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "mm_decode_vp8",
     "mm_webp_frames",
+    "mm_scan_jsonl",
 ]
 
 

@@ -260,20 +260,7 @@ def parse_tar(buf: bytes) -> list[tuple[str, bytes]]:
     Only regular files (typeflag '0' or NUL) are returned; GNU
     long-name/PAX extension headers raise — honest gates."""
     if buf[:2] == b"\x1f\x8b":
-        parts = []
-        pos = 0
-        while pos < len(buf):
-            d = zlib.decompressobj(47)
-            parts.append(d.decompress(buf[pos:]) + d.flush())
-            if not d.eof:
-                # decompressobj returns partial data silently on a
-                # stream cut mid-member; zlib.decompress used to raise
-                raise ValueError("tar.gz: truncated gzip member")
-            consumed = len(buf) - pos - len(d.unused_data)
-            if consumed <= 0:
-                raise ValueError("tar.gz: stalled gzip member")
-            pos += consumed
-        buf = b"".join(parts)
+        buf = gunzip_members(buf)
     elif buf[:3] == b"BZh":
         # .tar.bz2 — from-scratch bzip2 decode (multi-stream handled
         # inside, mirroring the gzip member loop above)
@@ -374,6 +361,102 @@ def synth_warc_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         "doc_id", F.encode("text", "UTF-8").alias("raw"))
     return src.groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
+
+
+def gunzip_members(buf: bytes) -> bytes:
+    """Inflate a (possibly multi-member) gzip stream with truncation
+    detection — the shared member loop (RFC 1952 §2.2: concatenated
+    members are legal and what pigz/bgzip emit; a single-shot inflate
+    silently truncates at the first boundary)."""
+    parts = []
+    pos = 0
+    while pos < len(buf):
+        d = zlib.decompressobj(47)
+        parts.append(d.decompress(buf[pos:]) + d.flush())
+        if not d.eof:
+            raise ValueError("gzip: truncated member")
+        consumed = len(buf) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("gzip: stalled member")
+        pos += consumed
+    return b"".join(parts)
+
+
+def synth_jsonl_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
+                      ) -> DataFrame:
+    """(archive_id, payload): the `.jsonl.gz` corpus-dump shape (the
+    most common LLM-corpus interchange format) — every `group_size`
+    documents become one gzip'd JSON-lines shard, one object per line
+    with keys (id, text, lang, source), written by the INDEPENDENT
+    stdlib json + gzip writers; odd shards are TWO concatenated gzip
+    members (the pigz/bgzip block shape)."""
+    import gzip
+    import json
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(pdf["doc_id"], pdf["text"], pdf["lang"],
+                          pdf["source"]), key=lambda t: int(t[0]))
+        lines = [json.dumps(
+            {"id": int(i), "text": str(t), "lang": str(lg),
+             "source": str(sc)}, sort_keys=True) for i, t, lg, sc
+            in rows]
+        raw = ("\n".join(lines) + "\n").encode("utf-8")
+        aid = int(key[0])
+        if (aid // group_size) % 2:
+            half = len(lines) // 2
+            a = ("\n".join(lines[:half]) + "\n").encode("utf-8") \
+                if half else b""
+            b = ("\n".join(lines[half:]) + "\n").encode("utf-8")
+            gz = (gzip.compress(a, 6, mtime=0)
+                  + gzip.compress(b, 6, mtime=0))
+        else:
+            gz = gzip.compress(raw, 6, mtime=0)
+        return pd.DataFrame({"archive_id": [aid], "payload": [gz]})
+
+    src = docs.select(
+        (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
+        .alias("archive_id"),
+        "doc_id", "text", "lang", "source")
+    return src.groupBy("archive_id").applyInPandas(
+        build, schema="archive_id long, payload binary")
+
+
+def scan_jsonl_docs(media: DataFrame) -> DataFrame:
+    """JSONL shard scan, Spark-first: Python touches ONLY the gzip
+    member split (no JVM gzip expression exists for in-plan binary
+    columns); everything after — line split, explode, JSON parsing —
+    is built-in JVM codegen (`split`/`explode`/`from_json`), so at
+    scale the parse work stays in Tungsten and the plan is a
+    shuffle-free scan. Output: one row per document with the parsed
+    fields and a text fingerprint."""
+    def inflate(batches: Iterator[pd.DataFrame]
+                ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "archive_id": pdf["archive_id"],
+                "body": [gunzip_members(bytes(b)).decode("utf-8")
+                         for b in pdf["payload"]]})
+
+    text = _maybe_spread(media.select("archive_id", "payload")) \
+        .mapInPandas(inflate, schema="archive_id long, body string")
+    # NB: rtrim() strips only spaces — the trailing-newline empty
+    # element must be filtered, not trimmed
+    line = text.select(
+        "archive_id",
+        F.explode(F.split(F.col("body"), "\n")).alias("line")) \
+        .where(F.col("line") != "")
+    parsed = line.select(
+        "archive_id",
+        F.from_json(
+            "line",
+            "id long, lang string, source string, text string")
+        .alias("j"))
+    return parsed.select(
+        F.col("j.id").alias("doc_id"),
+        F.col("j.lang").alias("lang"),
+        F.col("j.source").alias("source"),
+        F.length("j.text").cast("long").alias("n_chars"),
+        F.md5(F.encode("j.text", "UTF-8")).alias("text_fp"))
 
 
 def synth_warc_html(docs: DataFrame, group_size: int = ARCHIVE_GROUP

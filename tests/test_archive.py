@@ -314,3 +314,41 @@ def test_zip64_parse_against_forced_stdlib_writer():
         zf.writestr(zipfile.ZipInfo("a", date_time=(1980, 1, 1, 0, 0, 0)),
                     b"hello")
     assert parse_zip(plain.getvalue()) == [("a", b"hello")]
+
+
+def test_jsonl_shard_scan_roundtrip(spark):
+    """JSONL shards: tricky text (quotes, backslashes, newlines,
+    unicode) must survive json write -> gzip member loop -> JVM
+    split/explode/from_json exactly; newline framing is unambiguous
+    because json.dumps escapes control characters."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from lswms_forage_etl_spark.sources.archive import (
+        scan_jsonl_docs, synth_jsonl_media)
+
+    texts = [
+        'quote " and backslash \\ here',
+        "newline\nand\ttab inside",
+        "unicode café — ok",
+        "plain",
+    ] * 4
+    docs = spark.createDataFrame(
+        [(i, texts[i], "en", f"s{i % 3}", len(texts[i]))
+         for i in range(16)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    out = scan_jsonl_docs(synth_jsonl_media(docs)).orderBy("doc_id")
+    rows = out.collect()
+    assert len(rows) == 16
+    for r in rows:
+        want = texts[r["doc_id"]]
+        assert r["n_chars"] == len(want)
+        assert r["text_fp"] == hashlib.md5(
+            want.encode("utf-8")).hexdigest()
+        assert r["source"] == f"s{r['doc_id'] % 3}"
+    # parsing stays JVM-side: no python eval past the inflate stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "from_json" in plan.lower() or "JsonToStructs" in plan
