@@ -3314,6 +3314,46 @@ def q_mm_webp_frames(spark, sf):
         pround(F.col("mean_intensity"), 9).alias("mean_intensity"))
 
 
+def q_text_web_pipeline(spark, sf):
+    """The COMPOSED Common-Crawl-style cleaning pipeline, graded end
+    to end (round 15): documents get deterministic mojibake/unicode
+    damage (text_normalize's dirt classes), ride as full HTML pages
+    inside .warc.gz captures, and the engine then runs the stages a
+    real CC pipeline runs — WARC member walk -> HTML->text extraction
+    -> unicode normalization + mojibake repair -> the Gopher quality
+    gate — in ONE shuffle-free plan (extraction + normalization +
+    gate are a single JVM codegen Project past the Arrow WARC split).
+    The oracle chains the same shared rule tables (wrap, extract,
+    normalize) into the text_gopher replay and pins the exact cleaned
+    text by md5 — a defect in ANY stage or stage boundary flips the
+    hash."""
+    from lswms_forage_etl_spark.functions.html import html_extract
+    from lswms_forage_etl_spark.functions.normalize import (
+        dirty_text, normalize_text)
+    from lswms_forage_etl_spark.sources.archive import (
+        scan_warc_html, synth_warc_html)
+    docs = _t(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id", dirty_text("text", "doc_id").alias("text"))
+    pages = scan_warc_html(synth_warc_html(dirty))
+    txt = pages.select(
+        "doc_id",
+        normalize_text(html_extract("html")).alias("txt"))
+    g = T.gopher_rules("txt")
+    return (txt.select("doc_id", "txt", g.alias("g"))
+            .select("doc_id",
+                    F.col("g.n_words").alias("n_words"),
+                    pround(F.col("g.mean_word_len"), 4)
+                    .alias("mean_word_len"),
+                    F.col("g.stop_hits").alias("stop_hits"),
+                    F.col("g.words_ok").alias("words_ok"),
+                    F.col("g.mwl_ok").alias("mwl_ok"),
+                    F.col("g.sym_ok").alias("sym_ok"),
+                    F.col("g.stop_ok").alias("stop_ok"),
+                    F.col("g.keep").alias("keep"),
+                    F.md5(F.encode("txt", "UTF-8")).alias("text_fp")))
+
+
 def q_mm_scan_jsonl(spark, sf):
     """JSONL-shard corpus ingest (round 15) — the `.jsonl.gz` dump
     format every public LLM corpus ships in: stdlib json + gzip as
@@ -3777,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_vp8": q_mm_decode_vp8,
         "mm_webp_frames": q_mm_webp_frames,
         "mm_scan_jsonl": q_mm_scan_jsonl,
+        "text_web_pipeline": q_text_web_pipeline,
     }
 
 
@@ -7248,6 +7289,52 @@ def oracle_sql() -> dict[str, str]:
                  AS text_ratio_ppm,
                md5(txt) AS text_fp
         FROM x
+    """
+
+    # composed web pipeline: dirt -> wrap -> extract -> normalize ->
+    # gopher, every stage rendered from the same shared rule tables
+    # as its standalone oracle, cleaned text pinned by md5
+    from lswms_forage_etl_spark.functions.html import (
+        html_extract_sql as _hx_sql, html_wrap_sql as _hw_sql)
+    from lswms_forage_etl_spark.functions.normalize import (
+        dirty_sql as _dirty_sql, normalize_sql as _norm_sql)
+    sql["text_web_pipeline"] = f"""
+        WITH dd AS (SELECT doc_id,
+                           {_dirty_sql('text', 'doc_id')} AS dtext
+                    FROM documents),
+        h AS (SELECT doc_id, {_hw_sql('doc_id', 'dtext')} AS html
+              FROM dd),
+        x AS (SELECT doc_id, {_hx_sql('html')} AS txt0 FROM h),
+        nz AS (SELECT doc_id, {_norm_sql('txt0')} AS txt FROM x),
+        t AS (
+          SELECT doc_id, txt,
+                 list_filter(string_split_regex(trim(txt), '\\s+'),
+                             x -> x <> '') AS toks,
+                 len(regexp_extract_all(txt, '[#$%&@~]')) AS n_sym
+          FROM nz),
+        m AS (
+          SELECT doc_id, txt,
+                 CAST(len(toks) AS INT) AS n_words,
+                 CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                   / greatest(len(toks), 1) AS mwl,
+                 CAST(len(list_intersect(
+                   list_transform(toks, x -> lower(x)),
+                   ['the','a','and','of','to','in','is','it'])) AS INT)
+                   AS stop_hits,
+                 CAST(n_sym AS DOUBLE) / greatest(len(toks), 1) AS symr
+          FROM t)
+        SELECT doc_id, n_words,
+               floor(mwl * 10000 + 0.5) / 10000.0 AS mean_word_len,
+               stop_hits,
+               CAST(n_words BETWEEN 50 AND 100000 AS INT) AS words_ok,
+               CAST(mwl >= 3.0 AND mwl <= 10.0 AS INT) AS mwl_ok,
+               CAST(symr < 0.1 AS INT) AS sym_ok,
+               CAST(stop_hits >= 2 AS INT) AS stop_ok,
+               CAST(n_words BETWEEN 50 AND 100000
+                    AND mwl >= 3.0 AND mwl <= 10.0
+                    AND symr < 0.1 AND stop_hits >= 2 AS INT) AS keep,
+               md5(txt) AS text_fp
+        FROM m
     """
 
     # Unicode normalization: dirt injection AND the full repair/fold/

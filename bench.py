@@ -138,6 +138,7 @@ HEADLINE = [
     "mm_decode_vp8",
     "mm_webp_frames",
     "mm_scan_jsonl",
+    "text_web_pipeline",
 ]
 
 
