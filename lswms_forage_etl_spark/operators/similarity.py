@@ -1303,49 +1303,53 @@ def pca_power_top(emb: DataFrame, id_col: str = "vec_id",
          renormalized to 14 bits the same way. Products stay <= 2^40.
 
     Scale shape: the data-sized work is the ONE distributed moments
-    pass; every iteration touches only the bounded d^2 / d-row tables
-    (broadcast joins, d-row aggregates), with per-iteration
-    localCheckpoint keeping the plan flat (round-11 iterative-plan
-    lesson). Exactness bound: cov_num <= n^2*quant^2 must stay under
-    2^53 for the double-divide step — quant=1e2 allows n ~ 3e7 rows;
-    shard the moments pass beyond that.
+    pass; the iteration state is DIMENSION-bounded (d(d+1)/2 = 2080
+    int64 cells at d=64 — independent of corpus size), so the 8
+    matvec+renormalize rounds run driver-side on the collected cell
+    table (the kmeans_train / pq_train_codebook_dist precedent: k x d
+    rows to the driver per iteration). r15 optimization: the previous
+    form ran every round as TWO tiny distributed jobs with an eager
+    localCheckpoint each — 42 executed jobs for a 64x64 matvec loop,
+    pure scheduler overhead at any scale (guide §1.2 step 1 / §5
+    driver rules: the collect is bounded by d^2, never by data). Each
+    driver step replays the exact same IEEE sequence the distributed
+    expressions ran (float divide, float multiply, floor; exact int64
+    matvec sums), property-pinned against the oracle's CTE replay by
+    the unchanged gate hash. Exactness bound: cov_num <= n^2*quant^2
+    must stay under 2^53 for the double-divide step — quant=1e2 allows
+    n ~ 3e7 rows; shard the moments pass beyond that.
 
     Returns (dim, u14, loading): the 14-bit integer eigenvector and
     its unit-norm double form (portable-rounded at 9 dp)."""
     from pyspark.sql import Window
 
-    from lswms_forage_etl_spark.operators.dedup import _ckpt_tracked
-
     w_all = Window.partitionBy()
     cov = covariance_upper(emb, id_col, vec_col, quant=quant).select(
         "dim_i", "dim_j", "cov_num")
-    full = cov.unionByName(
-        cov.where(F.col("dim_i") != F.col("dim_j")).select(
-            F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"),
-            "cov_num"))
-    maxc = F.max(F.abs(F.col("cov_num"))).over(w_all)
-    c20 = (full.withColumn(
-        "c20", F.floor(F.col("cov_num").cast("double") / maxc
-                       * F.lit(float(1 << 20))).cast("long"))
-        .select(F.col("dim_i").alias("i"), F.col("dim_j").alias("j"),
-                "c20"))
-    c20 = _ckpt_tracked(c20, eager=True)    # bounded: d^2 rows
-
-    u = c20.select(F.col("i").alias("dim")).distinct().withColumn(
-        "u14", F.lit(1 << 14).cast("long"))
+    cells = cov.collect()                   # bounded: d(d+1)/2 rows
+    # mirror to the full d x d table; c20 = floor(cov/maxc * 2^20)
+    # exactly as the former distributed expression computed it (cast
+    # to double, IEEE divide/multiply, floor)
+    maxc = float(max(abs(r["cov_num"]) for r in cells))
+    c20: dict[int, list[tuple[int, int]]] = {}
+    dims: set[int] = set()
+    for r in cells:
+        i, j = r["dim_i"], r["dim_j"]
+        v = math.floor(float(r["cov_num"]) / maxc * float(1 << 20))
+        c20.setdefault(i, []).append((j, v))
+        if i != j:
+            c20.setdefault(j, []).append((i, v))
+        dims.add(i)
+        dims.add(j)
+    u14 = {d: 1 << 14 for d in dims}
     for _ in range(iters):
-        w_vec = (c20.join(F.broadcast(u.withColumnRenamed("dim", "j")
-                                      .withColumnRenamed("u14", "uj")),
-                          "j")
-                 .groupBy("i")
-                 .agg(F.sum(F.col("c20") * F.col("uj")).alias("w")))
-        maxw = F.max(F.abs(F.col("w"))).over(w_all)
-        u = _ckpt_tracked(w_vec.select(
-            F.col("i").alias("dim"),
-            F.floor(F.col("w").cast("double") / maxw
-                    * F.lit(float(1 << 14))).cast("long").alias("u14")),
-            eager=True)                     # bounded: d rows
-
+        w = {i: sum(v * u14[j] for j, v in row)   # exact int64 matvec
+             for i, row in c20.items()}
+        maxw = float(max(abs(x) for x in w.values()))
+        u14 = {i: math.floor(float(x) / maxw * float(1 << 14))
+               for i, x in w.items()}
+    u = emb.sparkSession.createDataFrame(
+        sorted(u14.items()), "dim int, u14 long")
     norm = F.sqrt(F.sum(F.col("u14").cast("double") * F.col("u14"))
                   .over(w_all))
     return u.select(

@@ -323,6 +323,28 @@ def _maybe_spread(df: DataFrame) -> DataFrame:
     return _spread(df)
 
 
+def _spread_groups(src: DataFrame, key: str = "archive_id") -> DataFrame:
+    """Pre-spread the rows feeding a compute-dense groupBy+applyInPandas
+    synth so the per-group build uses every core (r15 optimization,
+    guide §2.5). The synth shuffle carries ~1 MB of text, so AQE's
+    byte-based coalescing collapsed it to ONE post-shuffle partition and
+    the stdlib compressors (xz/bz2/gzip per archive) ran single-threaded
+    — the round-6 compute-dense-skew lesson, synth-side variant
+    (measured: 1-task FlatMapGroupsInPandas stages of 1.3-2.8 s at
+    sf0.1 behind every archive-family query). An explicit user
+    repartition on the GROUP KEY is exempt from AQE coalescing and its
+    HashPartitioning satisfies applyInPandas's ClusteredDistribution,
+    so no second exchange is added. Scale-adaptive: target =
+    max(defaultParallelism, input splits) — on a real multi-TB source
+    the scan already arrives with >= cores splits and the floor is a
+    no-op; this never CAPS parallelism."""
+    if src.isStreaming:
+        return src
+    sc = src.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, src.rdd.getNumPartitions())
+    return src.repartition(target, key)
+
+
 def synth_zip_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
                     ) -> DataFrame:
     """(archive_id, payload): every `group_size` documents (by
@@ -340,7 +362,7 @@ def synth_zip_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", F.encode("text", "UTF-8").alias("raw"))
-    return src.groupBy("archive_id").applyInPandas(
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 
@@ -359,7 +381,7 @@ def synth_warc_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", F.encode("text", "UTF-8").alias("raw"))
-    return src.groupBy("archive_id").applyInPandas(
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 
@@ -417,7 +439,7 @@ def synth_jsonl_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", "text", "lang", "source")
-    return src.groupBy("archive_id").applyInPandas(
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 
@@ -481,7 +503,7 @@ def synth_warc_html(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", "text")
-    return src.groupBy("archive_id").applyInPandas(
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 
@@ -519,7 +541,7 @@ def synth_tar_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", F.encode("text", "UTF-8").alias("raw"))
-    return src.groupBy("archive_id").applyInPandas(
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 
@@ -551,7 +573,7 @@ def synth_targz_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", F.encode("text", "UTF-8").alias("raw"))
-    return src.groupBy("archive_id").applyInPandas(
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 
@@ -581,7 +603,7 @@ def synth_tarbz2_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", F.encode("text", "UTF-8").alias("raw"))
-    return src.groupBy("archive_id").applyInPandas(
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 
@@ -615,7 +637,7 @@ def synth_tarxz_media(docs: DataFrame, group_size: int = ARCHIVE_GROUP
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", F.encode("text", "UTF-8").alias("raw"))
-    return src.groupBy("archive_id").applyInPandas(
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 

@@ -481,7 +481,8 @@ def synth_mp4_media(docs: DataFrame,
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", F.encode("text", "UTF-8").alias("raw"))
-    return src.groupBy("archive_id").applyInPandas(
+    from lswms_forage_etl_spark.sources.archive import _spread_groups
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 
@@ -503,7 +504,8 @@ def synth_mp4_frag_media(docs: DataFrame,
         (F.col("doc_id") - F.pmod("doc_id", F.lit(group_size)))
         .alias("archive_id"),
         "doc_id", F.encode("text", "UTF-8").alias("raw"))
-    return src.groupBy("archive_id").applyInPandas(
+    from lswms_forage_etl_spark.sources.archive import _spread_groups
+    return _spread_groups(src).groupBy("archive_id").applyInPandas(
         build, schema="archive_id long, payload binary")
 
 
