@@ -125,7 +125,14 @@ def should_materialize_eagerly(df: DataFrame) -> bool:
     return plan_size_estimate(df) >= EAGER_STATS_THRESHOLD_BYTES
 
 
-def stage_table(df: DataFrame, sync: bool | None = None) -> DataFrame:
+_COUNT_THREADS: dict[int, object] = {}
+"""id(staged df) -> its in-flight async count thread (r15). Cleared by
+release_tracked() via the tracked join callables; entries are only read
+by stage_table(after=...) within one operator's construction window."""
+
+
+def stage_table(df: DataFrame, sync: bool | None = None,
+                after: DataFrame | None = None) -> DataFrame:
     """Persist + EAGERLY materialize + track a stage table.
 
     Eager, not lazy, because materialization points must carry accurate
@@ -165,7 +172,19 @@ def stage_table(df: DataFrame, sync: bool | None = None) -> DataFrame:
     lost race is bounded — a table big enough for a mis-broadcast to
     hurt has a child estimate above the broadcast threshold, so the
     stale estimate still picks the safe shuffle plan. The thread
-    handle is tracked so release_tracked() joins it before unpersist."""
+    handle is tracked so release_tracked() joins it before unpersist.
+
+    `after` (r15): CHAINED stage tables — when this table DERIVES from
+    another staged table, two independent async counts race and the
+    child's count re-evaluates the parent's whole subtree from source
+    (the round-6 lazy-race lesson, stage_table-chain variant: the r15
+    stage probe measured FOUR duplicate ~8 s 5-gram explode stages
+    behind text_perplexity_kn5). Passing the parent handle makes this
+    table's count wait for the parent's count first, so each chain link
+    reads its parent's materialized cache: no duplicated work (the
+    at-scale / low-core-count win) and no driver serialization (a
+    sync=True chain measured +0.7 s at sf0.1 — the counts' job walls
+    serialize into the query wall)."""
     import threading
 
     out = df.persist()
@@ -175,10 +194,43 @@ def stage_table(df: DataFrame, sync: bool | None = None) -> DataFrame:
         track(out)
         out.count()
         return out
-    t = threading.Thread(target=lambda: out.count(), daemon=True)
+    parent_t = (_COUNT_THREADS.get(id(after))
+                if after is not None else None)
+
+    def _run() -> None:
+        if parent_t is not None:
+            parent_t.join(timeout=600)
+        out.count()
+
+    t = threading.Thread(target=_run, daemon=True)
     t.start()
+    _COUNT_THREADS[id(out)] = t
+
+    def _finish(out_id: int = id(out)) -> None:
+        t.join(timeout=600)
+        _COUNT_THREADS.pop(out_id, None)
+
     # join tracked BEFORE the persist handle: release_tracked() runs
     # oldest-first, and the in-flight count must land before unpersist
-    track(lambda: t.join(timeout=600))
+    track(_finish)
     track(out)
     return out
+
+
+def await_staged(df: DataFrame) -> DataFrame:
+    """Block until `df`'s async stage_table count has landed (no-op for
+    sync-staged or unstaged frames). Call at the END of an operator's
+    construction when the returned plan has MANY concurrent consumers
+    of the staged table (broadcast-build futures + AQE stages): each
+    concurrent consumer of a still-cold cache recomputes its partitions
+    independently (in-flight cache-partition computation is not shared
+    across jobs), so ten broadcast builds racing one cold cache cost
+    ten evaluations of its subtree — the r15 stage probe measured ~50 s
+    of duplicated executor work behind text_perplexity_kn5's ten
+    lookup builds. Awaiting here overlaps the count with the caller's
+    plan construction (unlike sync=True, which serializes it before
+    any construction) and guarantees consumers find warm blocks."""
+    t = _COUNT_THREADS.get(id(df))
+    if t is not None:
+        t.join(timeout=600)
+    return df

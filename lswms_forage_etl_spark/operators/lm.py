@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from lswms_forage_etl_spark.lifecycle import stage_table
+from lswms_forage_etl_spark.lifecycle import await_staged, stage_table
 from lswms_forage_etl_spark.operators.dedup import _spread
 
 BACKOFF_PENALTY_BITS = 4
@@ -119,6 +119,7 @@ def surprisal_per_doc(docs: DataFrame, train_sources: list[str],
                       F.coalesce(F.col("s_seen"), F.col("s_back"),
                                  _bitlen(F.col("t")) + F.lit(penalty),
                                  F.lit(1 + penalty)).alias("s")))
+    await_staged(c2)   # consumers must find warm blocks (see lifecycle)
     return (scored.groupBy(id_col, lang_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.sum("s").alias("_sum_s"))
@@ -240,6 +241,7 @@ def trigram_kn_surprisal(docs: DataFrame, train_sources: list[str],
                  _bitlen(F.col("c12")) - _bitlen(F.col("c3") - 1))
           .otherwise(F.coalesce(_bitlen(F.col("c12"))
                                 - _bitlen(F.col("n3t")), F.lit(0)) + s2))
+    await_staged(c3)   # consumers must find warm blocks (see lifecycle)
     return (j.select(id_col, lang_col, s3.alias("s"))
             .groupBy(id_col, lang_col)
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
@@ -321,19 +323,27 @@ def fivegram_kn_surprisal(docs: DataFrame, train_sources: list[str],
     # once, not per consumer (A/B at 100x on the block-vocab slice:
     # 64.2 s un-staged vs 56.9 s staged, parity at 1x — SCALE.md
     # round-14; on vocabulary-bound real corpora the tables are tiny
-    # either way)
+    # either way). sync=True on the whole chain (r15): each table's
+    # count is the ONLY consumer that materializes its parent's cache,
+    # so an async count races the next stage_table's count and every
+    # racer re-runs the 5-gram explode from parquet — the r15 stage
+    # probe measured 4 duplicate ~8 s explode stages behind this query
+    # (the round-6 lazy-race lesson, stage_table-chain variant).
     cont4 = stage_table(c5.groupBy(lang_col, "b", "c", "d", "e")
-                        .agg(F.count(F.lit(1)).alias("n1p_bcde")))
+                        .agg(F.count(F.lit(1)).alias("n1p_bcde")),
+                        sync=False, after=c5)
     mid4 = (cont4.groupBy(lang_col, "b", "c", "d")
             .agg(F.sum("n1p_bcde").alias("n1p_bcd"),
                  F.count(F.lit(1)).alias("n4t")))
     cont3 = stage_table(cont4.groupBy(lang_col, "c", "d", "e")
-                        .agg(F.count(F.lit(1)).alias("n1p_cde")))
+                        .agg(F.count(F.lit(1)).alias("n1p_cde")),
+                        sync=False, after=cont4)
     mid3 = (cont3.groupBy(lang_col, "c", "d")
             .agg(F.sum("n1p_cde").alias("n1p_cd"),
                  F.count(F.lit(1)).alias("n3t")))
     cont2 = stage_table(cont3.groupBy(lang_col, "d", "e")
-                        .agg(F.count(F.lit(1)).alias("n1p_de")))
+                        .agg(F.count(F.lit(1)).alias("n1p_de")),
+                        sync=False, after=cont3)
     mid2 = (cont2.groupBy(lang_col, "d")
             .agg(F.sum("n1p_de").alias("n1p_d"),
                  F.count(F.lit(1)).alias("n2t")))
@@ -372,6 +382,7 @@ def fivegram_kn_surprisal(docs: DataFrame, train_sources: list[str],
                  _bitlen(F.col("c1234")) - _bitlen(F.col("c5") - 1))
           .otherwise(F.coalesce(_bitlen(F.col("c1234"))
                                 - _bitlen(F.col("n5t")), F.lit(0)) + s4))
+    await_staged(cont2)  # chain tail: c5/cont4/cont3/cont2 all warm
     return (j.select(id_col, lang_col, s5.alias("s"))
             .groupBy(id_col, lang_col)
             .agg(F.count(F.lit(1)).alias("n_fivegrams"),
@@ -423,7 +434,9 @@ def bigram_lm_surprisal_scaled(docs: DataFrame,
     per_doc = surprisal_per_doc(docs, train_sources, penalty, id_col,
                                 text_col, lang_col, source_col)
     from lswms_forage_etl_spark.lifecycle import stage_table
-    per_doc = stage_table(per_doc)   # scored once: sketch + assignment
+    per_doc = stage_table(per_doc, sync=True)  # scored once (sync: its
+    # count IS the expensive bigram scoring pass — an async count races
+    # the consuming action and re-runs the whole pass, r15 probe)
     q = binned_quantiles(per_doc, "surprisal_ppm", [lang_col],
                          probs_ppm=[333334, 666667],
                          bin_width=bin_width)

@@ -157,10 +157,21 @@ def bm25_join(queries: DataFrame, corpus: DataFrame, k: int = 5,
              .crossJoin(F.broadcast(n_docs)))
     if champions is not None:
         # df stays the TRUE document frequency (computed above, before
-        # pruning) — only the posting rows eligible to score shrink
+        # pruning) — only the posting rows eligible to score shrink.
+        # Explicit keyed repartition before the window (r15, guide
+        # §2.5): the window's own exchange carries <1 MB so AQE
+        # coalesced it to ONE partition, and — with the pruned posting
+        # side hosting the broadcast scoring join — the champion
+        # window + join + contrib all ran single-threaded, writing the
+        # 9.4 MB groupBy exchange from one task (measured 1.37 s, the
+        # compute-dense-skew lesson). A user repartition on the window
+        # key is AQE-exempt and satisfies the window's distribution,
+        # so exchange count is unchanged.
+        sc = post.sparkSession.sparkContext
         wch = Window.partitionBy("term").orderBy(
             F.col("tf").desc(), id_col)
-        post = (post.withColumn("_ch", F.row_number().over(wch))
+        post = (post.repartition(sc.defaultParallelism, "term")
+                .withColumn("_ch", F.row_number().over(wch))
                 .where(F.col("_ch") <= champions).drop("_ch"))
     qterms = (queries.select(F.col(query_id), toks.alias("_qt"))
               .select(query_id,

@@ -67,3 +67,31 @@ def test_untracked_persist_trips_the_gate(spark):
         lifecycle.assert_no_cached_rdds(spark, context="leak-test")
     leak.unpersist()
     lifecycle.assert_no_cached_rdds(spark, context="leak-test-cleaned")
+
+
+def test_chained_stage_counts_and_await(spark):
+    """r15: stage_table(after=parent) must run the child's async count
+    AFTER the parent's (so the child reads the parent's materialized
+    cache instead of re-evaluating its subtree), and await_staged must
+    block until the chain tail's count has landed — consumers of the
+    returned frame always find warm blocks."""
+    lifecycle.release_tracked()
+    spark.catalog.clearCache()
+    base = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+    parent = lifecycle.stage_table(
+        base.groupBy("k").agg(F.count(F.lit(1)).alias("n")), sync=False)
+    child = lifecycle.stage_table(
+        parent.groupBy((F.col("k") % 2).alias("p"))
+        .agg(F.sum("n").alias("s")), sync=False, after=parent)
+    lifecycle.await_staged(child)
+    # after await, BOTH caches must hold live blocks (the chain ran
+    # parent-first, and the tail join covers the whole chain)
+    live = lifecycle.persistent_rdd_ids(spark)
+    assert len(live) >= 2
+    got = {r["p"]: r["s"] for r in child.collect()}
+    assert got == {0: 1143, 1: 857}
+    lifecycle.release_tracked()
+    lifecycle.assert_no_cached_rdds(spark, context="chain-test")
+    # await on an unstaged/foreign frame is a no-op
+    lifecycle.await_staged(base)
