@@ -2962,8 +2962,8 @@ def q_ann_recall_at_k(spark, sf):
     from pyspark.sql import Window
     from lswms_forage_etl_spark.lifecycle import stage_table
     from lswms_forage_etl_spark.operators.similarity import (
-        ivfpq_topk, lsh_hamming_topk, pq_adc_topk,
-        pq_train_codebook_dist)
+        _ivf_assign, _ivf_probe_ids, ivf_centroid_rows,
+        lsh_hamming_topk, pq_adc_topk, pq_train_codebook_dist)
     # r15 optimization (guide §1.2 step 1 — don't compute things
     # twice): the six method sides used to call their q_ann_* wrappers,
     # each of which re-collected the query vector (`_query_vec` .first()
@@ -2976,6 +2976,18 @@ def q_ann_recall_at_k(spark, sf):
     emb = _t(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
     cb = pq_train_codebook_dist(emb, iters=2, dim=64)
+    # r15 batch 3: the ivf and ivfpq sides each trained the SAME 16
+    # centroids (a collect job) and ran the SAME full-corpus Arrow
+    # assignment pass, then filtered to the SAME probes=4 lists. One
+    # shared staged `lists` table now feeds both sides' three
+    # consumers (ivf brute-force scan, ivfpq ADC code scan, ivfpq
+    # exact re-rank join) — assignments are deterministic, so every
+    # side's graded rows are unchanged.
+    cents = ivf_centroid_rows(emb, 16)
+    probe_ids = _ivf_probe_ids(cents, qv, 4)
+    lists = stage_table(
+        _ivf_assign(emb, cents, "vec_id", "embedding")
+        .where(F.col("cent_id").isin(probe_ids)))
     # Stage the ground truth once (VERDICT r14 nit #2): the brute-force
     # scan is the expensive subtree here, and staging pins it to one
     # execution (plus real InMemoryRelation stats) instead of letting
@@ -2989,7 +3001,7 @@ def q_ann_recall_at_k(spark, sf):
         lsh_topk(emb, qv, k=10).select(
             F.lit("lsh").alias("method"), "vec_id",
             F.row_number().over(wc).alias("a_rk")),
-        ivf_topk(emb, qv, k=10, num_centroids=16, probes=4).select(
+        brute_force_topk(lists, qv, k=10).select(
             F.lit("ivf").alias("method"), "vec_id",
             F.row_number().over(wc).alias("a_rk")),
         pq_adc_topk(emb, qv, k=10).select(
@@ -3002,8 +3014,8 @@ def q_ann_recall_at_k(spark, sf):
         pq_adc_topk(emb, qv, k=10, codebook=cb, rerank_mult=8).select(
             F.lit("pq_rr").alias("method"), "vec_id",
             F.row_number().over(wc).alias("a_rk")),
-        ivfpq_topk(emb, qv, k=10, probes=4, rerank_mult=8,
-                   codebook=cb).select(
+        pq_adc_topk(lists, qv, k=10, m=8, ks=16, codebook=cb,
+                    rerank_mult=8).select(
             F.lit("ivfpq").alias("method"), "vec_id",
             F.row_number().over(wc).alias("a_rk")),
     ]

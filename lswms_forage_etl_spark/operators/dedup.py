@@ -531,8 +531,13 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     tok = sets.select("rep", F.explode("sh64").alias("s64"))
     # STAGED: dfreq is corpus-sized (near one row per distinct shingle)
     # but its post-agg estimate lies small — see docstring
+    # chained async counts (r15, the lm.py chain discipline): dfreq
+    # derives from marked and prefix from dfreq — unchained, each
+    # async count races its parent's and re-evaluates the parent's
+    # whole subtree (the shingle-hash pass) from parquet
     dfreq = stage_table(
-        tok.groupBy("s64").agg(F.count(F.lit(1)).alias("dfq")))
+        tok.groupBy("s64").agg(F.count(F.lit(1)).alias("dfq")),
+        after=marked)
 
     w_set = Window.partitionBy("rep")
     ranked = (tok.join(dfreq, "s64")
@@ -547,7 +552,7 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     # self-join (round-4 lesson: persist before self-joining)
     prefix = stage_table(
         ranked.where(F.col("pos") <= p)
-        .select("rep", "s64", "n", "pos"))
+        .select("rep", "s64", "n", "pos"), after=dfreq)
 
     if fan_budget is not None:
         est_row = (prefix.groupBy("s64")
@@ -580,7 +585,16 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
                            F.col("sh64").alias("sh_b")), "rep_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    set_pairs = (v.where(F.lit(den) * inter >= F.lit(num) * union)
+    # Necessary-condition pre-filter (r15, guide §1.2 step 2): |union|
+    # >= max(|a|,|b|) always, so den*inter >= num*union REQUIRES
+    # den*inter >= num*max(|a|,|b|). Ordering the conjunction so the
+    # union-free bound runs first lets the dominant failing class
+    # short-circuit before array_union ever evaluates — the verify
+    # stage was this query's wall (50.5 executor-seconds at sf0.1,
+    # nearly all array_intersect/array_union hash-set churn).
+    pre = (F.lit(den) * inter
+           >= F.lit(num) * F.greatest(F.size("sh_a"), F.size("sh_b")))
+    set_pairs = (v.where(pre & (F.lit(den) * inter >= F.lit(num) * union))
                  .select("rep_a", "rep_b",
                          jaccard_expr("sh_a", "sh_b").alias("jaccard")))
 
