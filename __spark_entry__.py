@@ -508,9 +508,10 @@ def q_window_composite_periods(spark, sf):
     """W1 — the year-reset 16-day period table itself (golden oracle for
     get_composite_periods, data_extraction_v2.py:85-106). sf-independent."""
     periods = composite_periods(dt.date(2023, 12, 1), dt.date(2024, 3, 1))
-    return spark.createDataFrame(
-        [(p, s, e) for p, s, e in periods],
-        "period_id INT, start DATE, end DATE")
+    from lswms_forage_etl_spark.lifecycle import local_df
+    return local_df(spark,
+                    [(p, s, e) for p, s, e in periods],
+                    "period_id INT, start DATE, end DATE")
 
 
 def q_window_lag_lead(spark, sf):
@@ -629,8 +630,10 @@ def q_join_range_bucketed(spark, sf):
         b0, b1 = int(lo // block_w), int(hi // block_w)
         for b in range(b0, b1 + 1):
             expanded.append((b, bid, name, lo, hi))
-    exp_df = spark.createDataFrame(
-        expanded, "blk long, band_id int, band string, lo double, hi double")
+    from lswms_forage_etl_spark.lifecycle import local_df
+    exp_df = local_df(
+        spark, expanded,
+        "blk long, band_id int, band string, lo double, hi double")
     j = (li.withColumn("blk", F.floor(F.col("l_extendedprice") / block_w)
                        .cast("long"))
          .join(F.broadcast(exp_df), "blk")

@@ -413,8 +413,9 @@ def bpe_train_scaled(spark, docs, k: int = 1024, text_col: str = "text",
     hash-matches the distributed/oracle output)."""
     merges = bpe_train_driver_merges(
         bpe_word_frequencies(docs, text_col, max_words), k)
-    return spark.createDataFrame(
-        merges,
+    from lswms_forage_etl_spark.lifecycle import local_df
+    return local_df(
+        spark, merges,
         "iter int, pair string, new_symbol string, pair_count long")
 
 

@@ -163,8 +163,9 @@ def unigram_train_scaled(spark, docs, text_col: str = "text",
         bpe_word_frequencies(docs, text_col, max_words),
         seed_multi=seed_multi, rounds=rounds,
         prune_per_round=prune_per_round)
-    return spark.createDataFrame(
-        rows, "piece string, n_used long, cost_bits int")
+    from lswms_forage_etl_spark.lifecycle import local_df
+    return local_df(spark, rows,
+                    "piece string, n_used long, cost_bits int")
 
 
 def unigram_encode_count_udf(vocab_rows, t_bits: int,

@@ -732,7 +732,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
             T.StructField("doc_id", id_type),
             T.StructField("rep_id", id_type),
             T.StructField("cluster_size", T.LongType())])
-        return spark.createDataFrame(out, schema)
+        return lifecycle.local_df(spark, out, schema)
 
     edges = (upairs.select(F.explode(F.array(
         F.struct(F.col("_pa").alias("src"), F.col("_pb").alias("dst")),

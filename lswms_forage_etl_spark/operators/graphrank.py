@@ -141,8 +141,8 @@ def pagerank_int(edges: DataFrame, iterations: int = 10,
         ranked = _pagerank_driver(
             [(r["src"], r["dst"], r["w"]) for r in edges.collect()],
             iterations, damping_pct)
-        return spark.createDataFrame(
-            ranked, "token string, rank_scaled long")
+        from lswms_forage_etl_spark.lifecycle import local_df
+        return local_df(spark, ranked, "token string, rank_scaled long")
     out = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     trans = (edges.join(F.broadcast(out), "src")
              .select("src", "dst",
@@ -385,7 +385,8 @@ def bfs_hops(edges: DataFrame, source: str, max_hops: int = 10,
     if edges.count() <= driver_gate_edges:
         rows = _bfs_driver([(r["src"], r["dst"])
                             for r in edges.collect()], source, max_hops)
-        return spark.createDataFrame(rows, "token string, hops int")
+        from lswms_forage_etl_spark.lifecycle import local_df
+        return local_df(spark, rows, "token string, hops int")
     visited = spark.createDataFrame([(source, 0)],
                                     "token string, hops int")
     frontier = visited

@@ -334,6 +334,8 @@ def write_training_shards(packed: DataFrame, docs: DataFrame, path: str,
         T.StructField("n_docs", T.LongType()),
         T.StructField("n_packs", T.LongType()),
         T.StructField("n_tokens", T.LongType())])
-    return packed.sparkSession.createDataFrame(
+    from lswms_forage_etl_spark.lifecycle import local_df
+    return local_df(
+        packed.sparkSession,
         [(r["shard"], r["n_docs"], r["n_packs"], r["n_tokens"])
          for r in rows], schema)

@@ -55,7 +55,8 @@ def composite_periods(series_start: dt.date, current_date: dt.date,
 def periods_df(spark: SparkSession, series_start: dt.date, current_date: dt.date,
                length_days: int = 16, year_reset: bool = True) -> DataFrame:
     rows = composite_periods(series_start, current_date, length_days, year_reset)
-    return spark.createDataFrame(rows, PERIODS)
+    from lswms_forage_etl_spark.lifecycle import local_df
+    return local_df(spark, rows, PERIODS)
 
 
 def assign_period(df: DataFrame,
@@ -87,8 +88,10 @@ def assign_period(df: DataFrame,
         b1 = (end - epoch).days // length_days
         for b in range(b0, b1 + 1):
             expanded.append((b, pid, start, end))
-    exp_df = df.sparkSession.createDataFrame(
-        expanded, "_block long, period_id int, start date, end date")
+    from lswms_forage_etl_spark.lifecycle import local_df
+    exp_df = local_df(
+        df.sparkSession, expanded,
+        "_block long, period_id int, start date, end date")
     block = F.floor(F.datediff(F.col(date_col), F.lit(epoch))
                     / length_days).cast("long")
     return (df.withColumn("_b", block)

@@ -1348,8 +1348,9 @@ def pca_power_top(emb: DataFrame, id_col: str = "vec_id",
         maxw = float(max(abs(x) for x in w.values()))
         u14 = {i: math.floor(float(x) / maxw * float(1 << 14))
                for i, x in w.items()}
-    u = emb.sparkSession.createDataFrame(
-        sorted(u14.items()), "dim int, u14 long")
+    from lswms_forage_etl_spark.lifecycle import local_df
+    u = local_df(emb.sparkSession,
+                 sorted(u14.items()), "dim int, u14 long")
     norm = F.sqrt(F.sum(F.col("u14").cast("double") * F.col("u14"))
                   .over(w_all))
     return u.select(

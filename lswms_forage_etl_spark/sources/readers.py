@@ -78,8 +78,8 @@ def scan_raster_filenames(spark: SparkSession, directory: str) -> DataFrame:
     if os.path.isdir(directory):
         names = [n for n in sorted(os.listdir(directory))
                  if _RASTER_NAME.search(n)]
-    df = spark.createDataFrame(
-        [(n,) for n in names], "filename string")
+    from lswms_forage_etl_spark.lifecycle import local_df
+    df = local_df(spark, [(n,) for n in names], "filename string")
     return df.withColumn(
         "date", F.to_date(F.regexp_extract("filename", r"(\d{8})", 1),
                           "yyyyMMdd"))

@@ -95,3 +95,27 @@ def test_chained_stage_counts_and_await(spark):
     lifecycle.assert_no_cached_rdds(spark, context="chain-test")
     # await on an unstaged/foreign frame is a no-op
     lifecycle.await_staged(base)
+
+
+def test_local_df_matches_tuple_path(spark):
+    """local_df (r15, guide §4): the Arrow/pandas driver-rows path must
+    be value- and schema-identical to the plain-tuples createDataFrame
+    it replaces — including None handling, dates, and the float-NaN
+    fallback (Arrow would map NaN -> null; the helper must detect the
+    NaN and take the exact tuple path instead)."""
+    import datetime as dt
+
+    cases = [
+        ([(1, "a", 2.5), (None, None, None), (3, "c", 0.125)],
+         "x long, s string, d double"),
+        ([(1, dt.date(2024, 1, 2)), (2, None)], "i int, dte date"),
+        ([("tok", 5)], "token string, hops int"),
+        ([], "x long, s string"),
+        # NaN forces the fallback path; repr-compare pins NaN stays NaN
+        ([(1, float("nan")), (2, 0.5)], "i int, d double"),
+    ]
+    for rows, schema in cases:
+        a = spark.createDataFrame(rows, schema)
+        b = lifecycle.local_df(spark, rows, schema)
+        assert a.schema == b.schema, schema
+        assert repr(a.collect()) == repr(b.collect()), schema
