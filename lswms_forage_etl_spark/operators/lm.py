@@ -55,6 +55,31 @@ def _bitlen(c: Column) -> Column:
             .otherwise(F.length(F.bin(c.cast("bigint")))))
 
 
+def _lang_bitlen_expr(tot: DataFrame, lang_col: str,
+                      val_col: str) -> Column:
+    """Collect the |langs|-bounded per-language totals table and inline
+    ``bitlen(total)`` as a literal map lookup keyed by language (r15,
+    guide §2.4 remove shuffles / §1.2 don't compute twice): the tot
+    table previously rode a `F.broadcast(tot)` left join — the r15 job
+    probe showed its broadcast BUILT ONCE PER REFERENCING JOIN (twin
+    build jobs behind text_perplexity_bucket) plus an aggregation
+    exchange per build, all to attach one small int per language. The
+    collect runs over the warm staged cache post-await (catalog-scale:
+    one row per language). Python's ``int.bit_length`` equals the
+    engines' ``length(bin(n))`` for n >= 1, and totals are >= 1 by
+    construction; a language absent from the train slice returns NULL
+    from the map lookup — identical to the left join's NULL total
+    flowing through ``_bitlen``."""
+    rows = tot.collect()
+    if not rows:
+        return F.lit(None).cast("int")
+    pairs: list[Column] = []
+    for r in sorted(rows, key=lambda r: r[lang_col]):
+        pairs.append(F.lit(r[lang_col]))
+        pairs.append(F.lit(int(r[val_col]).bit_length()))
+    return F.create_map(*pairs)[F.col(lang_col)]
+
+
 def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str,
                  extra_cols: list[str]) -> DataFrame:
     """(id, *extra, a, b): one row per ADJACENT token pair, reading
@@ -108,18 +133,22 @@ def surprisal_per_doc(docs: DataFrame, train_sources: list[str],
             .select(lang_col, "a", "b",
                     (_bitlen(F.col("c1")) - _bitlen(F.col("c2")))
                     .alias("s_seen")))
-    back = (c1u.join(F.broadcast(tot), lang_col)
-            .select(lang_col, "b",
-                    (_bitlen(F.col("t")) - _bitlen(F.col("c1u"))
-                     + F.lit(penalty)).alias("s_back")))
+    await_staged(c2)   # consumers must find warm blocks (see lifecycle)
+    # tot attaches ONE small int per language — inline it as a literal
+    # map lookup instead of two broadcast-join builds (_lang_bitlen_expr
+    # docstring; the collect reads the warm staged c2 cache). The old
+    # inner join back⋈tot dropped no rows (c1u and tot share the exact
+    # lang set — both derive from c2), so the lookup is total there.
+    tbit = _lang_bitlen_expr(tot, lang_col, "t")
+    back = c1u.select(lang_col, "b",
+                      (tbit - _bitlen(F.col("c1u"))
+                       + F.lit(penalty)).alias("s_back"))
     scored = (bg.join(seen, [lang_col, "a", "b"], "left")
               .join(back, [lang_col, "b"], "left")
-              .join(F.broadcast(tot), [lang_col], "left")
               .select(id_col, lang_col,
                       F.coalesce(F.col("s_seen"), F.col("s_back"),
-                                 _bitlen(F.col("t")) + F.lit(penalty),
+                                 tbit + F.lit(penalty),
                                  F.lit(1 + penalty)).alias("s")))
-    await_staged(c2)   # consumers must find warm blocks (see lifecycle)
     return (scored.groupBy(id_col, lang_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.sum("s").alias("_sum_s"))
@@ -223,6 +252,11 @@ def trigram_kn_surprisal(docs: DataFrame, train_sources: list[str],
              .agg(F.count(F.lit(1)).alias("n1p_c")))
     # total continuation bigram types N1+(**)
     tot = cont2.groupBy(lang_col).agg(F.count(F.lit(1)).alias("nn"))
+    # NOTE r15: the bigram scorer's _lang_bitlen_expr inlining was
+    # A/B-tried here too and REJECTED (2.85 -> 4.02 s at sf0.1): tot
+    # derives from the un-staged cont2, so the construction-time
+    # collect re-runs that whole aggregation as an extra serialized
+    # job while saving only ONE broadcast build.
     j = (tg.join(c3, [lang_col, "a", "b", "c"], "left")
          .join(ctx2, [lang_col, "a", "b"], "left")
          .join(cont2, [lang_col, "b", "c"], "left")
@@ -350,6 +384,8 @@ def fivegram_kn_surprisal(docs: DataFrame, train_sources: list[str],
     cont1 = (cont2.groupBy(lang_col, "e")
              .agg(F.count(F.lit(1)).alias("n1p_e")))
     tot = cont2.groupBy(lang_col).agg(F.count(F.lit(1)).alias("nn"))
+    # NOTE r15: _lang_bitlen_expr inlining A/B-tried and REJECTED here
+    # (4.24 -> 4.88 s at sf0.1) — same verdict as trigram_kn_surprisal.
     j = (ng.join(c5, [lang_col, "a", "b", "c", "d", "e"], "left")
          .join(ctx4, [lang_col, "a", "b", "c", "d"], "left")
          .join(cont4, [lang_col, "b", "c", "d", "e"], "left")
