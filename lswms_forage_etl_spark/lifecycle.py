@@ -217,6 +217,23 @@ def stage_table(df: DataFrame, sync: bool | None = None,
     return out
 
 
+def stage_lazy(df: DataFrame) -> DataFrame:
+    """Persist + track WITHOUT a counting job — for the INTERIOR links
+    of a staged derivation chain whose TAIL is a counted `stage_table`
+    (r15): computing any InMemoryRelation partition caches it as a side
+    effect, so one count of the chain tail materializes every parent
+    cache in the SAME job. The per-link count jobs the `after=` chain
+    used to run added only driver round-trips (4 jobs → 1 for the kn5
+    c5→cont4→cont3→cont2 chain). Safe ONLY when (a) a downstream
+    stage_table's count covers this table before any consumer action
+    plans against it (its stats are then real), and (b) no join is
+    planned against it in between (the round-5 lazy stats-lie hazard).
+    Callers must still `await_staged` the chain tail."""
+    out = df.persist()
+    track(out)
+    return out
+
+
 def await_staged(df: DataFrame) -> DataFrame:
     """Block until `df`'s async stage_table count has landed (no-op for
     sync-staged or unstaged frames). Call at the END of an operator's

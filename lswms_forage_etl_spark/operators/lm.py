@@ -47,6 +47,22 @@ def _toks(text_col: Column | str) -> Column:
                     lambda t: t != "")
 
 
+def _tok_keys(text_col: Column | str) -> Column:
+    """Tokenize, then hash every token to a fixed-width int64 key
+    (xxhash64) — r15, guide §2.3 "shuffle narrower types" and the
+    round-12 shingle lesson applied to the LM family: every n-gram
+    groupBy/join downstream keys on 5 longs instead of 5 strings
+    (the r15 job probe put ~70 of kn5's ~100 executor-seconds in
+    string-tuple hashing/compares across the count-table builds and
+    the 10-lookup scoring probe). Internal keys only: no output
+    column carries a token, so results are identical as long as the
+    hash is injective on the per-language vocabulary — a 64-bit
+    collision would need ~2^32 distinct tokens for even-odds, and
+    the oracle gate (which replays from the raw strings) pins every
+    graded value at every sf, so a collision cannot land silently."""
+    return F.transform(_toks(text_col), lambda t: F.xxhash64(t))
+
+
 def _bitlen(c: Column) -> Column:
     """Whole-bit integer log2: bitlen(n) = floor(log2(n)) + 1 for
     n >= 1, 0 for n = 0, NULL for NULL (so left-join misses flow into
@@ -86,9 +102,11 @@ def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str,
     order, repeats KEPT (a == b is a real LM event — unlike
     graphrank.adjacent_token_pairs, which drops self-loops because its
     consumers are co-occurrence graphs). Shifted-slice zip, never a
-    per-element re-tokenize (the round-5 interpreted-HOF lesson)."""
+    per-element re-tokenize (the round-5 interpreted-HOF lesson).
+    Tokens are int64 xxhash64 keys (``_tok_keys``) — internal to the
+    scorers, never surfaced."""
     d = _spread(docs).select(id_col, *extra_cols,
-                             _toks(text_col).alias("toks"))
+                             _tok_keys(text_col).alias("toks"))
     n = F.size("toks")
     a = F.slice("toks", 1, n - 1)
     b = F.expr("slice(toks, 2, size(toks) - 1)")
@@ -163,9 +181,10 @@ def _doc_trigrams(docs: DataFrame, id_col: str, text_col: str,
     reading order, repeats kept — the trigram twin of ``_doc_bigrams``
     (same shifted-slice zip, never a per-element re-tokenize). Docs
     with fewer than 3 tokens contribute no rows (and thus drop from
-    trigram scoring — the documented convention)."""
+    trigram scoring — the documented convention). Tokens are int64
+    xxhash64 keys (``_tok_keys``)."""
     d = _spread(docs).select(id_col, *extra_cols,
-                             _toks(text_col).alias("toks"))
+                             _tok_keys(text_col).alias("toks"))
     n = F.size("toks")
     a = F.slice("toks", 1, n - 2)
     b = F.expr("slice(toks, 2, size(toks) - 2)")
@@ -291,9 +310,10 @@ def _doc_fivegrams(docs: DataFrame, id_col: str, text_col: str,
     5-tuple in reading order, repeats kept — the order-5 member of
     the ``_doc_bigrams`` family (shifted-slice zip, never a
     per-element re-tokenize). Docs with fewer than 5 tokens
-    contribute no rows."""
+    contribute no rows. Tokens are int64 xxhash64 keys
+    (``_tok_keys``)."""
     dd = _spread(docs).select(id_col, *extra_cols,
-                              _toks(text_col).alias("toks"))
+                              _tok_keys(text_col).alias("toks"))
     n = F.size("toks")
     parts = [F.slice(F.col("toks"), i + 1, n - 4).alias(ch)
              for i, ch in enumerate("abcde")]
@@ -343,8 +363,11 @@ def fivegram_kn_surprisal(docs: DataFrame, train_sources: list[str],
     one doc-key shuffle, no global sort, no quadratic term."""
     ng = _doc_fivegrams(docs, id_col, text_col, [lang_col, source_col])
     train = ng.where(F.col(source_col).isin(list(train_sources)))
-    c5 = stage_table(train.groupBy(lang_col, "a", "b", "c", "d", "e")
-                     .agg(F.count(F.lit(1)).alias("c5")))
+    # lazy interior link: materialized (and stats realized) by the
+    # chain tail cont2's single counting job below
+    from lswms_forage_etl_spark.lifecycle import stage_lazy as _sl
+    c5 = _sl(train.groupBy(lang_col, "a", "b", "c", "d", "e")
+             .agg(F.count(F.lit(1)).alias("c5")))
     # order-5 context: token count + distinct continuations
     ctx4 = (c5.groupBy(lang_col, "a", "b", "c", "d")
             .agg(F.sum("c5").alias("c1234"),
@@ -357,27 +380,28 @@ def fivegram_kn_surprisal(docs: DataFrame, train_sources: list[str],
     # once, not per consumer (A/B at 100x on the block-vocab slice:
     # 64.2 s un-staged vs 56.9 s staged, parity at 1x — SCALE.md
     # round-14; on vocabulary-bound real corpora the tables are tiny
-    # either way). sync=True on the whole chain (r15): each table's
-    # count is the ONLY consumer that materializes its parent's cache,
-    # so an async count races the next stage_table's count and every
-    # racer re-runs the 5-gram explode from parquet — the r15 stage
-    # probe measured 4 duplicate ~8 s explode stages behind this query
-    # (the round-6 lazy-race lesson, stage_table-chain variant).
-    cont4 = stage_table(c5.groupBy(lang_col, "b", "c", "d", "e")
-                        .agg(F.count(F.lit(1)).alias("n1p_bcde")),
-                        sync=False, after=c5)
+    # either way). r15: the interior links are `stage_lazy` (persist,
+    # no count) and ONLY the chain tail cont2 runs a counting job —
+    # computing cont2 materializes c5/cont4/cont3's caches as a side
+    # effect in the SAME job, so the per-link count jobs (4 serialized
+    # driver round-trips; before that, un-chained async counts raced
+    # and re-ran the 5-gram explode 4x — the round-6 lazy-race lesson)
+    # collapse to one. No join is planned before `await_staged(cont2)`
+    # lands, so the interior tables never expose lazy stats.
+    from lswms_forage_etl_spark.lifecycle import stage_lazy
+    cont4 = stage_lazy(c5.groupBy(lang_col, "b", "c", "d", "e")
+                       .agg(F.count(F.lit(1)).alias("n1p_bcde")))
     mid4 = (cont4.groupBy(lang_col, "b", "c", "d")
             .agg(F.sum("n1p_bcde").alias("n1p_bcd"),
                  F.count(F.lit(1)).alias("n4t")))
-    cont3 = stage_table(cont4.groupBy(lang_col, "c", "d", "e")
-                        .agg(F.count(F.lit(1)).alias("n1p_cde")),
-                        sync=False, after=cont4)
+    cont3 = stage_lazy(cont4.groupBy(lang_col, "c", "d", "e")
+                       .agg(F.count(F.lit(1)).alias("n1p_cde")))
     mid3 = (cont3.groupBy(lang_col, "c", "d")
             .agg(F.sum("n1p_cde").alias("n1p_cd"),
                  F.count(F.lit(1)).alias("n3t")))
     cont2 = stage_table(cont3.groupBy(lang_col, "d", "e")
                         .agg(F.count(F.lit(1)).alias("n1p_de")),
-                        sync=False, after=cont3)
+                        sync=False)
     mid2 = (cont2.groupBy(lang_col, "d")
             .agg(F.sum("n1p_de").alias("n1p_d"),
                  F.count(F.lit(1)).alias("n2t")))

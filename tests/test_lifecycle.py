@@ -97,6 +97,33 @@ def test_chained_stage_counts_and_await(spark):
     lifecycle.await_staged(base)
 
 
+def test_stage_lazy_chain_tail_materializes_parents(spark):
+    """r15 batch 6: `stage_lazy` interior links carry no counting job
+    of their own — ONE count of the chain tail (a normal stage_table)
+    must materialize every lazy parent's cache as a side effect, and
+    release_tracked must still free all of them."""
+    lifecycle.release_tracked()
+    spark.catalog.clearCache()
+    base = spark.range(3000).select(
+        F.col("id"), (F.col("id") % 11).alias("k"))
+    parent = lifecycle.stage_lazy(
+        base.groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+    mid = lifecycle.stage_lazy(
+        parent.groupBy((F.col("k") % 3).alias("m"))
+        .agg(F.sum("n").alias("s")))
+    tail = lifecycle.stage_table(
+        mid.groupBy((F.col("m") % 2).alias("p"))
+        .agg(F.sum("s").alias("t")), sync=False)
+    lifecycle.await_staged(tail)
+    # the tail's single count job must have populated ALL THREE caches
+    live = lifecycle.persistent_rdd_ids(spark)
+    assert len(live) >= 3
+    got = {r["p"]: r["t"] for r in tail.collect()}
+    assert got == {0: 1909, 1: 1091}
+    lifecycle.release_tracked()
+    lifecycle.assert_no_cached_rdds(spark, context="stage-lazy-test")
+
+
 def test_local_df_matches_tuple_path(spark):
     """local_df (r15, guide §4): the Arrow/pandas driver-rows path must
     be value- and schema-identical to the plain-tuples createDataFrame
