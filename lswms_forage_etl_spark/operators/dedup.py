@@ -493,7 +493,8 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     carries the estimate (plans/corpus.py near_dup="auto" catches it
     and routes to LSH). Cost: one extra count-style job over an
     already-persisted table — nothing corpus-sized recomputes."""
-    from lswms_forage_etl_spark.lifecycle import stage_table
+    from lswms_forage_etl_spark.lifecycle import (await_staged,
+                                                  stage_lazy, stage_table)
     from pyspark.sql import Window
 
     num, den = threshold
@@ -515,7 +516,15 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     # join (the two-table fp-keyed form measured ~2x slower at 100x),
     # and every hot stage downstream keys on the int64 rep.
     w_fp = Window.partitionBy("_setfp")
-    marked = stage_table(
+    # marked is a LAZY interior link (r15 batch 7, the lm.py
+    # single-tail-count pattern): dfreq's counting job materializes it
+    # as a side effect, and no JOIN sits inside dfreq's subtree, so its
+    # lazy stats are never read by a join planner. dfreq itself MUST
+    # keep a real count: the ranked tok⋈dfreq join is planned inside
+    # prefix's count, and a lazy dfreq re-exposes the round-5 stats-lie
+    # broadcast (the 100x OOM this staging exists to prevent). 3 count
+    # jobs -> 2.
+    marked = stage_lazy(
         src.select(F.col(id_col), sh64.alias("sh64"))
         .where(F.size("sh64") > 0)
         .select(F.col(id_col), "sh64",
@@ -536,8 +545,7 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
     # async count races its parent's and re-evaluates the parent's
     # whole subtree (the shingle-hash pass) from parquet
     dfreq = stage_table(
-        tok.groupBy("s64").agg(F.count(F.lit(1)).alias("dfq")),
-        after=marked)
+        tok.groupBy("s64").agg(F.count(F.lit(1)).alias("dfq")))
 
     w_set = Window.partitionBy("rep")
     ranked = (tok.join(dfreq, "s64")
@@ -555,6 +563,9 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
         .select("rep", "s64", "n", "pos"), after=dfreq)
 
     if fan_budget is not None:
+        # the estimate collect would otherwise race prefix's async
+        # count thread and evaluate the chain twice
+        await_staged(prefix)
         est_row = (prefix.groupBy("s64")
                    .agg(F.count(F.lit(1)).alias("c"))
                    .agg(F.sum(F.expr("c * (c - 1) div 2"))
