@@ -5362,9 +5362,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CASE WHEN len(toks) >= 4 THEN
                    list_transform(range(0, len(toks) - 3),
-                     i -> md5(array_to_string(
+                     i -> ('0x' || substr(md5(array_to_string(
                             toks[CAST(i + 1 AS INT):CAST(i + 4 AS INT)],
-                            ' ')))
+                            ' ')), 1, 15))::BIGINT)
                  ELSE [] END AS wins
           FROM t),
         u AS (
@@ -5400,9 +5400,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CASE WHEN len(ltoks) >= 4 THEN
                    list_transform(range(0, len(ltoks) - 3),
-                     i -> md5(array_to_string(
+                     i -> ('0x' || substr(md5(array_to_string(
                             ltoks[CAST(i + 1 AS INT):CAST(i + 4 AS INT)],
-                            ' ')))
+                            ' ')), 1, 15))::BIGINT)
                  ELSE [] END AS wins
           FROM tl),
         u AS (

