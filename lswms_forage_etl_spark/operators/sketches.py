@@ -308,21 +308,29 @@ def cms_heavy_hitters(df: DataFrame, key_col: str,
     2/16384) at ANY corpus size. phi is an exact integer fraction and
     the filter est*den >= N*num carries no float boundary.
 
-    Shuffles: sketch build (bounded d*w output), distinct keys, probe
-    groupBy, exact groupBy, candidate join — all linear; the 1-row
-    total rides a crossJoin broadcast (the rebalance_to_target
-    pattern for corpus-sized consumers)."""
+    Shuffles: sketch build (bounded d*w output) and ONE exact key
+    groupBy — r15 (guide §1.2 "don't compute things twice"): the old
+    form evaluated the occurrence stream FOUR times (sketch, 1-row
+    total, distinct keys, exact counts — the r15 stage probe showed
+    four ~12 exec-s tokenize+explode stages behind the graded query).
+    `keys` is exact's key column and `total` is the sum of exact's
+    counts, so both now derive from the STAGED vocabulary-bounded
+    exact table: two corpus passes, everything else reads the cache.
+    Values are identical by construction (sum of per-key counts = N)."""
+    from lswms_forage_etl_spark.lifecycle import stage_table
+
     num, den = phi
     occ = df.select(F.col(key_col))
     cms = cms_table(occ, key_col, d, w, seed)
-    total = occ.agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    keys = occ.distinct()
+    exact = stage_table(occ.groupBy(key_col)
+                        .agg(F.count(F.lit(1)).cast("long")
+                             .alias("exact_n")))
+    total = exact.agg(F.sum("exact_n").cast("long").alias("_n"))
+    keys = exact.select(key_col)
     est = cms_lookup(cms, keys, key_col, d, w, seed)
     cand = (est.crossJoin(F.broadcast(total))
             .where(F.col("cms_estimate") * F.lit(den)
                    >= F.col("_n") * F.lit(num)))
-    exact = (occ.groupBy(key_col)
-             .agg(F.count(F.lit(1)).cast("long").alias("exact_n")))
     return (cand.join(exact, key_col)
             .select(key_col, "cms_estimate", "exact_n",
                     (F.col("exact_n") * F.lit(den)
