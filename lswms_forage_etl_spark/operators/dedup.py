@@ -70,15 +70,29 @@ def word_shingles(col, k: int = 3):
 
 def shingle_table(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """(id, sh: array<string>) — materialization point for the dedup
+    """(id, sh: array<long>) — materialization point for the dedup
     pipeline. Compute shingles ONCE and persist (or at real scale: write to
     a parquet stage table). Without an explicit materialization Catalyst's
     CollapseProject duplicates the tokenize+shingle expression into every
     one of the k hash branches and both sides of the candidate join —
     turning an O(k·shingles) pipeline into an O(k·shingles·copies) one
-    (observed 123 s -> ~2 s at sf0.1)."""
-    return _spread(docs).select(
-        F.col(id_col), word_shingles(text_col, k).alias("sh"))
+    (observed 123 s -> ~2 s at sf0.1).
+
+    r15 (the round-12 prefix-filter lesson applied to the whole MinHash
+    family): elements are the 60-bit int64 md5 truncation of each
+    string shingle — strings exist only pre-hash inside this
+    projection, so the staged cache and every verify join downstream
+    carry fixed-width int64 arrays instead of ~20-30-byte strings.
+    Jaccard/containment over the hashed sets equal the string-set
+    values absent 60-bit collisions (P < ~1e-13 for 1k-shingle docs),
+    and the minhash base u32 is exactly the top 32 of the 60 bits
+    (md5 hex[1:8] == hex[1:15] >> 28), so signatures are BIT-IDENTICAL
+    to the string form (`_minhash_sig64`)."""
+    sh64 = F.transform(
+        word_shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long"))
+    return _spread(docs).select(F.col(id_col), sh64.alias("sh"))
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -136,6 +150,23 @@ def _minhash_sig(sh_col, num_hashes: int):
             acc, consts, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % p)))
 
 
+def _minhash_sig64(sh64_col, num_hashes: int):
+    """`_minhash_sig` over PRE-HASHED 60-bit int64 shingles
+    (shingle_table's r15 form): the 32-bit base is the top 32 of the
+    60 bits — int(md5hex[:15],16) >> 28 == int(md5hex[:8],16) — so the
+    signature is bit-identical to the string form at zero md5 cost."""
+    p = F.lit(MINHASH_PRIME)
+    consts = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in minhash_coeffs(num_hashes)])
+    # exact: arithmetic shift, never float division (60-bit >> 28 = 32)
+    xs = F.transform(sh64_col, lambda s: F.shiftright(s, 28))
+    return F.aggregate(
+        xs, F.array_repeat(p.cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc, consts, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % p)))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_hashes: int = 16,
@@ -149,11 +180,14 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     """
     if shingles is not None:
         # memoized: the fold tree over the fixed "sh" column depends only
-        # on num_hashes (same rationale as word_shingles' cache)
-        key = ("sh", num_hashes)
+        # on num_hashes (same rationale as word_shingles' cache).
+        # Pre-hashed int64 tables (shingle_table's r15 form) take the
+        # bit-identical shift-based fold; raw string tables keep md5.
+        is64 = dict(shingles.dtypes).get("sh") == "array<bigint>"
+        key = ("sh64" if is64 else "sh", num_hashes)
         if key not in _MH_CACHE:
-            _MH_CACHE[key] = _minhash_sig(
-                F.col("sh"), num_hashes).alias("minhash")
+            fold = _minhash_sig64 if is64 else _minhash_sig
+            _MH_CACHE[key] = fold(F.col("sh"), num_hashes).alias("minhash")
         return shingles.select(F.col(id_col), _MH_CACHE[key])
     return _spread(docs).select(
         F.col(id_col),
@@ -1218,12 +1252,18 @@ def incremental_dedup(docs: DataFrame, is_new, text_col: str = "text",
     from lswms_forage_etl_spark.lifecycle import stage_table, track
 
     flagged = _spread(docs).withColumn("_new", is_new)
+    # r15: 60-bit int64 shingles through the staged index + verify joins
+    # (the shingle_table convention — signatures bit-identical via the
+    # shifted base, jaccard identical absent 60-bit collisions)
+    sh64 = F.transform(
+        word_shingles(text_col, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long"))
     sh = stage_table(flagged.select(
-        F.col(id_col), F.col("_new"),
-        word_shingles(text_col, k).alias("sh")))
+        F.col(id_col), F.col("_new"), sh64.alias("sh")))
     sig_tbl = sh.select(
         F.col(id_col), F.col("_new"),
-        _minhash_sig(F.col("sh"), num_hashes).alias("minhash"))
+        _minhash_sig64(F.col("sh"), num_hashes).alias("minhash"))
     band_arr = band_hash_arr(bands)
     # banded stays lazy: at scale (where plan choice matters) the sh
     # stage table materializes eagerly and banded's estimate derives

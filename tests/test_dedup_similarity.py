@@ -726,3 +726,27 @@ def test_covariance_upper_overflow_guard_raises(spark):
         "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="overflow"):
         covariance_upper(df, quant=10 ** 9).collect()
+
+
+def test_minhash_sig64_bit_identical_to_string_form(spark):
+    """r15: shingle_table stores 60-bit int64 shingles; _minhash_sig64's
+    shifted base (hex[:15] >> 28 == hex[:8]) must reproduce the string
+    fold bit-for-bit, or every banded LSH candidate set silently moves."""
+    from pyspark.sql import functions as F
+
+    from lswms_forage_etl_spark.operators.dedup import (
+        _minhash_sig, _minhash_sig64, word_shingles)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs",
+             "a a a repeated tokens a a a", "", "one two"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    sh_str = word_shingles("text", 3)
+    sh64 = F.transform(sh_str, lambda s: F.conv(
+        F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+    out = df.select(
+        _minhash_sig(sh_str, 16).alias("sig_s"),
+        _minhash_sig64(sh64, 16).alias("sig_h")).collect()
+    for r in out:
+        assert r["sig_s"] == r["sig_h"]

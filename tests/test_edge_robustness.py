@@ -48,10 +48,16 @@ def test_text_functions_on_degenerate_inputs(spark):
 
 
 def test_shingles_below_k_and_dedup_with_nulls(spark):
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
     df = _docs(spark, ["one two", "one two", None, "one two three four"])
     sh = {r["doc_id"]: r["sh"] for r in shingle_table(df).collect()}
     assert sh[0] == []                       # < k tokens -> empty set
-    assert sh[3] == ["one two three", "two three four"]
+    # r15: elements are the 60-bit int64 md5 truncation of each shingle
+    assert sh[3] == [h60("one two three"), h60("two three four")]
     # exact dedup groups the identical pair; null text forms its own group
     groups = exact_dedup(df).collect()
     by_id = {r["doc_id"]: r["dup_count"] for r in groups}
