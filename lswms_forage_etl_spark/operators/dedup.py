@@ -537,9 +537,16 @@ def prefix_filter_pairs(docs: DataFrame, text_col: str = "text",
                F.col(id_col), word_shingles(text_col, k).alias("sh")))
     # ONE staged pass computes the 60-bit shingle keys (fixed-width
     # int64 for every downstream sort/join — strings only exist
-    # pre-hash) AND the set fingerprint used for exact-dup grouping
-    sh64 = F.array_sort(F.transform("sh", lambda s: F.conv(
-        F.substring(F.md5(s), 1, 15), 16, 10).cast("long")))
+    # pre-hash) AND the set fingerprint used for exact-dup grouping.
+    # r15: shingle_table now stores the SAME 60-bit keys already
+    # (array<bigint>) — a pre-hashed table just sorts; re-running md5
+    # over a BIGINT would hash its string form and silently move every
+    # candidate set.
+    if dict(src.dtypes).get("sh") == "array<bigint>":
+        sh64 = F.array_sort(F.col("sh"))
+    else:
+        sh64 = F.array_sort(F.transform("sh", lambda s: F.conv(
+            F.substring(F.md5(s), 1, 15), 16, 10).cast("long")))
     # EXACT-DUP SKEW IMMUNITY (round-5 distinct-signature lesson): the
     # join runs over one row per DISTINCT shingle set, never per doc —
     # clone groups would otherwise share identical prefixes and both
