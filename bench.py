@@ -218,35 +218,85 @@ def main() -> None:
         out["errors"] = errors
     print(json.dumps(out))
 
-    # Self-sufficient driver record (VERDICT r10 item 7): the driver
-    # captures only the final ~2000 chars of output, which truncates the
-    # full JSON above (spreads make it ~6 KB) into an unparseable
-    # fragment (BENCH_r8/r9/r10 all have parsed:null). Print a compact
-    # line LAST — same driver contract (metric/value/unit/queries/sf),
-    # per-query mins only at 2-decimal precision, no spread — so the
-    # captured tail always ends with one complete parseable JSON line.
+    # Self-sufficient driver record (VERDICT r10 item 7, repaired per
+    # VERDICT r15 item 1): the driver captures only the final ~2000
+    # chars of output, which truncates the full JSON above (spreads
+    # make it ~6 KB) into an unparseable fragment. Print compact
+    # per-query lines LAST so the captured tail always ends with
+    # complete parseable JSON carrying REAL query names and seconds —
+    # the round-11 degrade to {"n": count} blinded the driver's whole
+    # PERF comparison once the registry passed ~75 queries.
     # round_end.py prefers the full line above (it carries the spread
-    # envelope); this one exists for the driver's own artifact.
-    compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: (round(v, 2) if isinstance(v, (int, float))
-                        else "ERROR")
-                    for k, v in timings.items()},
-        "sf": out["sf"],
-        "compact": True,
-    }
-    if errors:
-        compact["errors"] = errors
-    line = json.dumps(compact, separators=(",", ":"))
-    # ADVICE r11: never crash on line length — degrade the per-query
-    # map to a count instead so the driver always gets one complete
-    # parseable JSON line (the full-detail line above is unaffected).
-    if len(line) >= 1900:
-        compact["queries"] = {"n": len(timings)}
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    # envelope); these exist for the driver's own artifact.
+    for line in driver_tail_lines(timings, total, out["sf"], errors):
+        print(line)
+
+
+def driver_tail_lines(timings: dict[str, object], total: float,
+                      sf: object, errors: int = 0,
+                      budget: int = 1900) -> list[str]:
+    """Compact driver-tail JSON line(s): per-query mins at 1-decimal
+    precision, no spread. One line when it fits the tail budget;
+    otherwise the map is split across two lines — a
+    {"metric": "headline_part", "part": 1, ...} line first, then the
+    FINAL line holding the second half of the map plus the total
+    (metric/value/unit/queries/sf contract unchanged). Each emitted
+    line stays under the budget so the driver's ~2000-char tail always
+    ends with at least one complete parseable line of real per-query
+    seconds (VERDICT r15 item 1)."""
+    compact_qs = {k: (round(v, 1) if isinstance(v, (int, float))
+                      else "ERROR")
+                  for k, v in timings.items()}
+
+    def final_line(qs: dict[str, object], part: int | None) -> str:
+        rec: dict[str, object] = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": qs,
+            "sf": sf,
+            "compact": True,
+        }
+        if part is not None:
+            rec["part"] = part
+            rec["of"] = part
+        if errors:
+            rec["errors"] = errors
+        return json.dumps(rec, separators=(",", ":"))
+
+    one = final_line(compact_qs, None)
+    if len(one) < budget:
+        return [one]
+    # Only the FINAL line is guaranteed to sit fully inside the
+    # driver's captured tail — pack as many queries into it as the
+    # budget allows (smallest split index whose suffix fits), spilling
+    # the remainder to the part-1 line.
+    names = list(compact_qs)
+    lo, hi = 0, len(names)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if len(final_line({k: compact_qs[k] for k in names[mid:]},
+                          2)) < budget:
+            hi = mid
+        else:
+            lo = mid + 1
+    split = lo
+    part2 = final_line({k: compact_qs[k] for k in names[split:]}, 2)
+    part1 = json.dumps({
+        "metric": "headline_part",
+        "part": 1,
+        "of": 2,
+        "queries": {k: compact_qs[k] for k in names[:split]},
+        "sf": sf,
+    }, separators=(",", ":"))
+    # Backstop (ADVICE r11: never crash on line length): if the part-1
+    # spill itself exceeds the budget the registry has ~tripled —
+    # degrade that line to a count rather than emit an uncapturable one.
+    if len(part1) >= budget:
+        part1 = json.dumps({"metric": "headline_part", "part": 1, "of": 2,
+                            "queries": {"n": split}, "sf": sf},
+                           separators=(",", ":"))
+    return [part1, part2]
 
 
 if __name__ == "__main__":
