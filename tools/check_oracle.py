@@ -148,6 +148,11 @@ def main():
             # release them and then assert NOTHING still holds cached
             # blocks (clearCache would mask DF-level leaks, and cannot
             # free RDD-level localCheckpoint blocks at all)
+            # r16 stage_lazy backstop (VERDICT r15 item 7): a lazy
+            # interior link never covered by a counted chain tail is a
+            # latent round-5 stats-lie — fail loudly BEFORE release
+            # clears the registry
+            lifecycle.assert_no_unresolved_lazy(context=name)
             lifecycle.release_tracked()
             lifecycle.assert_no_cached_rdds(spark, context=name)
         if not srows and name not in EMPTY_OK:
