@@ -35,22 +35,6 @@ def get_spark(app_name: str = "lswms_forage_etl_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # r16 (guide §2.2 fewer/larger partitions, measured): by default
-        # AQE may not re-partition a cached plan's output, so every
-        # agg-tailed stage table materializes at the full
-        # shuffle-partition count and each downstream consumer pays one
-        # task of fixed overhead PER cache partition — the kn5 lookup
-        # builds burned ~80 executor-seconds on sub-MB caches (32 map
-        # tasks x 6 builds x ~0.4 s). Letting AQE coalesce inside cache
-        # materialization is byte-based and therefore scale-adaptive
-        # (a 100x cache keeps enough partitions to feed its joins), and
-        # user-numbered repartitions (_spread, the compute-dense paths)
-        # remain exempt from coalescing. Same-box A/B min-of-3 at
-        # sf0.1: text_perplexity_kn5 7.17->3.71, kn 3.78->2.45,
-        # sketch_kmv_jaccard 2.15->1.54, dedup_lsh_pairs 1.69->1.33,
-        # contamination/prefix_filter parity.
-        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-                "true")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
