@@ -144,24 +144,13 @@ def surprisal_per_doc(docs: DataFrame, train_sources: list[str],
     train = bg.where(F.col(source_col).isin(list(train_sources)))
     c2 = stage_table(train.groupBy(lang_col, "a", "b")
                      .agg(F.count(F.lit(1)).alias("c2")))
+    c1 = c2.groupBy(lang_col, "a").agg(F.sum("c2").alias("c1"))
     c1u = c2.groupBy(lang_col, "b").agg(F.sum("c2").alias("c1u"))
     tot = c2.groupBy(lang_col).agg(F.sum("c2").alias("t"))
-    # r16 (VERDICT r15 item 8, guide §2.4 window over same-key agg):
-    # `seen` used to aggregate c2 into c1 and join it back — one
-    # aggregation exchange + one join build, two reads of the c2
-    # cache. A window partitioned by (lang, a) computes the identical
-    # C1 = sum(c2) on every c2 row in ONE pass over the cache (same
-    # value per key, so s_seen is unchanged row for row). Paired A/B:
-    # parity at sf0.1 (bucket 1.99 vs 2.00, scaled 2.27 vs 2.29 min);
-    # at the 100x slice bucket 10.68->8.93 min / 14.79->11.96 med,
-    # scaled parity — one fewer Exchange in both plans, and the win
-    # shows where the c2 cache is large enough for the extra read +
-    # join build to cost real work.
-    from pyspark.sql import Window as _W
-    seen = c2.select(lang_col, "a", "b",
-                     (_bitlen(F.sum("c2").over(
-                         _W.partitionBy(lang_col, "a")))
-                      - _bitlen(F.col("c2"))).alias("s_seen"))
+    seen = (c2.join(c1, [lang_col, "a"])
+            .select(lang_col, "a", "b",
+                    (_bitlen(F.col("c1")) - _bitlen(F.col("c2")))
+                    .alias("s_seen")))
     await_staged(c2)   # consumers must find warm blocks (see lifecycle)
     # tot attaches ONE small int per language — inline it as a literal
     # map lookup instead of two broadcast-join builds (_lang_bitlen_expr
