@@ -144,6 +144,15 @@ def surprisal_per_doc(docs: DataFrame, train_sources: list[str],
     train = bg.where(F.col(source_col).isin(list(train_sources)))
     c2 = stage_table(train.groupBy(lang_col, "a", "b")
                      .agg(F.count(F.lit(1)).alias("c2")))
+    # r16 NOTE (VERDICT r15 item 8, tried and REJECTED): folding the
+    # c1 aggregation into `seen` as a window over c2
+    # (sum("c2").over(partitionBy(lang, a))) removes one Exchange and a
+    # second c2 cache read, but the paired A/Bs split: parity at sf0.1
+    # (bucket 1.99 vs 2.00, scaled 2.27 vs 2.29 min), and at the 100x
+    # slice bucket WON (10.47->9.48 min) while scaled LOST
+    # (9.05->12.14 min) — the window's sort sits inside scaled's
+    # synchronous per_doc staging job. Keep-only-if-it-wins-both rule:
+    # reverted.
     c1 = c2.groupBy(lang_col, "a").agg(F.sum("c2").alias("c1"))
     c1u = c2.groupBy(lang_col, "b").agg(F.sum("c2").alias("c1u"))
     tot = c2.groupBy(lang_col).agg(F.sum("c2").alias("t"))
